@@ -1,0 +1,6 @@
+"""CDC / incremental-ingest core: WAL tail -> keyed LWW upsert ->
+exactly-once partitioned Parquet lake table with manifest checkpoints."""
+
+from .table import LakeTable  # noqa: F401
+from .apply import apply_events, read_state  # noqa: F401
+from .replay import replay_oracle  # noqa: F401

@@ -1,0 +1,283 @@
+"""The CDC apply layer: WAL events -> keyed shuffle -> LWW upsert ->
+staged partition Parquet -> atomic manifest commit.
+
+Pipeline shape (all Ray Data, streaming, zero-copy Arrow batches)::
+
+    events (Dataset)
+      | map_batches(partial_apply)      # extract text, drop html, per-batch
+      |                                 # LWW winners per url, add part col
+      | groupby("part").map_groups(...) # final LWW merge + base-state merge,
+      |                                 # write staging parquet, emit lineage
+      v
+    lineage rows (tiny) -> driver -> LakeTable.commit(epoch, ...)  # atomic
+
+Skew handling: the LWW merge is associative + idempotent, so the
+``partial_apply`` stage combines events per url *within each batch before
+the shuffle* — a hot url (Zipf head) contributes at most one row per input
+batch to the exchange instead of its full event count.  This is the
+pre-aggregation analogue of hot-key salting: the "salt" is the batch id,
+and the per-partition final merge re-merges the salted partials
+deterministically.  Partition count is configurable (``LakeTable.num_partitions``)
+for partition splitting when states grow.
+
+Ordering: LWW needs a per-key total order (warc_ts, lsn tiebreak); Ray
+Data gives no cross-block order, so every merge sorts its rows by
+(url, warc_ts, lsn) explicitly — arrival order is never relied upon.
+
+Mirrors the reference's reduce fold/merge decomposition
+(``/root/reference/docetl/operations/reduce.py:466-629``: partial folds,
+associative merge) and resolve's per-partition mutable state
+(``docetl/operations/resolve.py:441-477``), recast as deterministic
+Arrow kernels with tombstone rows for delete propagation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from ..html_text import extract_text_batch
+from ..schemas import OP_DELETE, unify_tables
+from .table import LakeTable
+
+STATE_SORT_KEYS = [("url", "ascending")]
+_LWW_KEYS = [("url", "ascending"), ("warc_ts", "ascending"), ("lsn", "ascending")]
+
+
+def url_partition(urls: np.ndarray, num_partitions: int) -> np.ndarray:
+    """Deterministic hash partition of url strings (crc32, process-stable)."""
+    return np.fromiter(
+        (zlib.crc32(u.encode("utf-8")) % num_partitions for u in urls),
+        dtype=np.int32,
+        count=len(urls),
+    )
+
+
+def lww_last_per_url(t: pa.Table) -> pa.Table:
+    """Keep the last writer per url: max (warc_ts, lsn). Vectorized."""
+    n = t.num_rows
+    if n <= 1:
+        return t
+    idx = pc.sort_indices(t, sort_keys=_LWW_KEYS)
+    t = t.take(idx)
+    u = t["url"].to_numpy(zero_copy_only=False)
+    mask = np.empty(n, dtype=bool)
+    mask[:-1] = u[1:] != u[:-1]
+    mask[-1] = True
+    return t.filter(pa.array(mask))
+
+
+def events_to_state(batch: pa.Table, *, extract: bool = True) -> pa.Table:
+    """Convert raw WAL event rows to state-form rows.
+
+    insert/update -> live row with text extracted from html (byte-stable,
+    ``docetl_ray.html_text``); delete -> tombstone row (_deleted=true,
+    null text/lang).  ``html`` is dropped immediately after extraction so
+    the wide binary column never enters the shuffle (project early).
+    """
+    if extract and "html" in batch.column_names:
+        batch = extract_text_batch(batch)
+    deleted = pc.equal(batch["op"], OP_DELETE)
+    if "text" in batch.column_names:
+        text = pc.if_else(deleted, pa.scalar(None, pa.string()), batch["text"])
+        batch = batch.set_column(
+            batch.column_names.index("text"), "text", text
+        )
+    drop = [c for c in ("html", "op") if c in batch.column_names]
+    batch = batch.drop_columns(drop)
+    return batch.append_column("_deleted", deleted)
+
+
+def _lww_with_ranges(t: pa.Table) -> pa.Table:
+    """LWW winners per url plus exact per-url applied-LSN range columns
+    ``_lsn_lo`` / ``_lsn_hi`` (for partition lineage)."""
+    n = t.num_rows
+    idx = pc.sort_indices(t, sort_keys=_LWW_KEYS)
+    t = t.take(idx)
+    u = t["url"].to_numpy(zero_copy_only=False)
+    last = np.empty(n, dtype=bool)
+    last[:-1] = u[1:] != u[:-1]
+    last[-1] = True
+    starts = np.flatnonzero(np.concatenate(([True], last[:-1])))
+    lsn = t["lsn"].to_numpy(zero_copy_only=False)
+    lo = np.minimum.reduceat(lsn, starts)
+    hi = np.maximum.reduceat(lsn, starts)
+    w = t.filter(pa.array(last))
+    return w.append_column("_lsn_lo", pa.array(lo, type=pa.int64())).append_column(
+        "_lsn_hi", pa.array(hi, type=pa.int64())
+    )
+
+
+def partial_apply(batch: pa.Table, *, num_partitions: int, extract: bool = True) -> pa.Table:
+    """Per-batch combiner: state-form + per-url LWW winner + part column."""
+    state = events_to_state(batch, extract=extract)
+    if state.num_rows == 0:
+        return state.append_column("_lsn_lo", pa.array([], pa.int64())) \
+                    .append_column("_lsn_hi", pa.array([], pa.int64())) \
+                    .append_column("part", pa.array([], pa.int32()))
+    winners = _lww_with_ranges(state)
+    part = url_partition(winners["url"].to_numpy(zero_copy_only=False), num_partitions)
+    return winners.append_column("part", pa.array(part, type=pa.int32()))
+
+
+def _state_checksum(t: pa.Table) -> str:
+    """Order-independent logical checksum of a partition state.
+
+    Sum of per-row crc32 over (url, lsn, warc_ts_us, deleted, crc32(text))
+    — deterministic, chunking- and file-format-independent.
+    """
+    if t.num_rows == 0:
+        return "0"
+    urls = t["url"].to_numpy(zero_copy_only=False)
+    lsns = t["lsn"].to_numpy(zero_copy_only=False)
+    ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+    dead = t["_deleted"].to_numpy(zero_copy_only=False)
+    texts = t["text"].to_numpy(zero_copy_only=False)
+    total = 0
+    for u, l, s, d, x in zip(urls, lsns, ts, dead, texts):
+        row = f"{u}|{l}|{s}|{int(bool(d))}|".encode()
+        c = zlib.crc32(row)
+        if x is not None:
+            c = zlib.crc32(x.encode("utf-8"), c)
+        total = (total + c) & 0xFFFFFFFFFFFFFFFF
+    return hashlib.md5(f"{t.num_rows}:{total}".encode()).hexdigest()
+
+
+_LINEAGE_SCHEMA = pa.schema(
+    [
+        pa.field("pid", pa.int32()),
+        pa.field("path", pa.string()),
+        pa.field("rows", pa.int64()),
+        pa.field("live_rows", pa.int64()),
+        pa.field("lsn_min", pa.int64()),
+        pa.field("lsn_max", pa.int64()),
+        pa.field("checksum", pa.string()),
+    ]
+)
+
+
+class _ApplyPartition:
+    """Per-partition final merge: staged write + lineage row.
+
+    Used via ``groupby("part").map_groups``; the current-manifest
+    partition->file map is broadcast once via ``ray.put`` and read
+    zero-copy in each task (no per-batch reshipping).
+    """
+
+    __name__ = "apply_partition"
+
+    def __init__(self, manifest_ref, table_root: str, epoch: int):
+        self._ref = manifest_ref
+        self.root = table_root
+        self.epoch = epoch
+        self._map = None
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        import ray
+
+        if self._map is None:
+            self._map = ray.get(self._ref) if not isinstance(self._ref, dict) else self._ref
+        pid = int(group["part"][0].as_py())
+        lsn_min = pc.min(group["_lsn_lo"]).as_py()
+        lsn_max = pc.max(group["_lsn_hi"]).as_py()
+        winners = lww_last_per_url(
+            group.drop_columns(["part", "_lsn_lo", "_lsn_hi"])
+        )
+
+        base_path = self._map.get(pid)
+        if base_path is not None:
+            base = pq.read_table(base_path)
+            merged = lww_last_per_url(unify_tables([base, winners]))
+        else:
+            merged = winners
+        merged = merged.sort_by(STATE_SORT_KEYS)
+
+        staging_dir = os.path.join(self.root, "epochs", f"epoch-{self.epoch:07d}")
+        os.makedirs(staging_dir, exist_ok=True)
+        fname = f"part-{pid:05d}.parquet"
+        out = os.path.join(staging_dir, fname)
+        pq.write_table(merged, out)
+
+        live = int(pc.sum(pc.cast(pc.invert(merged["_deleted"]), pa.int64())).as_py() or 0)
+        rel = os.path.join("epochs", f"epoch-{self.epoch:07d}", fname)
+        return pa.Table.from_pylist(
+            [
+                {
+                    "pid": pid,
+                    "path": rel,
+                    "rows": merged.num_rows,
+                    "live_rows": live,
+                    "lsn_min": lsn_min,
+                    "lsn_max": lsn_max,
+                    "checksum": _state_checksum(merged),
+                }
+            ],
+            schema=_LINEAGE_SCHEMA,
+        )
+
+
+def apply_events(table: LakeTable, events, epoch: int, *, extract: bool = True) -> dict:
+    """Apply one WAL segment (a Dataset of event rows) as one epoch.
+
+    Exactly-once: if ``epoch`` is already committed this is a no-op; a
+    crash before commit leaves the previous manifest state; re-applying
+    duplicate events is idempotent under LWW.  Returns the new manifest.
+    """
+    import ray
+
+    if epoch in table.committed_epochs():
+        return table.manifest()
+
+    nparts = table.num_partitions
+    part_map = {
+        int(pid): os.path.join(table.root, rec["path"])
+        for pid, rec in table.manifest().get("partitions", {}).items()
+    }
+    ref = ray.put(part_map)
+
+    lineage_ds = (
+        events.map_batches(
+            partial_apply,
+            batch_format="pyarrow",
+            fn_kwargs={"num_partitions": nparts, "extract": extract},
+        )
+        .groupby("part")
+        .map_groups(
+            _ApplyPartition(ref, table.root, epoch),
+            batch_format="pyarrow",
+        )
+    )
+    lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows
+    return table.commit(epoch, lineage)
+
+
+def read_state(table: LakeTable, *, include_tombstones: bool = False):
+    """Current committed table state as a Ray Dataset (streaming read)."""
+    import ray.data as rd
+
+    files = table.partition_files()
+    if not files:
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "warc_ts": pa.array([], pa.timestamp("us")),
+                    "lsn": pa.array([], pa.int64()),
+                    "text": pa.array([], pa.string()),
+                    "lang": pa.array([], pa.string()),
+                    "_deleted": pa.array([], pa.bool_()),
+                }
+            )
+        )
+    ds = rd.read_parquet(files)
+    if not include_tombstones:
+        ds = ds.map_batches(
+            lambda t: t.filter(pc.invert(t["_deleted"])), batch_format="pyarrow"
+        )
+    return ds

@@ -1,0 +1,129 @@
+"""LakeTable: a hash-partitioned Parquet lake table with an atomic,
+epoch-keyed commit manifest (the exactly-once sink).
+
+Layout under ``root/``::
+
+    manifest.json                  <- atomic pointer to current state
+    epochs/epoch-0000042/part-00013.parquet
+    epochs/epoch-0000042/_staging marker files ...
+
+Commit protocol (two-phase):
+  1. every partition task writes its full new partition state to
+     ``epochs/epoch-N/part-XXXXX.parquet`` (staging; rewriting is safe —
+     nothing references these files until commit),
+  2. the driver writes ``manifest.json.tmp`` with the new partition map +
+     lineage and ``os.replace``s it over ``manifest.json`` (atomic on
+     POSIX).  A crash before step 2 leaves the previous manifest intact;
+     re-running the epoch overwrites staging and commits once.
+
+Replaying an epoch that is already in ``manifest["epochs"]`` is a no-op,
+and the LWW merge itself is idempotent, so retries / duplicate WAL
+segments cannot double-apply (exactly-once, BASELINE.json:6).
+
+Replaces the reference's op-hash JSON checkpoints
+(``/root/reference/docetl/runner.py:546-663``) with partition-level
+lineage: applied LSN ranges, row counts, and logical checksums per
+partition.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any
+
+EMPTY_MANIFEST: dict[str, Any] = {
+    "version": 1,
+    "epoch": -1,
+    "epochs": [],
+    "num_partitions": None,
+    "partitions": {},
+}
+
+
+@dataclass
+class LakeTable:
+    """Handle to a partitioned lake table rooted at ``root``."""
+
+    root: str
+    num_partitions: int = 64
+    _manifest: dict[str, Any] | None = field(default=None, repr=False)
+
+    # -- manifest ---------------------------------------------------------
+
+    @property
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def manifest(self, *, refresh: bool = False) -> dict[str, Any]:
+        if self._manifest is None or refresh:
+            if os.path.exists(self.manifest_path):
+                with open(self.manifest_path) as f:
+                    self._manifest = json.load(f)
+            else:
+                self._manifest = dict(EMPTY_MANIFEST, num_partitions=self.num_partitions)
+        if self._manifest.get("num_partitions"):
+            self.num_partitions = self._manifest["num_partitions"]
+        return self._manifest
+
+    def committed_epochs(self) -> list[int]:
+        return list(self.manifest().get("epochs", []))
+
+    def partition_file(self, pid: int) -> str | None:
+        """Absolute path of the current committed file for partition pid."""
+        rec = self.manifest().get("partitions", {}).get(str(pid))
+        return os.path.join(self.root, rec["path"]) if rec else None
+
+    def partition_files(self) -> list[str]:
+        m = self.manifest()
+        return [os.path.join(self.root, r["path"]) for r in m.get("partitions", {}).values()]
+
+    # -- staging + commit -------------------------------------------------
+
+    def staging_dir(self, epoch: int) -> str:
+        d = os.path.join(self.root, "epochs", f"epoch-{epoch:07d}")
+        os.makedirs(d, exist_ok=True)
+        return d
+
+    def staging_file(self, epoch: int, pid: int) -> str:
+        return os.path.join(self.staging_dir(epoch), f"part-{pid:05d}.parquet")
+
+    def commit(self, epoch: int, partition_records: list[dict[str, Any]]) -> dict[str, Any]:
+        """Atomically publish an epoch.
+
+        ``partition_records``: one lineage dict per *changed* partition:
+        ``{"pid", "path" (relative to root), "rows", "live_rows",
+        "lsn_min", "lsn_max", "checksum"}``.  Unchanged partitions keep
+        their previous entry (their files live in older epoch dirs — the
+        manifest, not the directory layout, defines the table state).
+        """
+        m = json.loads(json.dumps(self.manifest()))  # deep copy
+        if epoch in m["epochs"]:
+            return m  # already committed -> no-op (idempotent replay)
+        parts = m.setdefault("partitions", {})
+        for rec in partition_records:
+            pid = str(rec["pid"])
+            prev = parts.get(pid, {})
+            ranges = list(prev.get("applied_lsn_ranges", []))
+            if rec.get("lsn_min") is not None:
+                ranges.append([rec["lsn_min"], rec["lsn_max"]])
+            parts[pid] = {
+                "path": rec["path"],
+                "rows": rec["rows"],
+                "live_rows": rec.get("live_rows", rec["rows"]),
+                "checksum": rec.get("checksum"),
+                "applied_lsn_ranges": ranges,
+            }
+        m["epoch"] = max(m["epoch"], epoch)
+        m["epochs"] = sorted(set(m["epochs"]) | {epoch})
+        m["num_partitions"] = self.num_partitions
+        tmp = self.manifest_path + ".tmp"
+        os.makedirs(self.root, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self.manifest_path)
+        self._manifest = m
+        return m
