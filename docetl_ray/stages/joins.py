@@ -1,0 +1,194 @@
+"""Join stages: docetl ``equijoin`` / ``link_resolve`` parity
+(SURVEY.md §2.4), relational semantics, scale-first.
+
+Two physical strategies, chosen by the caller (the reference's blocking
+phase, ``/root/reference/docetl/operations/equijoin.py:253-406``, is the
+analogous candidate-restriction step):
+
+- ``broadcast_join``: the small side is ``ray.put`` ONCE and read
+  zero-copy inside every task (never re-shipped per batch); the probe is
+  a per-batch Arrow/pandas hash join.  No shuffle.  This is the path for
+  dimension tables, id dictionaries (link_resolve), and semi/anti
+  filters.
+- ``hash_join``: both sides large — co-partition on ``hash(key) % B``
+  buckets by tagging each side and bucketing through ONE groupby
+  shuffle, then join matching buckets pairwise inside ``map_groups``.
+  Key-collision suffixing mirrors ``equijoin.py:480-483``.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _as_arrow(obj) -> pa.Table:
+    if isinstance(obj, pa.Table):
+        return obj
+    if isinstance(obj, pd.DataFrame):
+        return pa.Table.from_pandas(obj, preserve_index=False)
+    import ray
+
+    return pa.concat_tables(ray.get(obj.to_arrow_refs()), promote_options="permissive")
+
+
+def _suffix_collisions(left: pd.DataFrame, right: pd.DataFrame, on_l, on_r):
+    """Rename right-side collision columns with _right (equijoin parity)."""
+    collide = (set(left.columns) & set(right.columns)) - set(on_l) - set(on_r)
+    return right.rename(columns={c: f"{c}_right" for c in collide})
+
+
+def broadcast_join(
+    ds,
+    small,
+    *,
+    on,
+    right_on=None,
+    how: str = "inner",
+):
+    """Join a big Dataset against a small in-memory side (broadcast).
+
+    ``how`` ∈ inner/left/semi/anti.  ``small`` may be a pyarrow Table,
+    pandas DataFrame, or a small Dataset (materialized here, once).
+    """
+    import ray
+
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+    small_df = _as_arrow(small).to_pandas()
+    ref = ray.put(small_df)
+
+    class Probe:
+        __name__ = "broadcast_probe"
+
+        def __init__(self):
+            self.small = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.small is None:
+                self.small = ray.get(ref)
+            left = batch.to_pandas()
+            if how in ("semi", "anti"):
+                keyset = self.small[right_on].drop_duplicates()
+                keyset.columns = on
+                m = left.merge(keyset, on=on, how="left", indicator=True)
+                keep = m["_merge"] == ("both" if how == "semi" else "left_only")
+                out = m.loc[keep, list(left.columns)]
+            else:
+                right = _suffix_collisions(left, self.small, on, right_on)
+                out = left.merge(
+                    right, left_on=on, right_on=right_on, how=how, sort=False
+                )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def hash_join(
+    left,
+    right,
+    *,
+    on,
+    right_on=None,
+    how: str = "inner",
+    num_buckets: int = 32,
+):
+    """Partitioned hash join of two large Datasets.
+
+    Adds ``__bucket = crc32(key) % B`` to both sides, tags them, unions,
+    and joins each bucket inside one ``map_groups`` task — a single
+    all-to-all exchange.  Skewed keys: raise ``num_buckets`` (splits
+    partitions); a single hot *key* must still colocate, so extreme heads
+    should be broadcast instead.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on)
+    )
+
+    l_schema, r_schema = left.schema(), right.schema()
+    left_cols = list(l_schema.names)
+    # rename right non-key columns colliding with left (equijoin parity)
+    rename = {
+        c: f"{c}_right"
+        for c in r_schema.names
+        if c in left_cols and not (c in on and c in right_on)
+    }
+    right_cols = [rename.get(c, c) for c in r_schema.names]
+    right_on_u = [rename.get(c, c) for c in right_on]
+    # unified schema: left fields + right-only fields (null-padded per side)
+    l_arrow = pa.schema(
+        [pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)]
+    )
+    r_fields = {
+        rename.get(n, n): t for n, t in zip(r_schema.names, r_schema.types)
+    }
+    unified = list(l_arrow) + [
+        pa.field(n, t) for n, t in r_fields.items() if n not in left_cols
+    ]
+    unified_schema = pa.schema(unified)
+
+    def bucketize(key_cols, side):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            key = pc.cast(batch[key_cols[0]], pa.string()).to_pylist()
+            for c in key_cols[1:]:
+                nxt = pc.cast(batch[c], pa.string()).to_pylist()
+                key = [f"{a}|{b}" for a, b in zip(key, nxt)]
+            b = np.fromiter(
+                (zlib.crc32(str(k).encode()) % num_buckets for k in key),
+                dtype=np.int32,
+                count=len(key),
+            )
+            if side == "r":
+                batch = batch.rename_columns(
+                    [rename.get(c, c) for c in batch.column_names]
+                )
+            arrays, names = [], []
+            for f in unified_schema:
+                names.append(f.name)
+                if f.name in batch.column_names:
+                    arrays.append(pc.cast(batch[f.name], f.type))
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, f.type))
+            out = pa.table(dict(zip(names, arrays)))
+            out = out.append_column("__bucket", pa.array(b, pa.int32()))
+            return out.append_column(
+                "__side", pa.array([side] * batch.num_rows, pa.string())
+            )
+
+        return fn
+
+    lb = left.map_batches(bucketize(on, "l"), batch_format="pyarrow")
+    rb = right.map_batches(bucketize(right_on, "r"), batch_format="pyarrow")
+
+    def join_bucket(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lmask = pc.equal(group["__side"], "l")
+        # split BEFORE pandas conversion so null padding never coerces
+        # a side's int64 keys to float64
+        l = group.filter(lmask).select(left_cols).to_pandas()
+        r = group.filter(pc.invert(lmask)).select(right_cols).to_pandas()
+        if how in ("semi", "anti"):
+            keyset = r[right_on_u].drop_duplicates()
+            keyset.columns = on
+            m = l.merge(keyset, on=on, how="left", indicator=True)
+            keep = m["_merge"] == ("both" if how == "semi" else "left_only")
+            out = m.loc[keep, list(l.columns)]
+        else:
+            out = l.merge(r, left_on=on, right_on=right_on_u, how=how, sort=False)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    join_bucket.__name__ = "join_bucket"
+    return (
+        lb.union(rb)
+        .groupby("__bucket")
+        .map_groups(join_bucket, batch_format="pyarrow")
+    )

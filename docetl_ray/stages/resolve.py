@@ -1,0 +1,121 @@
+"""Entity resolution / dedup stages: docetl ``resolve`` parity
+(SURVEY.md §2.1; reference ``/root/reference/docetl/operations/resolve.py``).
+
+- ``dedup_exact`` — the reference's exact-blocking-key short-circuit
+  (``resolve.py:193-200``): hash-partition on the key(s) and keep one
+  deterministic representative per group.  Scale-first: a per-batch
+  pre-dedup runs before the shuffle, so duplicate-heavy data (or a hot
+  key) ships at most one row per batch into the exchange.
+- ``resolve_fuzzy`` — blocking + pairwise similarity + union-find
+  clustering (``resolve.py:441-477``) recast deterministically: block on
+  a caller-provided key, compute token-Jaccard pairwise within each
+  block, union-find the matches, and rewrite every row's ``canonical``
+  fields from its cluster representative (smallest tiebreak value —
+  deterministic, mirrors the reference's majority-vote/LLM resolution
+  step ``resolve.py:597-756``).
+
+The union-find state lives inside the per-block ``map_groups`` task —
+the Ray-native recast of the reference's in-process cluster map.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+
+def dedup_exact(ds, key_cols, *, tiebreak_col: str, keep: str = "min"):
+    """One row per distinct key; representative = min/max ``tiebreak_col``.
+
+    SQL oracle: ``SELECT ... QUALIFY row_number() OVER (PARTITION BY keys
+    ORDER BY tiebreak) = 1`` or group-by + arg-min join.
+    """
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    asc = keep == "min"
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(tiebreak_col, ascending=asc, kind="mergesort")
+        return df.drop_duplicates(subset=key_cols, keep="first")
+
+    # combiner: per-batch dedup before the shuffle (skew + volume control)
+    pre = ds.map_batches(local, batch_format="pandas")
+    return pre.groupby(key_cols).map_groups(local, batch_format="pandas")
+
+
+class _UnionFind:
+    """Deterministic union-find keyed by local row position."""
+
+    def __init__(self, n: int):
+        self.parent = list(range(n))
+
+    def find(self, x: int) -> int:
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            if ra > rb:
+                ra, rb = rb, ra
+            self.parent[rb] = ra
+
+
+_WORD_RE = re.compile(r"\w+", re.UNICODE)
+
+
+def token_jaccard(a: str, b: str) -> float:
+    sa, sb = set(_WORD_RE.findall(a.lower())), set(_WORD_RE.findall(b.lower()))
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def resolve_fuzzy(
+    ds,
+    *,
+    blocking_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    id_col: str,
+    output_col: str = "canonical_id",
+    limit_comparisons: int | None = None,
+):
+    """Fuzzy entity resolution within blocks.
+
+    Rows sharing ``blocking_col`` are compared pairwise (token Jaccard on
+    ``text_col``); pairs >= ``threshold`` are unioned; each row gets
+    ``output_col`` = the cluster representative's ``id_col`` (the
+    minimum id — deterministic).  ``limit_comparisons`` caps pair count
+    per block (reference ``limit_comparisons``, resolve.py:553-568).
+
+    The blocking column choice is the scalability contract: blocks must
+    be small enough for O(b^2) comparison (the reference has the same
+    property — blocking bounds its LLM pair budget).
+    """
+
+    def per_block(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = len(df)
+        uf = _UnionFind(n)
+        texts = df[text_col].tolist()
+        budget = limit_comparisons if limit_comparisons is not None else n * n
+        done = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if done >= budget:
+                    break
+                done += 1
+                if token_jaccard(texts[i], texts[j]) >= threshold:
+                    uf.union(i, j)
+            if done >= budget:
+                break
+        ids = df[id_col].tolist()
+        df[output_col] = [ids[uf.find(i)] for i in range(n)]
+        return df
+
+    return ds.groupby(blocking_col).map_groups(per_block, batch_format="pandas")

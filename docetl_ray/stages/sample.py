@@ -1,0 +1,140 @@
+"""Sampling / top-k stages: docetl ``sample`` and ``topk`` parity
+(SURVEY.md §2.1 sample/topk; reference
+``/root/reference/docetl/operations/sample.py:364-640``,
+``operations/topk.py:144-235``) — deterministic, no LLM, scale-first.
+
+Determinism strategy: anywhere the reference uses RNG (uniform sampling)
+we use a content-hash keep-rule (md5 of the key column below a threshold)
+so the same rows are chosen regardless of parallelism, block layout, or
+run — and the rule is expressible in DuckDB for the oracle
+(``substr(md5(key), 1, 8) < 'xxxxxxxx'``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def sample_first(ds, n: int):
+    """Head-n (reference sample method="first", sample.py:364-371)."""
+    return ds.limit(n)
+
+
+def hash_threshold_for_frac(frac: float) -> str:
+    """8-hex-digit md5 prefix threshold selecting ~frac of rows."""
+    return f"{int(frac * 16**8):08x}"
+
+
+def sample_uniform_hash(ds, key_col: str, frac: float):
+    """Deterministic ~uniform sample: keep rows whose md5(key) prefix is
+    below the threshold.  Oracle SQL:
+    ``WHERE substr(md5(CAST(key AS VARCHAR)), 1, 8) < '<threshold>'``."""
+    thr = hash_threshold_for_frac(frac)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keys = pc.cast(batch[key_col], pa.string()).to_pylist()
+        mask = [
+            hashlib.md5(("" if k is None else k).encode()).hexdigest()[:8] < thr
+            for k in keys
+        ]
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sample_custom(ds, key_col: str, values):
+    """Keep rows whose key is in an explicit list (sample method="custom",
+    sample.py:434-453) — broadcast semi-filter, no shuffle."""
+    vals = set(values)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[key_col], value_set=pa.array(list(vals))))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def sample_stratified(ds, stratify_cols, n_per_group: int, order_by):
+    """n rows per group in deterministic order (samples_per_group mode,
+    sample.py:248-302).  Oracle: row_number() OVER (PARTITION BY ...
+    ORDER BY ...) <= n."""
+    stratify_cols = (
+        [stratify_cols] if isinstance(stratify_cols, str) else list(stratify_cols)
+    )
+    order_by = [order_by] if isinstance(order_by, str) else list(order_by)
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(order_by, kind="mergesort").head(n_per_group)
+
+    return ds.groupby(stratify_cols).map_groups(head, batch_format="pandas")
+
+
+def topk(ds, sort_cols, k: int, *, descending: bool = True):
+    """Global top-k: ``sort().limit(k)`` (topk method=embedding/fts head,
+    sample top_* tail).  The sort is a shuffle but limit truncates early."""
+    sort_cols = [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+    return ds.sort(sort_cols, descending=descending).limit(k)
+
+
+def topk_stratified(ds, stratify_cols, sort_col: str, k: int, *, descending: bool = True):
+    """Top-k within each group (topk stratify_key, topk.py:144-180)."""
+    stratify_cols = (
+        [stratify_cols] if isinstance(stratify_cols, str) else list(stratify_cols)
+    )
+
+    def head(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(
+            sort_col, ascending=not descending, kind="mergesort"
+        ).head(k)
+
+    return ds.groupby(stratify_cols).map_groups(head, batch_format="pandas")
+
+
+def rank_topk(ds, sort_cols, k: int, *, descending: bool = True, rank_col: str = "_rank"):
+    """docetl ``rank`` head-k parity (rank.py:874-885): globally order,
+    keep k, emit 1-based ``_rank``.  k is small by contract (the
+    reference's rerank budget bounds it), so assigning ranks on the
+    driver is O(k)."""
+    top = topk(ds, sort_cols, k, descending=descending)
+    t = pa.Table.from_pandas(top.to_pandas(), preserve_index=False)
+    import ray.data as rd
+
+    return rd.from_arrow(
+        t.append_column(rank_col, pa.array(np.arange(1, t.num_rows + 1), pa.int64()))
+    )
+
+
+def sample_outliers(
+    ds, value_col: str, *, std_cutoff: float | None = None, keep: str = "inliers"
+):
+    """Outlier filter by distance from the global mean (sample
+    method="outliers", sample.py:390-432) — two passes: tiny global
+    moment aggregate, then a broadcast threshold filter."""
+    from .reduces import global_aggregate
+
+    stats = global_aggregate(
+        ds, [(value_col, "mean", "m"), (value_col, "count", "n"), (value_col, "sum", "s")]
+    )
+    # second moment pass
+    m = stats["m"]
+
+    def sq(batch: pa.Table) -> pa.Table:
+        d = pc.subtract(pc.cast(batch[value_col], pa.float64()), m)
+        return pa.table({"sq": pc.multiply(d, d)})
+
+    sq_stats = global_aggregate(
+        ds.map_batches(sq, batch_format="pyarrow"), [("sq", "mean", "var")]
+    )
+    std = float(np.sqrt(sq_stats["var"] or 0.0))
+    cut = (std_cutoff if std_cutoff is not None else 2.0) * std
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d = pc.abs(pc.subtract(pc.cast(batch[value_col], pa.float64()), m))
+        mask = pc.less_equal(d, cut) if keep == "inliers" else pc.greater(d, cut)
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,21 @@
+"""Small shared helpers."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def collect(ds) -> pa.Table:
+    """Materialize a (small, result-sized) Dataset to one Arrow table.
+
+    Robust to Ray Data's empty blocks with empty schemas (sort/limit can
+    emit them): zero-column blocks are skipped; remaining blocks are
+    concatenated with permissive schema promotion.  Only for results that
+    fit on the driver — never call this on the main input.
+    """
+    import ray
+
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    if not tables:
+        return pa.table({})
+    return pa.concat_tables(tables, promote_options="permissive")
