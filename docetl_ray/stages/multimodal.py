@@ -1,0 +1,111 @@
+"""Multimodal column stages: image/audio/video as opaque ``binary``
+columns with typed metadata, processed by actor-pool ``map_batches``.
+
+The decode libraries (PIL/ffmpeg/librosa) are NOT in this environment, so
+the codec step is stubbed: ``fake=True`` (default) produces a
+deterministic fake decode (content-hash-derived features) so the
+Ray-side plumbing — schema, batch sizing, actor signature, output layout
+— is real and tested; ``fake=False`` raises ``NotImplementedError`` at
+the decode call, exactly where a real decoder plugs in.
+
+Batch-size guidance: binary payloads are wide — size ``batch_size`` so
+``batch_size × mean_payload × concurrency`` fits the worker heap (see
+module users; default 64 rows).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_META_TYPE = pa.struct(
+    {"width": pa.int32(), "height": pa.int32(), "format": pa.string()}
+)
+
+
+class ImageFeatureStage:
+    """Actor-pool stage: decode image bytes -> fixed-size feature vector.
+
+    Use as ``ds.map_batches(ImageFeatureStage, batch_size=64,
+    concurrency=N, num_cpus=1, batch_format="pyarrow")``.  Real decoder
+    state (model weights, codec contexts) belongs in ``__init__`` — run
+    once per actor, never per batch.
+    """
+
+    __name__ = "image_features"
+
+    def __init__(self, *, dim: int = 16, fake: bool = True, bytes_col: str = "image"):
+        self.dim = dim
+        self.fake = fake
+        self.bytes_col = bytes_col
+        # real impl would load the decoder/model here, once per actor
+
+    def _decode(self, payload: bytes | None) -> np.ndarray:
+        if payload is None:
+            return np.zeros(self.dim, dtype=np.float32)
+        if not self.fake:
+            raise NotImplementedError(
+                "image decoding requires PIL/cv2, not present in this "
+                "environment; plug the real decoder here"
+            )
+        # deterministic fake: crc32-seeded feature vector
+        h = zlib.crc32(payload)
+        vals = np.empty(self.dim, dtype=np.float32)
+        x = np.uint64(h or 1)
+        for i in range(self.dim):
+            x = np.uint64((int(x) * 6364136223846793005 + 1442695040888963407) & (2**64 - 1))
+            vals[i] = (int(x) >> 33) / 2**31 - 1.0
+        return vals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self._decode(b).tolist() for b in batch[self.bytes_col].to_pylist()]
+        sizes = [len(b) if b is not None else 0 for b in batch[self.bytes_col].to_pylist()]
+        out = batch.drop_columns([self.bytes_col])  # project the payload away early
+        out = out.append_column("image_bytes_len", pa.array(sizes, pa.int64()))
+        return out.append_column("image_features", pa.array(feats, pa.list_(pa.float32())))
+
+
+class AudioFrameSampleStage:
+    """Actor-pool stage: sample N frames/windows from an audio payload.
+
+    Stubbed decode (see module docstring); emits one row per sampled
+    frame (``flat_map``-shaped: more rows out than in).
+    """
+
+    __name__ = "audio_frames"
+
+    def __init__(self, *, num_frames: int = 4, fake: bool = True, bytes_col: str = "audio"):
+        self.num_frames = num_frames
+        self.fake = fake
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("audio decoding requires ffmpeg/librosa")
+        idx, frame_no, energy = [], [], []
+        payloads = batch[self.bytes_col].to_pylist()
+        for i, b in enumerate(payloads):
+            n = self.num_frames if b else 0
+            for f in range(n):
+                idx.append(i)
+                frame_no.append(f)
+                # deterministic fake frame energy
+                energy.append((zlib.crc32(b, f) % 10_000) / 10_000.0)
+        out = batch.drop_columns([self.bytes_col]).take(pa.array(idx, pa.int64()))
+        out = out.append_column("frame_no", pa.array(frame_no, pa.int32()))
+        return out.append_column("frame_energy", pa.array(energy, pa.float64()))
+
+
+def image_pipeline(ds, *, bytes_col: str = "image", concurrency=(1, 4), batch_size: int = 64):
+    """Canonical multimodal wiring: small batches, actor pool, payload
+    projected away as soon as features exist."""
+    return ds.map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={"bytes_col": bytes_col},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

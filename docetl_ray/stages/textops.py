@@ -1,0 +1,146 @@
+"""Text-analysis stages over document tables: language ID, quality
+scoring, token counting, document fingerprinting (the large-scale
+training-data-pipeline operator set; deterministic, model-free).
+
+All stages are single-pass ``map_batches`` over Arrow batches; regexes are
+compiled at module import (once per worker process).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = re.compile(r"\S+")
+_WORD_RE = re.compile(r"[a-zA-Z]+")
+_PUNCT_RE = re.compile(r"[.!?,;:]")
+_CJK_RE = re.compile(r"[一-鿿]")
+
+#: tiny fixed marker-word profiles for the 5 langs of the synthetic corpus
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "in", "is", "that", "it", "with", "for", "was", "this"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von"},
+    "fr": {"le", "la", "les", "et", "est", "une", "des", "du", "dans", "pour", "que", "pas"},
+    "es": {"el", "la", "los", "las", "y", "es", "una", "en", "por", "para", "que", "con"},
+}
+
+
+def token_count(ds, text_col: str, *, out_col: str = "n_tokens"):
+    """Whitespace token count.  Oracle SQL:
+    ``length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts = [
+            len(_TOKEN_RE.findall(t)) if t is not None else 0
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.append_column(out_col, pa.array(counts, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def quality_score(ds, text_col: str):
+    """Heuristic quality features + score (reference delegates quality
+    judgments to LLM prompts; here pinned deterministic features):
+    ``n_chars``, ``n_tokens``, ``punct_ratio``, ``stopword_ratio``,
+    ``mean_token_len``, and ``quality`` in [0, 1]."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        n = len(texts)
+        n_chars = np.zeros(n, np.int64)
+        n_tok = np.zeros(n, np.int64)
+        punct = np.zeros(n, np.float64)
+        stopr = np.zeros(n, np.float64)
+        mtl = np.zeros(n, np.float64)
+        for i, t in enumerate(texts):
+            t = t or ""
+            toks = _TOKEN_RE.findall(t)
+            n_chars[i] = len(t)
+            n_tok[i] = len(toks)
+            punct[i] = len(_PUNCT_RE.findall(t)) / max(1, len(t))
+            low = [w.lower() for w in toks]
+            stopr[i] = sum(w in _LANG_MARKERS["en"] for w in low) / max(1, len(toks))
+            mtl[i] = (sum(len(w) for w in toks) / len(toks)) if toks else 0.0
+        # pinned score: length band + punctuation sanity + vocabulary shape
+        len_ok = np.clip(n_tok / 50.0, 0, 1) * np.clip((5000 - n_tok) / 5000.0, 0, 1)
+        punct_ok = 1.0 - np.clip(np.abs(punct - 0.02) * 20, 0, 1)
+        shape_ok = 1.0 - np.clip(np.abs(mtl - 5.0) / 5.0, 0, 1)
+        q = 0.5 * len_ok + 0.25 * punct_ok + 0.25 * shape_ok
+        out = batch
+        for name, arr, typ in [
+            ("n_chars", n_chars, pa.int64()),
+            ("n_tokens", n_tok, pa.int64()),
+            ("punct_ratio", punct, pa.float64()),
+            ("stopword_ratio", stopr, pa.float64()),
+            ("mean_token_len", mtl, pa.float64()),
+            ("quality", q, pa.float64()),
+        ]:
+            out = out.append_column(name, pa.array(arr, typ))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def lang_id(ds, text_col: str, *, out_col: str = "lang_pred"):
+    """n-gram/marker-word language heuristic over {en,de,fr,es,zh}.
+
+    CJK characters force ``zh``; otherwise the language whose marker-word
+    profile overlaps the document most wins (ties -> lexicographic, so the
+    result is deterministic)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch[text_col].to_pylist():
+            t = t or ""
+            if _CJK_RE.search(t):
+                preds.append("zh")
+                continue
+            words = [w.lower() for w in _WORD_RE.findall(t)]
+            ws = words[:2000]
+            best_lang, best = "en", -1.0
+            for lang in sorted(_LANG_MARKERS):
+                score = sum(w in _LANG_MARKERS[lang] for w in ws)
+                if score > best:
+                    best_lang, best = lang, score
+            preds.append(best_lang)
+        return batch.append_column(out_col, pa.array(preds, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def fingerprint(
+    ds, text_col: str, *, out_col: str = "fingerprint", k: int = 5, window: int = 4
+):
+    """Winnowing document fingerprint: rolling crc32 over char ``k``-grams,
+    min in each sliding ``window``, set of selected hashes -> one stable
+    64-bit hex digest.  Robust to small edits; deterministic."""
+
+    def fp(t: str) -> str:
+        t = t or ""
+        if len(t) < k:
+            return f"{zlib.crc32(t.encode('utf-8')) :016x}"
+        grams = np.fromiter(
+            (zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)),
+            dtype=np.uint64,
+        )
+        if len(grams) <= window:
+            sel = {int(grams.min())}
+        else:
+            w = np.lib.stride_tricks.sliding_window_view(grams, window)
+            sel = set(w.min(axis=1).tolist())
+        acc = np.uint64(1469598103934665603)
+        for h in sorted(sel):
+            acc = np.uint64((int(acc) ^ h) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
+        return f"{int(acc):016x}"
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            out_col, pa.array([fp(t) for t in batch[text_col].to_pylist()], pa.string())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
