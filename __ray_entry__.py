@@ -275,6 +275,23 @@ def _q_session_windows(sf_dir):
     return session_windows(ev, "ts", "user_id", gap_seconds=1800)
 
 
+def _q_extract_regex(sf_dir):
+    from docetl_ray.stages.extract import extract_regex
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    # sorted matches so the oracle can use list_sort(list_distinct(...))
+    return extract_regex(docs, "text", [r"b[a-z]+"], sort_matches=True).select_columns(
+        ["doc_id", "text_extracted"]
+    )
+
+
+def _q_rank_topk_orders(sf_dir):
+    from docetl_ray.stages.sample import rank_topk
+
+    orders = _rp(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    return rank_topk(orders, ["o_totalprice", "o_orderkey"], 10, descending=True)
+
+
 def _q_ann_bruteforce(sf_dir):
     import numpy as np
     import pyarrow.parquet as pq
@@ -420,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_tumbling_events": _q_window_tumbling,
         "session_windows_events": _q_session_windows,
         "ann_topk_bruteforce": _q_ann_bruteforce,
+        "extract_regex_documents": _q_extract_regex,
+        "rank_topk_orders": _q_rank_topk_orders,
         # non-SQL-expressible (rows-only)
         "cdc_flagship": _q_cdc_flagship,
         "gather_documents": _q_gather,
@@ -563,6 +582,18 @@ def oracle_sql() -> dict[str, str]:
                                     THEN 1 ELSE 0 END AS is_new
                         FROM events))
             GROUP BY user_id, sid
+        """,
+        "extract_regex_documents": r"""
+            SELECT doc_id,
+                   coalesce(array_to_string(list_sort(list_distinct(
+                       regexp_extract_all(text, 'b[a-z]+'))), chr(10)), '') AS text_extracted
+            FROM documents
+        """,
+        "rank_topk_orders": """
+            SELECT o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC)
+                        AS BIGINT) AS _rank
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
         """,
         "ann_topk_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -277,13 +277,18 @@ def apply_events(table: LakeTable, events, epoch: int, *, extract: bool = True) 
     }
     ref = ray.put(part_map)
 
+    # Ray's sort-based shuffle cost grows with map_blocks × reduce_partitions
+    # (measured: 258 blocks -> ~60 s for 1 GB vs ~10 s at 64 blocks), so
+    # coalesce the combined winners to ~num_partitions blocks and bound the
+    # reduce side explicitly before the exchange.
     lineage_ds = (
         events.map_batches(
             partial_apply,
             batch_format="pyarrow",
             fn_kwargs={"num_partitions": nparts, "extract": extract},
         )
-        .groupby("part")
+        .repartition(nparts)
+        .groupby("part", num_partitions=nparts)
         .map_groups(
             _ApplyPartition(ref, table.root, epoch),
             batch_format="pyarrow",

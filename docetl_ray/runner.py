@@ -1,0 +1,315 @@
+"""Declarative pipeline runner: the reference's YAML DSL surface
+(``docetl run pipeline.yaml``; ``/root/reference/docetl/runner.py:105-262``,
+``cli.py:202-226``) executed as a lazy Ray Data chain.
+
+Config shape (same vocabulary as the reference):
+
+```yaml
+datasets:
+  docs: {type: file, path: /x/documents.parquet}   # parquet/json/csv
+operations:
+  - {name: score, type: code_map, ...}
+  - {name: keep, type: code_filter, ...}
+pipeline:
+  steps:
+    - {name: s1, input: docs, operations: [score, keep]}
+  output: {type: file, path: /tmp/out, format: parquet}   # or json/csv
+checkpoint_dir: /tmp/ckpt        # optional per-op parquet checkpoints
+```
+
+Differences from the reference, by design:
+- execution is a streaming Ray Dataset chain, not a pull-based DAG of
+  materialized ``list[dict]`` (``containers.py:424-569``);
+- per-op checkpoints are partitioned Parquet keyed by the op-chain hash
+  (same validity rule as ``runner.py:546-601``), written atomically;
+- LLM ops run against the pluggable model client (offline-deterministic
+  by default; see ``stages/llm.py``).
+
+``code`` strings for code_map/code_filter/code_reduce are exec'd like the
+reference's code operations (``code_operations.py:12-163``): they must
+define ``transform(doc) -> dict`` / ``transform(doc) -> bool`` /
+``transform(group_rows) -> dict``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import Any
+
+import pyarrow as pa
+
+
+def _load_dataset(cfg: dict):
+    import ray.data as rd
+
+    typ = cfg.get("type", "file")
+    if typ == "memory":
+        return rd.from_items(cfg["data"])
+    path = cfg["path"]
+    if path.endswith(".json"):
+        return rd.read_json(path)
+    if path.endswith(".csv"):
+        return rd.read_csv(path)
+    return rd.read_parquet(path)
+
+
+def _exec_code(code: str):
+    ns: dict[str, Any] = {}
+    exec(code, ns)  # same contract as the reference's code ops
+    if "transform" not in ns:
+        raise ValueError("code must define transform(...)")
+    return ns["transform"]
+
+
+def _apply_op(ds, op: dict):
+    t = op["type"]
+    name = op.get("name", t)
+
+    if t in ("map", "llm_map"):
+        if "code" in op:
+            fn = _exec_code(op["code"])
+
+            def code_fn(batch: pa.Table) -> pa.Table:
+                rows = batch.to_pylist()
+                for r in rows:
+                    r.update(fn(r) or {})
+                return pa.Table.from_pylist(rows)
+
+            out = ds.map_batches(code_fn, batch_format="pyarrow")
+            if op.get("drop_keys"):
+                out = out.drop_columns(op["drop_keys"])
+            return out
+        from .stages.llm import llm_map
+
+        return llm_map(ds, op["prompt"], op["output"]["schema"],
+                       drop_keys=op.get("drop_keys"))
+    if t in ("code_map",):
+        fn = _exec_code(op["code"])
+
+        def code_fn(batch: pa.Table) -> pa.Table:
+            rows = batch.to_pylist()
+            for r in rows:
+                r.update(fn(r) or {})
+            return pa.Table.from_pylist(rows)
+
+        out = ds.map_batches(code_fn, batch_format="pyarrow")
+        if op.get("drop_keys"):
+            out = out.drop_columns(op["drop_keys"])
+        return out
+    if t in ("filter", "code_filter", "llm_filter"):
+        if "code" in op:
+            fn = _exec_code(op["code"])
+
+            def filt(batch: pa.Table) -> pa.Table:
+                rows = batch.to_pylist()
+                mask = pa.array([bool(fn(r)) for r in rows])
+                return batch.filter(mask)
+
+            return ds.map_batches(filt, batch_format="pyarrow")
+        from .stages.llm import llm_filter
+
+        return llm_filter(ds, op["prompt"])
+    if t in ("reduce", "code_reduce", "llm_reduce"):
+        key = op.get("reduce_key", "_all")
+        keys = [key] if isinstance(key, str) else list(key)
+        if "code" in op:
+            fn = _exec_code(op["code"])
+            if keys == ["_all"]:
+                from .util import collect
+
+                rows = collect(ds).to_pylist()
+                out = {"_counts_prereduce": len(rows)}
+                out.update(fn(rows) or {})
+                import ray.data as rd
+
+                return rd.from_items([out])
+            from .stages.reduces import code_reduce
+
+            return code_reduce(
+                ds, keys, lambda g: fn(g.to_pylist()) or {},
+                pass_through=op.get("pass_through", False),
+                counts_column=f"_counts_prereduce_{name}",
+            )
+        from .stages.llm import llm_reduce
+
+        return llm_reduce(ds, keys, op["prompt"], op["output"]["schema"],
+                          pass_through=op.get("pass_through", False))
+    if t == "resolve":
+        from .stages.resolve import resolve_fuzzy
+
+        return resolve_fuzzy(
+            ds,
+            blocking_col=op["blocking_key"],
+            text_col=op["comparison_key"],
+            threshold=op.get("threshold", 0.5),
+            id_col=op["id_key"],
+            output_col=op.get("output_key", "canonical_id"),
+            limit_comparisons=op.get("limit_comparisons"),
+        )
+    if t == "split":
+        from .stages.unnest_split_gather import split
+
+        kw = op.get("method_kwargs", {})
+        return split(
+            ds, op["split_key"], name=name, method=op.get("method", "token_count"),
+            token_count=kw.get("num_tokens", kw.get("token_count", 100)),
+            delimiter=kw.get("delimiter", "\n\n"),
+            num_splits_to_group=kw.get("num_splits_to_group", 1),
+        )
+    if t == "gather":
+        from .stages.unnest_split_gather import gather
+
+        pc_cfg = op.get("peripheral_chunks", {})
+        return gather(
+            ds, op["content_key"], op["doc_id_key"], op["order_key"],
+            previous_count=pc_cfg.get("previous", 1),
+            next_count=pc_cfg.get("next", 1),
+            doc_header_key=op.get("doc_header_key"),
+        )
+    if t == "unnest":
+        from .stages.unnest_split_gather import unnest
+
+        return unnest(ds, op["unnest_key"], keep_empty=op.get("keep_empty", False))
+    if t == "sample":
+        method = op.get("method", "first")
+        from .stages import sample as S
+
+        if method == "first":
+            return S.sample_first(ds, op["samples"])
+        if method == "uniform":
+            return S.sample_uniform_hash(ds, op["key"], op["fraction"])
+        if method == "custom":
+            return S.sample_custom(ds, op["key"], op["values"])
+        if method == "stratified":
+            return S.sample_stratified(ds, op["stratify_key"],
+                                       op["samples_per_group"], op["order_by"])
+        if method == "outliers":
+            kw = op.get("method_kwargs", {})
+            return S.sample_outliers(ds, op["key"],
+                                     std_cutoff=kw.get("std", 2.0),
+                                     keep="outliers" if kw.get("keep_outliers") else "inliers")
+        raise ValueError(f"unknown sample method {method}")
+    if t in ("topk", "order", "rank"):
+        from .stages.sample import rank_topk, topk, topk_stratified
+
+        if op.get("stratify_key"):
+            return topk_stratified(ds, op["stratify_key"], op["sort_key"], op["k"],
+                                   descending=op.get("direction", "desc") == "desc")
+        if op.get("emit_rank") or t in ("order", "rank"):
+            return rank_topk(ds, op["sort_key"], op["k"],
+                             descending=op.get("direction", "desc") == "desc")
+        return topk(ds, op["sort_key"], op["k"],
+                    descending=op.get("direction", "desc") == "desc")
+    if t == "extract":
+        from .stages.extract import extract_regex
+
+        return extract_regex(ds, op["document_keys"], op["patterns"],
+                             suffix=op.get("extraction_key_suffix", "_extracted"),
+                             format_extraction=op.get("format_extraction", True))
+    if t == "add_uuid":
+        from .stages.maps import add_hash_id
+
+        return add_hash_id(ds, op["key_cols"], id_key=op.get("id_key", f"{name}_id"))
+    if t == "cluster":
+        from .stages.cluster import cluster_embeddings
+
+        return cluster_embeddings(ds, op["embedding_key"], op["id_key"],
+                                  num_clusters=op["num_clusters"],
+                                  output_col=op.get("output_key", "cluster_id"))
+    if t == "link_resolve":
+        from .stages.link_resolve import link_resolve
+
+        return link_resolve(ds, id_col=op["id_key"], link_col=op["link_key"],
+                            threshold=op.get("threshold", 0.5))
+    if t == "dedup":
+        method = op.get("method", "exact")
+        if method == "exact":
+            from .stages.resolve import dedup_exact
+
+            return dedup_exact(ds, op["keys"], tiebreak_col=op["tiebreak_key"])
+        if method == "minhash":
+            from .stages.dedup import minhash_dedup
+
+            out, _ = minhash_dedup(ds, op["text_key"], op["id_key"],
+                                   threshold=op.get("threshold", 0.7))
+            return out
+        if method == "simhash":
+            from .stages.dedup import simhash_dedup
+
+            return simhash_dedup(ds, op["text_key"], op["id_key"])
+        if method == "embedding":
+            from .stages.dedup import embedding_dedup
+
+            out, _ = embedding_dedup(ds, op["embedding_key"], op["id_key"],
+                                     threshold=op.get("threshold", 0.95))
+            return out
+        raise ValueError(f"unknown dedup method {method}")
+    raise ValueError(f"unknown operation type {t!r}")
+
+
+def _op_chain_hash(ops: list[dict]) -> str:
+    return hashlib.sha256(json.dumps(ops, sort_keys=True).encode()).hexdigest()[:16]
+
+
+class PipelineRunner:
+    """Execute a declarative pipeline config over Ray Data."""
+
+    def __init__(self, config: dict):
+        self.config = config
+        self.ops = {o["name"]: o for o in config.get("operations", [])}
+        self.datasets: dict[str, Any] = {}
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "PipelineRunner":
+        import yaml
+
+        with open(path) as f:
+            return cls(yaml.safe_load(f))
+
+    def run(self):
+        for name, cfg in self.config.get("datasets", {}).items():
+            self.datasets[name] = _load_dataset(cfg)
+
+        ckpt_dir = self.config.get("checkpoint_dir")
+        last = None
+        for step in self.config["pipeline"]["steps"]:
+            ds = self.datasets[step["input"]] if "input" in step else last
+            chain: list[dict] = []
+            for op_name in step.get("operations", []):
+                op = self.ops[op_name]
+                chain.append(op)
+                ds = _apply_op(ds, op)
+                if ckpt_dir:
+                    ds = self._checkpoint(ds, step["name"], op_name, chain)
+            self.datasets[step["name"]] = ds
+            last = ds
+
+        out_cfg = self.config["pipeline"].get("output")
+        if out_cfg and last is not None:
+            fmt = out_cfg.get("format", "parquet")
+            path = out_cfg["path"]
+            if fmt == "parquet":
+                last.write_parquet(path)
+            elif fmt == "json":
+                last.write_json(path)
+            elif fmt == "csv":
+                last.write_csv(path)
+            else:
+                raise ValueError(f"unknown output format {fmt}")
+        return last
+
+    def _checkpoint(self, ds, step: str, op_name: str, chain: list[dict]):
+        """Parquet checkpoint keyed by the op-chain hash (valid only while
+        the upstream chain is unchanged — reference runner.py:546-601)."""
+        import ray.data as rd
+
+        h = _op_chain_hash(chain)
+        d = os.path.join(self.config["checkpoint_dir"], step, f"{op_name}-{h}")
+        marker = os.path.join(d, "_SUCCESS")
+        if os.path.exists(marker):
+            return rd.read_parquet(d)
+        ds.write_parquet(d)
+        open(marker, "w").close()
+        return rd.read_parquet(d)

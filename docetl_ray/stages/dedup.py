@@ -36,17 +36,19 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_POLY_B = np.uint64(1099511628211)
+
+
 def shingles(text: str, k: int = 5) -> np.ndarray:
-    """Char k-gram crc32 shingle hashes (deterministic)."""
-    t = text or ""
-    if len(t) < k:
-        return np.array([zlib.crc32(t.encode("utf-8"))], dtype=np.uint64)
-    return np.unique(
-        np.fromiter(
-            (zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)),
-            dtype=np.uint64,
-        )
-    )
+    """Char k-gram shingle hashes — vectorized polynomial rolling hash
+    over the UTF-8 bytes (deterministic, numpy-wrapping uint64)."""
+    b = (text or "").encode("utf-8")
+    if len(b) < k:
+        return np.array([zlib.crc32(b)], dtype=np.uint64)
+    arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+    w = _POLY_B ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64
+    windows = np.lib.stride_tricks.sliding_window_view(arr, k)
+    return np.unique((windows * w).sum(axis=1, dtype=np.uint64))
 
 
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np.ndarray:
@@ -83,53 +85,102 @@ def minhash_candidates(
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm)
 
-    def sig_and_bands(batch: pa.Table) -> pa.Table:
+    # stage 1: per-doc signature; band rows carry ONLY (bucket, id) — the
+    # signatures themselves are shuffled once as a compact side table and
+    # broadcast for verification (at 64 perms a sig is 512 B; the id->sig
+    # map stays broadcastable up to ~10M docs.  Beyond that, switch the
+    # verify join to a second keyed shuffle).
+    def sig_table(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
-        out_band, out_bh, out_id, out_sig = [], [], [], []
-        for i, t in zip(ids, texts):
-            sig = minhash_signature(t, a, b, shingle_k)
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                bh = zlib.crc32(chunk.tobytes())
-                out_band.append(bi)
-                out_bh.append(bh)
-                out_id.append(i)
-                out_sig.append(sig.astype(np.int64).tolist())
+        sigs = [minhash_signature(t, a, b, shingle_k) for t in texts]
         return pa.table(
             {
-                "band": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_bh, pa.int64()),
-                id_col: pa.array(out_id),
-                "_sig": pa.array(out_sig, pa.list_(pa.int64())),
+                id_col: batch[id_col],
+                "_sig": pa.array([s.astype(np.int64).tolist() for s in sigs],
+                                 pa.list_(pa.int64())),
             }
         )
 
-    banded = ds.map_batches(sig_and_bands, batch_format="pyarrow")
+    sig_ds = ds.map_batches(sig_table, batch_format="pyarrow").materialize()
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        out_bucket, out_id = [], []
+        for i, s in zip(ids, batch["_sig"].to_pylist()):
+            sig = np.asarray(s, dtype=np.int64)
+            for bi in range(bands):
+                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                out_bucket.append((bi << 32) | zlib.crc32(chunk.tobytes()))
+                out_id.append(i)
+        return pa.table(
+            {"bucket": pa.array(out_bucket, pa.int64()), id_col: pa.array(out_id)}
+        )
+
+    banded = sig_ds.map_batches(band_rows, batch_format="pyarrow")
 
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
-        g = group.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].tolist()
-        sigs = [np.asarray(s) for s in g["_sig"]]
-        ia, ib, est = [], [], []
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        ids = sorted(set(group[id_col].tolist()))
+        ia, ib = [], []
         for x in range(len(ids)):
             for y in range(x + 1, len(ids)):
-                if ids[x] == ids[y]:
-                    continue
-                e = float(np.mean(sigs[x] == sigs[y]))
-                if e >= threshold:
-                    ia.append(ids[x])
-                    ib.append(ids[y])
-                    est.append(e)
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "est_jaccard": est})
+                ia.append(ids[x])
+                ib.append(ids[y])
+        return pd.DataFrame({"id_a": ia, "id_b": ib})
 
-    cand = banded.groupby(["band", "band_hash"]).map_groups(pairs, batch_format="pandas")
-    # the same pair can surface from several bands -> keep max estimate
+    cand = (
+        banded.repartition(32)
+        .groupby("bucket", num_partitions=32)
+        .map_groups(pairs, batch_format="pandas")
+    )
+    # the same pair surfaces from several bands -> dedup before verifying
     from .reduces import grouped_aggregate
 
-    return grouped_aggregate(cand, ["id_a", "id_b"], [("est_jaccard", "max", "est_jaccard")])
+    uniq = grouped_aggregate(
+        cand.map_batches(
+            lambda t: t.append_column("_one", pa.array([1] * t.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        ),
+        ["id_a", "id_b"],
+        [("_one", "count", "_n")],
+    )
+
+    # stage 2: broadcast the signature map, estimate Jaccard per pair
+    import ray
+
+    from .util_ray import collect_small
+
+    sig_small = collect_small(sig_ds)
+    sig_map = {
+        i: np.asarray(s, dtype=np.int64)
+        for i, s in zip(sig_small[id_col].to_pylist(), sig_small["_sig"].to_pylist())
+    }
+    ref = ray.put(sig_map)
+
+    class Verify:
+        __name__ = "minhash_verify"
+
+        def __init__(self):
+            self.sigs = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            if self.sigs is None:
+                self.sigs = ray.get(ref)
+            ia = batch["id_a"].to_pylist()
+            ib = batch["id_b"].to_pylist()
+            est = [float(np.mean(self.sigs[x] == self.sigs[y])) for x, y in zip(ia, ib)]
+            out = pa.table(
+                {
+                    "id_a": batch["id_a"],
+                    "id_b": batch["id_b"],
+                    "est_jaccard": pa.array(est, pa.float64()),
+                }
+            )
+            return out.filter(pa.compute.greater_equal(out["est_jaccard"], threshold))
+
+    return uniq.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 8))
 
 
 def connected_components(edges: pa.Table, all_ids=None) -> dict:

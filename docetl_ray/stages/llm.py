@@ -1,0 +1,164 @@
+"""Prompt-operator plumbing: docetl's LLM ``map`` / ``filter`` /
+``reduce`` surface (SURVEY.md §2.1) with a pluggable model client.
+
+This sandbox has no network, so the default client is a deterministic
+fake; the *plumbing* is the parity target and is real:
+
+- Jinja prompt rendering per item/group (reference
+  ``/root/reference/docetl/operations/map.py:308-422``,
+  ``reduce.py:915-980``),
+- declared output schemas via the string DSL -> validated/coerced
+  outputs (``operations/utils/validation.py:110-144,223-249``),
+- the model client is per-actor state: one client + one response cache
+  per actor pool worker, never per batch (reference caches on disk keyed
+  by the call hash, ``operations/utils/cache.py:86-105``),
+- outputs merge over the input row (``map.py:414``); filter ops emit one
+  bool key and drop it after masking (``filter.py:80-98``).
+
+Swap ``FakeDeterministicClient`` for a real API client class with the
+same ``complete(prompt, schema) -> dict`` signature to run live.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+
+import pyarrow as pa
+
+from ..schemas import dsl_schema, enum_values
+
+try:
+    import jinja2
+
+    _JINJA = jinja2.Environment(undefined=jinja2.StrictUndefined)
+except ImportError:  # pragma: no cover
+    _JINJA = None
+
+
+def render_prompt(template: str, context: dict) -> str:
+    if _JINJA is not None:
+        return _JINJA.from_string(template).render(**context)
+    return template.format(**context)
+
+
+class FakeDeterministicClient:
+    """Offline stand-in for an LLM: schema-typed outputs derived from the
+    prompt hash — deterministic, so pipelines are testable end-to-end."""
+
+    def __init__(self, model: str = "fake-deterministic"):
+        self.model = model
+        self.calls = 0
+
+    def complete(self, prompt: str, output_schema: dict) -> dict:
+        self.calls += 1
+        h = hashlib.md5(prompt.encode("utf-8")).digest()
+        out = {}
+        for i, (key, typ) in enumerate(sorted(output_schema.items())):
+            seed = int.from_bytes(h[(i * 4) % 12 : (i * 4) % 12 + 4], "big")
+            t = str(typ).strip().lower()
+            if t.startswith("enum["):
+                vals = enum_values(str(typ))
+                out[key] = vals[seed % len(vals)]
+            elif t in ("int", "integer"):
+                out[key] = seed % 100
+            elif t in ("float", "decimal", "number"):
+                out[key] = (seed % 10_000) / 100.0
+            elif t in ("bool", "boolean"):
+                out[key] = bool(seed % 2)
+            elif t.startswith("list["):
+                out[key] = [f"item{seed % 7}", f"item{(seed >> 8) % 7}"]
+            else:
+                out[key] = f"gen_{seed % 100000:05d}"
+        return out
+
+
+class LLMMapStage:
+    """Actor-pool stage for prompt ops.  ``__init__`` builds the client
+    and cache once per actor; ``__call__`` renders + completes per row
+    within the batch (a real client would batch these calls)."""
+
+    __name__ = "llm_map"
+
+    def __init__(self, prompt: str, output_schema: dict, client_factory=None):
+        self.prompt = prompt
+        self.schema = output_schema
+        self.client = (client_factory or FakeDeterministicClient)()
+        self.cache: dict[str, dict] = {}  # per-actor response cache
+
+    def _complete_cached(self, rendered: str) -> dict:
+        key = hashlib.md5(
+            f"{self.client.model}|{rendered}|{json.dumps(self.schema, sort_keys=True)}".encode()
+        ).hexdigest()
+        if key not in self.cache:
+            self.cache[key] = self.client.complete(rendered, self.schema)
+        return self.cache[key]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = batch.to_pylist()
+        outputs = [self._complete_cached(render_prompt(self.prompt, {"input": r})) for r in rows]
+        arrow_schema = dsl_schema(self.schema)
+        for field in arrow_schema:
+            vals = [o.get(field.name) for o in outputs]
+            col = pa.array(vals).cast(field.type) if not pa.types.is_dictionary(field.type) \
+                else pa.array([str(v) for v in vals], pa.string()).dictionary_encode()
+            if field.name in batch.column_names:
+                batch = batch.set_column(batch.column_names.index(field.name), field.name, col)
+            else:
+                batch = batch.append_column(field.name, col)
+        return batch
+
+
+def llm_map(ds, prompt: str, output_schema: dict, *, drop_keys=None,
+            client_factory=None, concurrency=(1, 8), batch_size: int = 256):
+    out = ds.map_batches(
+        LLMMapStage,
+        fn_constructor_args=(prompt, output_schema, client_factory),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    if drop_keys:
+        out = out.drop_columns(list(drop_keys))
+    return out
+
+
+def llm_filter(ds, prompt: str, *, filter_key: str = "keep", client_factory=None,
+               concurrency=(1, 8)):
+    """Filter op: bool output schema, row kept where true, bool column
+    dropped from the output (filter.py:96-98)."""
+    import pyarrow.compute as pc
+
+    scored = llm_map(ds, prompt, {filter_key: "bool"}, client_factory=client_factory,
+                     concurrency=concurrency)
+    return scored.map_batches(
+        lambda t: t.filter(pc.fill_null(t[filter_key], False)).drop_columns([filter_key]),
+        batch_format="pyarrow",
+    )
+
+
+def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
+               client_factory=None, pass_through: bool = False):
+    """Grouped prompt reduce: renders the prompt with the whole group
+    (``inputs``) and merges the typed output with the group key (one
+    output row per group; reduce.py:915-980)."""
+    keys = [reduce_key] if isinstance(reduce_key, str) else list(reduce_key)
+
+    stage = {"client": None}
+
+    def fn(group: pa.Table) -> pa.Table:
+        if stage["client"] is None:
+            stage["client"] = (client_factory or FakeDeterministicClient)()
+        rows = group.to_pylist()
+        rendered = render_prompt(prompt, {"inputs": rows, "reduce_key": {k: rows[0][k] for k in keys}})
+        out = stage["client"].complete(rendered, output_schema)
+        row = {k: rows[0][k] for k in keys}
+        if pass_through:
+            for c, v in rows[0].items():
+                row.setdefault(c, v)
+        row.update(out)
+        row["_counts_prereduce"] = group.num_rows
+        return pa.Table.from_pylist([row])
+
+    fn.__name__ = "llm_reduce"
+    return ds.groupby(keys).map_groups(fn, batch_format="pyarrow")

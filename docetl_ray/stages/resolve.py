@@ -75,6 +75,18 @@ def token_jaccard(a: str, b: str) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def char_ngram_jaccard(a: str, b: str, n: int = 3) -> float:
+    """Char n-gram Jaccard — finer-grained than word tokens; the right
+    metric for near-string matching (typos, morphology)."""
+    a, b = a.lower(), b.lower()
+    sa = {a[i : i + n] for i in range(max(1, len(a) - n + 1))}
+    sb = {b[i : i + n] for i in range(max(1, len(b) - n + 1))}
+    if not sa and not sb:
+        return 1.0
+    inter = len(sa & sb)
+    return inter / (len(sa) + len(sb) - inter)
+
+
 def resolve_fuzzy(
     ds,
     *,

@@ -13,9 +13,16 @@ def collect(ds) -> pa.Table:
     concatenated with permissive schema promotion.  Only for results that
     fit on the driver — never call this on the main input.
     """
+    import pandas as pd
     import ray
 
-    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns > 0]
+    blocks = ray.get(ds.to_arrow_refs())
+    tables = []
+    for t in blocks:
+        if isinstance(t, pd.DataFrame):  # pandas-format blocks pass through
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_columns > 0:
+            tables.append(t)
     if not tables:
         return pa.table({})
     return pa.concat_tables(tables, promote_options="permissive")

@@ -1,0 +1,205 @@
+"""Tests: extract / cluster / link_resolve / llm plumbing / YAML runner /
+pandas accessor / checkpointing."""
+
+import os
+import textwrap
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _collect(ds):
+    from docetl_ray.util import collect
+
+    return collect(ds)
+
+
+def test_extract_regex_dedup_and_join():
+    import ray.data as rd
+    from docetl_ray.stages.extract import extract_regex
+
+    t = pa.table(
+        {
+            "id": [1, 2],
+            "doc": ["call 555-1234 or 555-9999 or 555-1234", "no phones here"],
+        }
+    )
+    out = _collect(
+        extract_regex(rd.from_arrow(t), "doc", [r"\d{3}-\d{4}"])
+    ).sort_by([("id", "ascending")])
+    assert out["doc_extracted"].to_pylist() == ["555-1234\n555-9999", ""]
+    out2 = _collect(
+        extract_regex(rd.from_arrow(t), "doc", [r"\d{3}-\d{4}"], format_extraction=False)
+    ).sort_by([("id", "ascending")])
+    assert out2["doc_extracted"].to_pylist() == [["555-1234", "555-9999"], []]
+
+
+def test_cluster_embeddings_groups_nearby_vectors():
+    import ray.data as rd
+    from docetl_ray.stages.cluster import cluster_embeddings
+
+    rng = np.random.RandomState(5)
+    a = rng.randn(8) * 0.05 + np.array([10.0] * 8)
+    cluster_a = [a + rng.randn(8) * 0.01 for _ in range(5)]
+    b = rng.randn(8) * 0.05 - np.array([10.0] * 8)
+    cluster_b = [b + rng.randn(8) * 0.01 for _ in range(5)]
+    vecs = cluster_a + cluster_b
+    t = pa.table(
+        {
+            "vid": list(range(10)),
+            "emb": pa.array([v.tolist() for v in vecs], pa.list_(pa.float64())),
+        }
+    )
+    out = _collect(
+        cluster_embeddings(rd.from_arrow(t), "emb", "vid", num_clusters=2)
+    ).sort_by([("vid", "ascending")])
+    labels = out["cluster_id"].to_pylist()
+    assert len(set(labels[:5])) == 1 and len(set(labels[5:])) == 1
+    assert labels[0] != labels[5]
+    assert all("medoid" in s for s in out["cluster_id_label"].to_pylist())
+
+
+def test_link_resolve_repairs_dangling_links():
+    import ray.data as rd
+    from docetl_ray.stages.link_resolve import link_resolve
+
+    t = pa.table(
+        {
+            "id": ["apache ray", "apache arrow", "duckdb engine"],
+            "link": ["apache ray", "apache arow project", "unrelated thing zzz"],
+        }
+    )
+    out = _collect(
+        link_resolve(rd.from_arrow(t), id_col="id", link_col="link", threshold=0.4)
+    ).sort_by([("id", "ascending")])
+    links = dict(zip(out["id"].to_pylist(), out["link"].to_pylist()))
+    assert links["apache ray"] == "apache ray"  # already valid, untouched
+    assert links["apache arrow"] == "apache arrow"  # repaired
+    assert links["duckdb engine"] == "unrelated thing zzz"  # below threshold
+
+
+def test_llm_map_filter_reduce_deterministic():
+    import ray.data as rd
+    from docetl_ray.stages.llm import llm_filter, llm_map, llm_reduce
+
+    t = pa.table({"text": ["good day", "bad day", "ok day"], "cat": ["a", "a", "b"]})
+    ds = rd.from_arrow(t)
+    out = _collect(
+        llm_map(ds, "Classify: {{ input.text }}",
+                {"sentiment": "enum[pos, neg]", "score": "int"})
+    ).sort_by([("text", "ascending")])
+    assert set(out.column_names) >= {"text", "cat", "sentiment", "score"}
+    assert all(s in ("pos", "neg") for s in out["sentiment"].to_pylist())
+    # deterministic across runs
+    out2 = _collect(
+        llm_map(rd.from_arrow(t), "Classify: {{ input.text }}",
+                {"sentiment": "enum[pos, neg]", "score": "int"})
+    ).sort_by([("text", "ascending")])
+    assert out["sentiment"].to_pylist() == out2["sentiment"].to_pylist()
+
+    kept = _collect(llm_filter(ds, "Keep? {{ input.text }}"))
+    assert "keep" not in kept.column_names  # bool column dropped
+
+    red = _collect(
+        llm_reduce(ds, "cat", "Summarize {{ reduce_key.cat }}: {{ inputs | length }}",
+                   {"summary": "str"})
+    ).sort_by([("cat", "ascending")])
+    assert red.num_rows == 2
+    assert red["_counts_prereduce"].to_pylist() == [2, 1]
+
+
+def test_yaml_runner_end_to_end(tmp_path):
+    import yaml
+    from docetl_ray.runner import PipelineRunner
+
+    config = {
+        "datasets": {
+            "docs": {"type": "file", "path": "/root/testdata/sf0.001/documents.parquet"}
+        },
+        "operations": [
+            {
+                "name": "add_len",
+                "type": "code_map",
+                "code": "def transform(doc):\n    return {'text_len': len(doc['text'])}\n",
+            },
+            {
+                "name": "keep_long",
+                "type": "code_filter",
+                "code": "def transform(doc):\n    return doc['text_len'] > 200\n",
+            },
+            {
+                "name": "by_lang",
+                "type": "code_reduce",
+                "reduce_key": "lang",
+                "code": (
+                    "def transform(rows):\n"
+                    "    return {'n_docs': len(rows), 'total_len': sum(r['text_len'] for r in rows)}\n"
+                ),
+            },
+        ],
+        "pipeline": {
+            "steps": [{"name": "s1", "input": "docs",
+                       "operations": ["add_len", "keep_long", "by_lang"]}],
+            "output": {"type": "file", "path": str(tmp_path / "out"), "format": "parquet"},
+        },
+    }
+    ypath = tmp_path / "pipe.yaml"
+    ypath.write_text(yaml.safe_dump(config))
+    runner = PipelineRunner.from_yaml(str(ypath))
+    out = runner.run()
+    res = _collect(out).sort_by([("lang", "ascending")])
+    assert res.num_rows == 5  # 5 langs
+    assert set(res.column_names) >= {"lang", "n_docs", "total_len", "_counts_prereduce_by_lang"}
+
+    import duckdb
+
+    want = duckdb.connect().execute(
+        """SELECT lang, count(*) n FROM read_parquet('/root/testdata/sf0.001/documents.parquet')
+           WHERE length(text) > 200 GROUP BY 1 ORDER BY 1"""
+    ).fetchall()
+    assert res["n_docs"].to_pylist() == [n for _, n in want]
+    assert os.path.isdir(tmp_path / "out")
+
+
+def test_yaml_runner_checkpoint_reuse(tmp_path):
+    from docetl_ray.runner import PipelineRunner
+
+    config = {
+        "datasets": {
+            "docs": {"type": "file", "path": "/root/testdata/sf0.001/documents.parquet"}
+        },
+        "operations": [
+            {"name": "add_len", "type": "code_map",
+             "code": "def transform(doc):\n    return {'text_len': len(doc['text'])}\n"},
+        ],
+        "pipeline": {"steps": [{"name": "s1", "input": "docs", "operations": ["add_len"]}]},
+        "checkpoint_dir": str(tmp_path / "ckpt"),
+    }
+    r1 = PipelineRunner(config)
+    out1 = _collect(r1.run())
+    ckpts = list((tmp_path / "ckpt" / "s1").iterdir())
+    assert len(ckpts) == 1 and (ckpts[0] / "_SUCCESS").exists()
+    r2 = PipelineRunner(config)  # second run reads the checkpoint
+    out2 = _collect(r2.run())
+    assert out1.sort_by([("doc_id", "ascending")]).equals(
+        out2.sort_by([("doc_id", "ascending")])
+    )
+
+
+def test_pandas_accessor():
+    import pandas as pd
+
+    import docetl_ray.pandas_api  # noqa: F401  registers accessor
+
+    df = pd.DataFrame({"x": [1, 2, 3, 4], "k": ["a", "a", "b", "b"]})
+    out = df.semantic.map(code="def transform(doc):\n    return {'y': doc['x'] * 2}\n")
+    assert sorted(out["y"].tolist()) == [2, 4, 6, 8]
+    agg = df.semantic.agg(
+        reduce_key="k",
+        code="def transform(rows):\n    return {'sx': sum(r['x'] for r in rows)}\n",
+    ).sort_values("k")
+    assert agg["sx"].tolist() == [3, 7]
+    right = pd.DataFrame({"k": ["a", "b"], "label": ["first", "second"]})
+    merged = df.semantic.merge(right, on="k")
+    assert len(merged) == 4 and "label" in merged.columns
