@@ -275,6 +275,41 @@ def _q_session_windows(sf_dir):
     return session_windows(ev, "ts", "user_id", gap_seconds=1800)
 
 
+def _q_parallel_map(sf_dir):
+    import pyarrow.compute as pc
+
+    from docetl_ray.stages import parallel_map
+
+    ds = _rp(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_tax"])
+    out = parallel_map(
+        ds,
+        [
+            lambda t: {"qty2": pc.multiply(t["l_quantity"], 2.0)},
+            lambda t: {"taxed": pc.add(t["l_tax"], 1.0)},
+        ],
+    )
+    return out
+
+
+def _q_top_fts(sf_dir):
+    from docetl_ray.stages.sample import top_fts
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = top_fts(docs, "text", "doc_id", "spark window merge", 20)
+    return out.select_columns(["doc_id"])
+
+
+def _q_top_embedding(sf_dir):
+    import pyarrow.parquet as pq
+
+    from docetl_ray.stages.sample import top_embedding
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    q = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]) \
+        .sort_by([("vec_id", "ascending")])["embedding"][0].as_py()
+    return top_embedding(emb, "embedding", "vec_id", q, 5).select_columns(["vec_id"])
+
+
 def _q_extract_regex(sf_dir):
     from docetl_ray.stages.extract import extract_regex
 
@@ -439,7 +474,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": _q_ann_bruteforce,
         "extract_regex_documents": _q_extract_regex,
         "rank_topk_orders": _q_rank_topk_orders,
+        "parallel_map_lineitem": _q_parallel_map,
+        "top_embedding_vectors": _q_top_embedding,
         # non-SQL-expressible (rows-only)
+        "top_fts_documents": _q_top_fts,
         "cdc_flagship": _q_cdc_flagship,
         "gather_documents": _q_gather,
         "minhash_dedup_documents": _q_minhash_dedup,
@@ -582,6 +620,19 @@ def oracle_sql() -> dict[str, str]:
                                     THEN 1 ELSE 0 END AS is_new
                         FROM events))
             GROUP BY user_id, sid
+        """,
+        "parallel_map_lineitem": """
+            SELECT l_orderkey, l_linenumber, l_quantity, l_tax,
+                   l_quantity * 2 AS qty2, l_tax + 1 AS taxed
+            FROM lineitem
+        """,
+        "top_embedding_vectors": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings
+                       ORDER BY vec_id LIMIT 1)
+            SELECT vec_id FROM (
+              SELECT e.vec_id, list_cosine_similarity(q.qe, e.embedding) AS score
+              FROM embeddings e CROSS JOIN q)
+            QUALIFY row_number() OVER (ORDER BY score DESC, vec_id) <= 5
         """,
         "extract_regex_documents": r"""
             SELECT doc_id,

@@ -275,9 +275,19 @@ class PipelineRunner:
         ckpt_dir = self.config.get("checkpoint_dir")
         last = None
         for step in self.config["pipeline"]["steps"]:
+            if "input" in step and step["input"] not in self.datasets:
+                raise ValueError(
+                    f"step {step['name']!r}: unknown input dataset {step['input']!r} "
+                    f"(datasets: {sorted(self.datasets)})"
+                )
             ds = self.datasets[step["input"]] if "input" in step else last
             chain: list[dict] = []
             for op_name in step.get("operations", []):
+                if op_name not in self.ops:
+                    raise ValueError(
+                        f"step {step['name']!r}: unknown operation {op_name!r} "
+                        f"(operations: {sorted(self.ops)})"
+                    )
                 op = self.ops[op_name]
                 chain.append(op)
                 ds = _apply_op(ds, op)

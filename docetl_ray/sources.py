@@ -1,0 +1,104 @@
+"""Sources and parsing tools: the reference's dataset loaders and
+document parsers (SURVEY.md §2.2; reference ``docetl/dataset.py:156-239``,
+``docetl/parsing_tools.py``) recast as Ray Data readers + ``flat_map``
+parse stages.
+
+Text-native formats are first-class; binary office/audio formats need
+libraries absent from this environment, so their parsers are registered
+stubs that raise ``NotImplementedError`` at call time with the real
+signature in place (same plumbing contract as the multimodal stages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+import pyarrow as pa
+
+# -- readers (docetl Dataset type=file; json/csv + parquet/text extra) -----
+
+
+def read_dataset(path: str, *, columns=None):
+    """Format-dispatched reader (json / csv / parquet / txt / jsonl)."""
+    import ray.data as rd
+
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".json":
+        return rd.read_json(path)
+    if ext in (".jsonl", ".ndjson"):
+        return rd.read_json(path)
+    if ext == ".csv":
+        return rd.read_csv(path)
+    if ext in (".txt", ".md"):
+        return rd.read_text(path)
+    return rd.read_parquet(path, columns=columns)
+
+
+# -- parsing tools (docetl.parser plugin group) ----------------------------
+
+def txt_to_string(path: str) -> list[str]:
+    """parsing_tools.txt_to_string (:156-168): whole file as one doc."""
+    with open(path, encoding="utf-8") as f:
+        return [f.read()]
+
+
+def json_to_string(path: str) -> list[str]:
+    with open(path, encoding="utf-8") as f:
+        data = json.load(f)
+    return [json.dumps(d) for d in data] if isinstance(data, list) else [json.dumps(data)]
+
+
+def _stub(name: str, needs: str):
+    def fn(path: str) -> list[str]:
+        raise NotImplementedError(
+            f"{name} requires {needs}, not present in this environment; "
+            "plug the real parser here (same signature: path -> list[str])"
+        )
+
+    fn.__name__ = name
+    return fn
+
+
+xlsx_to_string = _stub("xlsx_to_string", "openpyxl")
+docx_to_string = _stub("docx_to_string", "python-docx")
+pptx_to_string = _stub("pptx_to_string", "python-pptx")
+whisper_speech_to_text = _stub("whisper_speech_to_text", "openai-whisper")
+paddleocr_pdf_to_string = _stub("paddleocr_pdf_to_string", "paddleocr")
+azure_di_read = _stub("azure_di_read", "azure-ai-documentintelligence")
+
+PARSERS: dict[str, Callable[[str], list[str]]] = {
+    "txt_to_string": txt_to_string,
+    "json_to_string": json_to_string,
+    "xlsx_to_string": xlsx_to_string,
+    "docx_to_string": docx_to_string,
+    "pptx_to_string": pptx_to_string,
+    "whisper_speech_to_text": whisper_speech_to_text,
+    "paddleocr_pdf_to_string": paddleocr_pdf_to_string,
+    "azure_di_read": azure_di_read,
+}
+
+
+def register_parser(name: str, fn: Callable[[str], list[str]]):
+    """Plugin hook (reference entry-point group ``docetl.parser``,
+    parsing_tools.py:482-491)."""
+    PARSERS[name] = fn
+
+
+def parse_files(ds, *, path_col: str, parser: str, output_col: str = "content"):
+    """Fan-out parse stage: one input row per file path -> one output row
+    per parsed document (reference parsing fan-out, dataset.py:241-315).
+    Other columns are copied onto every fan-out row."""
+    fn = PARSERS[parser]
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        idx, docs = [], []
+        for i, p in enumerate(batch[path_col].to_pylist()):
+            for doc in fn(p):
+                idx.append(i)
+                docs.append(doc)
+        out = batch.take(pa.array(idx, pa.int64()))
+        return out.append_column(output_col, pa.array(docs, pa.string()))
+
+    return ds.map_batches(fan_out, batch_format="pyarrow")

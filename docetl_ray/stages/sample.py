@@ -108,6 +108,85 @@ def rank_topk(ds, sort_cols, k: int, *, descending: bool = True, rank_col: str =
     )
 
 
+def top_embedding(ds, emb_col: str, id_col: str, query_vec, k: int):
+    """Cosine top-k against ONE query vector (sample method
+    "top_embedding", sample.py:455-514) — thin wrapper over the ANN
+    brute-force path (per-batch partials, tiny final merge)."""
+    import numpy as np
+
+    from .ann import ann_topk_bruteforce
+
+    out = ann_topk_bruteforce(ds, emb_col, id_col, np.asarray([query_vec]), k=k)
+    return out.drop_columns(["query_id"])
+
+
+def top_fts(ds, text_col: str, id_col: str, query: str, k: int, *,
+            k1: float = 1.5, b: float = 0.75):
+    """BM25 full-text top-k (sample method "top_fts", sample.py:516-640)
+    without materializing a corpus index: pass 1 aggregates document
+    frequencies FOR THE QUERY TERMS ONLY (a tiny global aggregate), the
+    stats are broadcast, and pass 2 scores each doc per batch ->
+    ``sort(score).limit(k)``."""
+    import re
+
+    import numpy as np
+
+    word = re.compile(r"\w+", re.UNICODE)
+    q_terms = sorted({w.lower() for w in word.findall(query)})
+    if not q_terms:
+        raise ValueError("empty query")
+
+    def partial_stats(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        df = {t: 0 for t in q_terms}
+        total_len = 0
+        for s in texts:
+            toks = [w.lower() for w in word.findall(s or "")]
+            total_len += len(toks)
+            st = set(toks)
+            for t in q_terms:
+                if t in st:
+                    df[t] += 1
+        row = {"n_docs": [len(texts)], "total_len": [total_len]}
+        for t in q_terms:
+            row[f"df_{t}"] = [df[t]]
+        return pa.table(row)
+
+    from .util_ray import collect_small
+
+    stats = collect_small(ds.map_batches(partial_stats, batch_format="pyarrow"))
+    n_docs = pc.sum(stats["n_docs"]).as_py()
+    avg_len = (pc.sum(stats["total_len"]).as_py() or 1) / max(1, n_docs)
+    idf = {
+        t: float(np.log(1 + (n_docs - dfv + 0.5) / (dfv + 0.5)))
+        for t, dfv in ((t, pc.sum(stats[f"df_{t}"]).as_py()) for t in q_terms)
+    }
+
+    def score(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        scores = []
+        for s in texts:
+            toks = [w.lower() for w in word.findall(s or "")]
+            L = len(toks)
+            tf: dict[str, int] = {}
+            for w in toks:
+                if w in idf:
+                    tf[w] = tf.get(w, 0) + 1
+            sc = 0.0
+            for t, f in tf.items():
+                sc += idf[t] * f * (k1 + 1) / (f + k1 * (1 - b + b * L / avg_len))
+            scores.append(sc)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "score": pa.array(scores, pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return scored.sort(["score", id_col], descending=[True, False]).limit(k)
+
+
 def sample_outliers(
     ds, value_col: str, *, std_cutoff: float | None = None, keep: str = "inliers"
 ):
