@@ -92,6 +92,12 @@ def run_bench() -> dict:
     apply_events(table, rd.read_parquet(wal), epoch=0)
     headline = time.perf_counter() - t0
 
+    # secondary: LSM/delta-mode apply of a follow-up epoch (bounded cost
+    # per epoch regardless of accumulated state)
+    t0 = time.perf_counter()
+    apply_events(table, rd.read_parquet(wal), epoch=1, mode="delta")
+    delta_sec = time.perf_counter() - t0
+
     import __ray_entry__ as entrymod
 
     qfns = entrymod.queries()
@@ -109,6 +115,8 @@ def run_bench() -> dict:
         "unit": "sec",
         "n_events": N_EVENTS,
         "events_per_sec": round(N_EVENTS / headline),
+        "delta_epoch_sec": round(delta_sec, 3),
+        "delta_events_per_sec": round(N_EVENTS / delta_sec),
         "queries": qtimes,
         "sf": SF_DIR,
         "num_cpus": NCPU,

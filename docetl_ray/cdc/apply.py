@@ -194,6 +194,7 @@ _LINEAGE_SCHEMA = pa.schema(
         pa.field("lsn_min", pa.int64()),
         pa.field("lsn_max", pa.int64()),
         pa.field("checksum", pa.string()),
+        pa.field("append", pa.bool_()),
     ]
 )
 
@@ -208,10 +209,11 @@ class _ApplyPartition:
 
     __name__ = "apply_partition"
 
-    def __init__(self, manifest_ref, table_root: str, epoch: int):
+    def __init__(self, manifest_ref, table_root: str, epoch: int, mode: str = "merge"):
         self._ref = manifest_ref
         self.root = table_root
         self.epoch = epoch
+        self.mode = mode
         self._map = None
 
     def __call__(self, group: pa.Table) -> pa.Table:
@@ -226,13 +228,19 @@ class _ApplyPartition:
             group.drop_columns(["part", "_lsn_lo", "_lsn_hi"])
         )
 
-        base_path = self._map.get(pid)
-        if base_path is not None:
-            base = pq.read_table(base_path)
-            merged = lww_last_per_url(unify_tables([base, winners]))
+        if self.mode == "delta":
+            # LSM path: write only this epoch's winners; base untouched.
+            merged = winners.sort_by(STATE_SORT_KEYS)
+            append = True
         else:
-            merged = winners
-        merged = merged.sort_by(STATE_SORT_KEYS)
+            base_paths = self._map.get(pid) or []
+            if base_paths:
+                bases = [pq.read_table(p) for p in base_paths]
+                merged = lww_last_per_url(unify_tables(bases + [winners]))
+            else:
+                merged = winners
+            merged = merged.sort_by(STATE_SORT_KEYS)
+            append = False
 
         staging_dir = os.path.join(self.root, "epochs", f"epoch-{self.epoch:07d}")
         os.makedirs(staging_dir, exist_ok=True)
@@ -252,14 +260,26 @@ class _ApplyPartition:
                     "lsn_min": lsn_min,
                     "lsn_max": lsn_max,
                     "checksum": _state_checksum(merged),
+                    "append": append,
                 }
             ],
             schema=_LINEAGE_SCHEMA,
         )
 
 
-def apply_events(table: LakeTable, events, epoch: int, *, extract: bool = True) -> dict:
+def apply_events(
+    table: LakeTable, events, epoch: int, *, extract: bool = True,
+    mode: str = "merge", compact_after: int | None = None,
+) -> dict:
     """Apply one WAL segment (a Dataset of event rows) as one epoch.
+
+    ``mode="merge"`` (copy-on-write): each partition's full state is
+    rewritten per epoch — O(state) per epoch, single file per partition.
+    ``mode="delta"`` (LSM / RocksDB-like): only the epoch's winners are
+    written and stacked as a new level — O(epoch) per epoch; reads merge
+    levels by LWW and ``compact()`` folds levels back to one file.
+    ``compact_after``: in delta mode, auto-compact partitions whose level
+    count exceeds this.
 
     Exactly-once: if ``epoch`` is already committed this is a no-op; a
     crash before commit leaves the previous manifest state; re-applying
@@ -271,10 +291,7 @@ def apply_events(table: LakeTable, events, epoch: int, *, extract: bool = True) 
         return table.manifest()
 
     nparts = table.num_partitions
-    part_map = {
-        int(pid): os.path.join(table.root, rec["path"])
-        for pid, rec in table.manifest().get("partitions", {}).items()
-    }
+    part_map = table.partition_map()
     ref = ray.put(part_map)
 
     # Ray's sort-based shuffle cost grows with map_blocks × reduce_partitions
@@ -290,20 +307,86 @@ def apply_events(table: LakeTable, events, epoch: int, *, extract: bool = True) 
         .repartition(nparts)
         .groupby("part", num_partitions=nparts)
         .map_groups(
-            _ApplyPartition(ref, table.root, epoch),
+            _ApplyPartition(ref, table.root, epoch, mode),
             batch_format="pyarrow",
         )
     )
     lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows
-    return table.commit(epoch, lineage)
+    m = table.commit(epoch, lineage)
+    if mode == "delta" and compact_after:
+        over = [
+            pid for pid, paths in table.partition_map().items()
+            if len(paths) > compact_after
+        ]
+        if over:
+            m = compact(table, tag=f"auto-epoch-{epoch}", pids=over)
+    return m
+
+
+def compact(table: LakeTable, *, tag: str, pids: list[int] | None = None) -> dict:
+    """Fold a partition's delta levels into one file (LSM compaction).
+
+    Tombstones are RETAINED in the compacted file: a delete must keep
+    suppressing older out-of-order events until the WAL guarantees no
+    event older than the tombstone can still arrive (tombstone GC is a
+    retention policy decision, recorded here as: never drop during
+    compaction).  Idempotent per ``tag``; distributed one task per
+    partition."""
+    import ray.data as rd
+
+    pmap = table.partition_map()
+    todo = [
+        {"pid": pid, "paths": paths}
+        for pid, paths in sorted(pmap.items())
+        if (pids is None or pid in pids) and len(paths) > 1
+    ]
+    if not todo:
+        return table.manifest()
+
+    root = table.root
+    cdir = os.path.join("compactions", tag)
+
+    def merge_one(batch: pa.Table) -> pa.Table:
+        out_rows = []
+        for row in batch.to_pylist():
+            pid = int(row["pid"])
+            tables = [pq.read_table(p) for p in row["paths"]]
+            merged = lww_last_per_url(unify_tables(tables)).sort_by(STATE_SORT_KEYS)
+            os.makedirs(os.path.join(root, cdir), exist_ok=True)
+            fname = f"part-{pid:05d}.parquet"
+            pq.write_table(merged, os.path.join(root, cdir, fname))
+            live = int(pc.sum(pc.cast(pc.invert(merged["_deleted"]), pa.int64())).as_py() or 0)
+            out_rows.append(
+                {
+                    "pid": pid,
+                    "path": os.path.join(cdir, fname),
+                    "rows": merged.num_rows,
+                    "live_rows": live,
+                    "checksum": _state_checksum(merged),
+                }
+            )
+        return pa.Table.from_pylist(out_rows)
+
+    recs = (
+        rd.from_items(todo)
+        .map_batches(merge_one, batch_size=1, batch_format="pyarrow")
+        .take_all()
+    )
+    return table.commit_compaction(tag, recs)
 
 
 def read_state(table: LakeTable, *, include_tombstones: bool = False):
-    """Current committed table state as a Ray Dataset (streaming read)."""
+    """Current committed table state as a Ray Dataset.
+
+    Merge-mode partitions (one file) stream straight from parquet; delta
+    partitions merge their level files by LWW inside the read task (one
+    task per partition — merge-on-read), so readers always see exactly
+    the last-writer row per url regardless of how many epochs are
+    stacked."""
     import ray.data as rd
 
-    files = table.partition_files()
-    if not files:
+    pmap = table.partition_map()
+    if not pmap:
         return rd.from_arrow(
             pa.table(
                 {
@@ -316,7 +399,28 @@ def read_state(table: LakeTable, *, include_tombstones: bool = False):
                 }
             )
         )
-    ds = rd.read_parquet(files)
+    multi = {pid: paths for pid, paths in pmap.items() if len(paths) > 1}
+    single = [paths[0] for pid, paths in pmap.items() if len(paths) == 1]
+
+    parts = []
+    if single:
+        parts.append(rd.read_parquet(single))
+    if multi:
+
+        def merge_read(batch: pa.Table) -> pa.Table:
+            tables = []
+            for row in batch.to_pylist():
+                merged = lww_last_per_url(
+                    unify_tables([pq.read_table(p) for p in row["paths"]])
+                )
+                tables.append(merged)
+            return unify_tables(tables)
+
+        parts.append(
+            rd.from_items([{"pid": pid, "paths": paths} for pid, paths in sorted(multi.items())])
+            .map_batches(merge_read, batch_size=1, batch_format="pyarrow")
+        )
+    ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     if not include_tombstones:
         ds = ds.map_batches(
             lambda t: t.filter(pc.invert(t["_deleted"])), batch_format="pyarrow"

@@ -70,14 +70,30 @@ class LakeTable:
     def committed_epochs(self) -> list[int]:
         return list(self.manifest().get("epochs", []))
 
-    def partition_file(self, pid: int) -> str | None:
-        """Absolute path of the current committed file for partition pid."""
+    @staticmethod
+    def _rec_paths(rec: dict) -> list[str]:
+        """A partition's file list (oldest -> newest level).  Back-compat:
+        single-``path`` records read as a one-element list."""
+        if "paths" in rec:
+            return list(rec["paths"])
+        return [rec["path"]] if rec.get("path") else []
+
+    def partition_paths(self, pid: int) -> list[str]:
+        """Absolute paths of a partition's files, oldest level first."""
         rec = self.manifest().get("partitions", {}).get(str(pid))
-        return os.path.join(self.root, rec["path"]) if rec else None
+        if not rec:
+            return []
+        return [os.path.join(self.root, p) for p in self._rec_paths(rec)]
+
+    def partition_map(self) -> dict[int, list[str]]:
+        m = self.manifest()
+        return {
+            int(pid): [os.path.join(self.root, p) for p in self._rec_paths(rec)]
+            for pid, rec in m.get("partitions", {}).items()
+        }
 
     def partition_files(self) -> list[str]:
-        m = self.manifest()
-        return [os.path.join(self.root, r["path"]) for r in m.get("partitions", {}).values()]
+        return [p for paths in self.partition_map().values() for p in paths]
 
     # -- staging + commit -------------------------------------------------
 
@@ -94,9 +110,12 @@ class LakeTable:
 
         ``partition_records``: one lineage dict per *changed* partition:
         ``{"pid", "path" (relative to root), "rows", "live_rows",
-        "lsn_min", "lsn_max", "checksum"}``.  Unchanged partitions keep
-        their previous entry (their files live in older epoch dirs — the
-        manifest, not the directory layout, defines the table state).
+        "lsn_min", "lsn_max", "checksum", "append": bool}``.  With
+        ``append`` (LSM/delta mode) the file is stacked on the partition's
+        level list; otherwise it replaces the partition's state
+        (merge/compaction mode).  Unchanged partitions keep their previous
+        entry (their files live in older epoch dirs — the manifest, not
+        the directory layout, defines the table state).
         """
         m = json.loads(json.dumps(self.manifest()))  # deep copy
         if epoch in m["epochs"]:
@@ -108,9 +127,15 @@ class LakeTable:
             ranges = list(prev.get("applied_lsn_ranges", []))
             if rec.get("lsn_min") is not None:
                 ranges.append([rec["lsn_min"], rec["lsn_max"]])
+            if rec.get("append"):
+                paths = self._rec_paths(prev) + [rec["path"]]
+                rows = prev.get("rows", 0) + rec["rows"]
+            else:
+                paths = [rec["path"]]
+                rows = rec["rows"]
             parts[pid] = {
-                "path": rec["path"],
-                "rows": rec["rows"],
+                "paths": paths,
+                "rows": rows,
                 "live_rows": rec.get("live_rows", rec["rows"]),
                 "checksum": rec.get("checksum"),
                 "applied_lsn_ranges": ranges,
@@ -118,6 +143,33 @@ class LakeTable:
         m["epoch"] = max(m["epoch"], epoch)
         m["epochs"] = sorted(set(m["epochs"]) | {epoch})
         m["num_partitions"] = self.num_partitions
+        return self._write_manifest(m)
+
+    def commit_compaction(self, tag: str, partition_records: list[dict[str, Any]]) -> dict[str, Any]:
+        """Atomically replace partition level-lists with compacted files.
+
+        Compactions live in their own manifest namespace (``compactions``)
+        — they never consume or collide with WAL epoch ids, so epoch
+        replay-detection stays sound."""
+        m = json.loads(json.dumps(self.manifest()))
+        done = m.setdefault("compactions", [])
+        if tag in done:
+            return m  # idempotent
+        parts = m.setdefault("partitions", {})
+        for rec in partition_records:
+            pid = str(rec["pid"])
+            prev = parts.get(pid, {})
+            parts[pid] = {
+                "paths": [rec["path"]],
+                "rows": rec["rows"],
+                "live_rows": rec.get("live_rows", rec["rows"]),
+                "checksum": rec.get("checksum"),
+                "applied_lsn_ranges": prev.get("applied_lsn_ranges", []),
+            }
+        done.append(tag)
+        return self._write_manifest(m)
+
+    def _write_manifest(self, m: dict[str, Any]) -> dict[str, Any]:
         tmp = self.manifest_path + ".tmp"
         os.makedirs(self.root, exist_ok=True)
         with open(tmp, "w") as f:

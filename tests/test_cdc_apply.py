@@ -178,7 +178,8 @@ def test_manifest_lineage_and_atomic_commit(tmp_path):
         m = json.load(f)
     assert m["epochs"] == [0]
     for rec in m["partitions"].values():
-        assert os.path.exists(os.path.join(table.root, rec["path"]))
+        for p in rec["paths"]:
+            assert os.path.exists(os.path.join(table.root, p))
         assert rec["rows"] >= rec["live_rows"] >= 0
         assert rec["applied_lsn_ranges"] and rec["checksum"]
     # applied ranges lie within the segment
