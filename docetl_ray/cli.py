@@ -1,0 +1,129 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+On a real cluster::
+
+    ray job submit --working-dir . -- \
+        python -m docetl_ray.cli apply --wal s3://bucket/wal/epoch-42 \
+            --table s3://bucket/lake/pages --epoch 42 --mode delta
+
+    python -m docetl_ray.cli run pipeline.yaml          # DSL pipeline
+    python -m docetl_ray.cli compact --table ... --tag nightly-7
+
+In this sandbox it runs with ``RAY_ADDRESS=local``.  These entry points
+own the Ray session (init/shutdown); library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _init_ray():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_apply(args) -> int:
+    _init_ray()
+    import ray
+    import ray.data as rd
+
+    from .cdc import LakeTable, apply_events
+
+    table = LakeTable(args.table, num_partitions=args.num_partitions)
+    events = rd.read_parquet(args.wal)
+    m = apply_events(
+        table, events, epoch=args.epoch, mode=args.mode,
+        compact_after=args.compact_after,
+    )
+    print(json.dumps({"epoch": args.epoch, "committed_epochs": m["epochs"],
+                      "partitions": len(m.get("partitions", {}))}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_compact(args) -> int:
+    _init_ray()
+    import ray
+
+    from .cdc import LakeTable
+    from .cdc.apply import compact
+
+    m = compact(LakeTable(args.table), tag=args.tag)
+    print(json.dumps({"compactions": m.get("compactions", [])}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_run(args) -> int:
+    _init_ray()
+    import ray
+
+    from .runner import PipelineRunner
+
+    out = PipelineRunner.from_yaml(args.pipeline).run()
+    n = out.count() if out is not None else 0
+    print(json.dumps({"pipeline": args.pipeline, "output_rows": n}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_state(args) -> int:
+    _init_ray()
+    import ray
+
+    from .cdc import LakeTable, read_state
+
+    t = LakeTable(args.table)
+    ds = read_state(t, include_tombstones=args.tombstones)
+    print(json.dumps({"rows": ds.count(), "epochs": t.committed_epochs(),
+                      "levels": {str(k): len(v) for k, v in t.partition_map().items()}}))
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="docetl_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ap = sub.add_parser("apply", help="apply one WAL segment as an epoch")
+    ap.add_argument("--wal", required=True)
+    ap.add_argument("--table", required=True)
+    ap.add_argument("--epoch", type=int, required=True)
+    ap.add_argument("--mode", choices=["merge", "delta"], default="merge")
+    ap.add_argument("--num-partitions", type=int, default=64)
+    ap.add_argument("--compact-after", type=int, default=None)
+    ap.set_defaults(fn=cmd_apply)
+
+    cp = sub.add_parser("compact", help="fold delta levels")
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--tag", required=True)
+    cp.set_defaults(fn=cmd_compact)
+
+    rp = sub.add_parser("run", help="run a YAML pipeline")
+    rp.add_argument("pipeline")
+    rp.set_defaults(fn=cmd_run)
+
+    sp = sub.add_parser("state", help="inspect table state")
+    sp.add_argument("--table", required=True)
+    sp.add_argument("--tombstones", action="store_true")
+    sp.set_defaults(fn=cmd_state)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

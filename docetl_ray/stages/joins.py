@@ -25,6 +25,19 @@ import pandas as pd
 import pyarrow as pa
 
 
+_BCAST_CACHE: dict = {}
+
+
+def _broadcast_cache_get(ref):
+    """Per-worker-process cache for ray.put broadcast objects."""
+    import ray
+
+    key = ref.hex()
+    if key not in _BCAST_CACHE:
+        _BCAST_CACHE[key] = ray.get(ref)
+    return _BCAST_CACHE[key]
+
+
 def _as_arrow(obj) -> pa.Table:
     if isinstance(obj, pa.Table):
         return obj
@@ -63,30 +76,28 @@ def broadcast_join(
     small_df = _as_arrow(small).to_pandas()
     ref = ray.put(small_df)
 
-    class Probe:
-        __name__ = "broadcast_probe"
+    # stateless tasks + per-worker-process cache: ray.get of a ray.put
+    # object is zero-copy from the local object store and cached below,
+    # so the small side is deserialized once per worker, never per batch,
+    # and no actor-pool startup is paid.
+    def probe(batch: pa.Table) -> pa.Table:
+        small_side = _broadcast_cache_get(ref)
+        left = batch.to_pandas()
+        if how in ("semi", "anti"):
+            keyset = small_side[right_on].drop_duplicates()
+            keyset.columns = on
+            m = left.merge(keyset, on=on, how="left", indicator=True)
+            keep = m["_merge"] == ("both" if how == "semi" else "left_only")
+            out = m.loc[keep, list(left.columns)]
+        else:
+            right = _suffix_collisions(left, small_side, on, right_on)
+            out = left.merge(
+                right, left_on=on, right_on=right_on, how=how, sort=False
+            )
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-        def __init__(self):
-            self.small = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self.small is None:
-                self.small = ray.get(ref)
-            left = batch.to_pandas()
-            if how in ("semi", "anti"):
-                keyset = self.small[right_on].drop_duplicates()
-                keyset.columns = on
-                m = left.merge(keyset, on=on, how="left", indicator=True)
-                keep = m["_merge"] == ("both" if how == "semi" else "left_only")
-                out = m.loc[keep, list(left.columns)]
-            else:
-                right = _suffix_collisions(left, self.small, on, right_on)
-                out = left.merge(
-                    right, left_on=on, right_on=right_on, how=how, sort=False
-                )
-            return pa.Table.from_pandas(out, preserve_index=False)
-
-    return ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+    probe.__name__ = "broadcast_probe"
+    return ds.map_batches(probe, batch_format="pyarrow")
 
 
 def hash_join(
