@@ -428,6 +428,24 @@ def _q_ann_lsh(sf_dir):
     return ann_topk_lsh(emb, "embedding", "vec_id", queries, k=5, probe_flips=1)
 
 
+def _q_fuzzy_join(sf_dir):
+    import pyarrow.compute as pc
+
+    from docetl_ray.stages.fuzzy_join import fuzzy_join
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    left = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 250)), batch_format="pyarrow"
+    )
+    right = docs.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["doc_id"], 250)), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.rename_columns(["rdoc_id", "rtext"]), batch_format="pyarrow"
+    )
+    return fuzzy_join(left, right, left_text="text", right_text="rtext",
+                      left_id="doc_id", right_id="rdoc_id", threshold=0.8)
+
+
 def _q_multimodal_image(sf_dir):
     import pyarrow as pa
 
@@ -478,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_embedding_vectors": _q_top_embedding,
         # non-SQL-expressible (rows-only)
         "top_fts_documents": _q_top_fts,
+        "fuzzy_join_documents": _q_fuzzy_join,
         "cdc_flagship": _q_cdc_flagship,
         "gather_documents": _q_gather,
         "minhash_dedup_documents": _q_minhash_dedup,

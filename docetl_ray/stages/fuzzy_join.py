@@ -1,0 +1,156 @@
+"""Fuzzy (similarity) join: the deterministic recast of docetl's
+LLM-verified ``equijoin`` (SURVEY.md §2.1; reference
+``/root/reference/docetl/operations/equijoin.py``).
+
+The reference blocks candidate pairs (embedding cosine / eval'd
+conditions, ``equijoin.py:253-406``) and has an LLM confirm each pair;
+here blocking is MinHash-LSH over the join-text columns (same banding
+machinery as ``stages/dedup.py``) and confirmation is exact n-gram
+Jaccard ≥ threshold — deterministic and scalable:
+
+    left + right (side-tagged)
+      -> minhash bands per row      (map, vectorized)
+      -> ONE groupby on band bucket -> cross-side candidate pairs
+      -> exact-Jaccard verify + per-side match ``limits``
+      -> output joined rows (left cols + right cols, _right suffix)
+
+Per-side ``limits`` mirror ``equijoin.py:474-489`` (cap matches per
+left/right row, keeping the highest-similarity pairs deterministically).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .dedup import _perm_params, jaccard_ngram, minhash_signature
+
+
+def fuzzy_join(
+    left,
+    right,
+    *,
+    left_text: str,
+    right_text: str,
+    left_id: str,
+    right_id: str,
+    threshold: float = 0.5,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    limits: tuple[int | None, int | None] = (None, None),
+):
+    """Similarity join; returns Dataset of
+    ``(left_id, right_id, jaccard)`` pairs with exact n-gram Jaccard >=
+    threshold.  Join payload columns back with ``broadcast_join`` /
+    ``hash_join`` on the id columns."""
+    import ray
+
+    from .reduces import grouped_aggregate
+    from .util_ray import collect_small
+
+    rows_per_band = num_perm // bands
+    a, b = _perm_params(num_perm)
+
+    def bander(text_col, id_col, side):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_pylist()
+            out_bucket, out_id = [], []
+            for i, t in zip(ids, batch[text_col].to_pylist()):
+                sig = minhash_signature(t, a, b, shingle_k)
+                for bi in range(bands):
+                    chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
+                    out_bucket.append((bi << 32) | zlib.crc32(chunk.astype(np.int64).tobytes()))
+                    out_id.append(i)
+            n = len(out_id)
+            return pa.table(
+                {
+                    "bucket": pa.array(out_bucket, pa.int64()),
+                    "rid": pa.array(out_id),
+                    "side": pa.array([side] * n, pa.string()),
+                }
+            )
+
+        fn.__name__ = f"bands_{side}"
+        return fn
+
+    lb = left.map_batches(bander(left_text, left_id, "l"), batch_format="pyarrow")
+    rb = right.map_batches(bander(right_text, right_id, "r"), batch_format="pyarrow")
+
+    def cross_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ls = sorted(set(group.loc[group["side"] == "l", "rid"]))
+        rs = sorted(set(group.loc[group["side"] == "r", "rid"]))
+        if not ls or not rs:
+            return pd.DataFrame({"lid": [], "rid_": []})
+        la, ra = [], []
+        for x in ls:
+            for y in rs:
+                la.append(x)
+                ra.append(y)
+        return pd.DataFrame({"lid": la, "rid_": ra})
+
+    cand = (
+        lb.union(rb)
+        .repartition(32)
+        .groupby("bucket", num_partitions=32)
+        .map_groups(cross_pairs, batch_format="pandas")
+    )
+    uniq = grouped_aggregate(
+        cand.map_batches(
+            lambda t: t.append_column("_one", pa.array([1] * t.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        ),
+        ["lid", "rid_"],
+        [("_one", "count", "_n")],
+    )
+
+    # broadcast the (small-side-bounded) text maps for exact verification
+    ltexts = collect_small(left.select_columns([left_id, left_text]))
+    rtexts = collect_small(right.select_columns([right_id, right_text]))
+    lmap = dict(zip(ltexts[left_id].to_pylist(), ltexts[left_text].to_pylist()))
+    rmap = dict(zip(rtexts[right_id].to_pylist(), rtexts[right_text].to_pylist()))
+    ref = ray.put((lmap, rmap))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lm, rm = ray.get(ref)
+        ls = batch["lid"].to_pylist()
+        rs = batch["rid_"].to_pylist()
+        jac = [jaccard_ngram(lm[x] or "", rm[y] or "", shingle_k) for x, y in zip(ls, rs)]
+        out = pa.table(
+            {
+                left_id: batch["lid"],
+                right_id if right_id != left_id else f"{right_id}_right": batch["rid_"],
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        import pyarrow.compute as pc
+
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    verify.__name__ = "fuzzy_verify"
+    pairs = uniq.map_batches(verify, batch_format="pyarrow")
+
+    lim_l, lim_r = limits
+    if lim_l is None and lim_r is None:
+        return pairs
+
+    rid_col = right_id if right_id != left_id else f"{right_id}_right"
+
+    def cap(group: pd.DataFrame, key: str, n: int) -> pd.DataFrame:
+        return (
+            group.sort_values(["jaccard", key], ascending=[False, True], kind="mergesort")
+            .head(n)
+        )
+
+    if lim_l is not None:
+        pairs = pairs.groupby(left_id).map_groups(
+            lambda g: cap(g, rid_col, lim_l), batch_format="pandas"
+        )
+    if lim_r is not None:
+        pairs = pairs.groupby(rid_col).map_groups(
+            lambda g: cap(g, left_id, lim_r), batch_format="pandas"
+        )
+    return pairs
