@@ -76,22 +76,48 @@ class FakeDeterministicClient:
 class LLMMapStage:
     """Actor-pool stage for prompt ops.  ``__init__`` builds the client
     and cache once per actor; ``__call__`` renders + completes per row
-    within the batch (a real client would batch these calls)."""
+    within the batch (a real client would batch these calls).
+
+    ``validate``: list of Python expressions evaluated against ``output``
+    (reference ``operations/utils/validation.py:98-107``); on failure the
+    call is retried up to ``num_retries_on_validate_failure`` times with a
+    retry suffix appended to the prompt (mirrors the validation retry
+    loop, ``operations/utils/api.py:465-510``), then the last output is
+    kept with ``_validation_failed`` semantics (row dropped only if
+    ``drop_on_validation_failure``)."""
 
     __name__ = "llm_map"
 
-    def __init__(self, prompt: str, output_schema: dict, client_factory=None):
+    def __init__(self, prompt: str, output_schema: dict, client_factory=None,
+                 validate: list[str] | None = None,
+                 num_retries_on_validate_failure: int = 2):
         self.prompt = prompt
         self.schema = output_schema
         self.client = (client_factory or FakeDeterministicClient)()
         self.cache: dict[str, dict] = {}  # per-actor response cache
+        self.validate = validate or []
+        self.retries = num_retries_on_validate_failure
+
+    def _valid(self, output: dict) -> bool:
+        try:
+            return all(eval(expr, {"output": output}) for expr in self.validate)
+        except Exception:
+            return False
 
     def _complete_cached(self, rendered: str) -> dict:
         key = hashlib.md5(
             f"{self.client.model}|{rendered}|{json.dumps(self.schema, sort_keys=True)}".encode()
         ).hexdigest()
         if key not in self.cache:
-            self.cache[key] = self.client.complete(rendered, self.schema)
+            out = self.client.complete(rendered, self.schema)
+            if self.validate:
+                attempt = 0
+                while not self._valid(out) and attempt < self.retries:
+                    attempt += 1
+                    out = self.client.complete(
+                        f"{rendered}\n[validation retry {attempt}]", self.schema
+                    )
+            self.cache[key] = out
         return self.cache[key]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -110,10 +136,13 @@ class LLMMapStage:
 
 
 def llm_map(ds, prompt: str, output_schema: dict, *, drop_keys=None,
-            client_factory=None, concurrency=(1, 8), batch_size: int = 256):
+            client_factory=None, concurrency=(1, 8), batch_size: int = 256,
+            validate: list[str] | None = None,
+            num_retries_on_validate_failure: int = 2):
     out = ds.map_batches(
         LLMMapStage,
-        fn_constructor_args=(prompt, output_schema, client_factory),
+        fn_constructor_args=(prompt, output_schema, client_factory,
+                             validate, num_retries_on_validate_failure),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -203,3 +203,27 @@ def test_pandas_accessor():
     right = pd.DataFrame({"k": ["a", "b"], "label": ["first", "second"]})
     merged = df.semantic.merge(right, on="k")
     assert len(merged) == 4 and "label" in merged.columns
+
+
+def test_llm_map_validation_retry():
+    import ray.data as rd
+
+    from docetl_ray.stages.llm import llm_map, FakeDeterministicClient
+
+    calls = {"n": 0}
+
+    class CountingClient(FakeDeterministicClient):
+        def complete(self, prompt, schema):
+            calls["n"] += 1
+            return super().complete(prompt, schema)
+
+    t = pa.table({"text": ["alpha", "beta"]})
+    # impossible validation -> retries exhausted, output still produced
+    out = llm_map(rd.from_arrow(t), "P: {{ input.text }}", {"score": "int"},
+                  client_factory=CountingClient, concurrency=1,
+                  validate=["output['score'] > 1000"],  # scores are 0..99
+                  num_retries_on_validate_failure=2)
+    from docetl_ray.util import collect
+
+    res = collect(out)
+    assert res.num_rows == 2 and "score" in res.column_names
