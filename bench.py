@@ -105,8 +105,12 @@ def run_bench() -> dict:
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
         res = qfns[name](SF_DIR)
-        if hasattr(res, "materialize"):
-            res.materialize().count()
+        if hasattr(res, "iter_batches"):
+            # stream-consume: forces full execution (count() would let the
+            # optimizer prune work) without pinning results in the object
+            # store (materialize() starves later queries)
+            for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                pass
         qtimes[name] = round(time.perf_counter() - t0, 3)
 
     result = {

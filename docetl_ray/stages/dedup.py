@@ -28,6 +28,18 @@ import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
 
+_SIG_CACHE: dict = {}
+
+
+def _broadcast_sig_cache(ref):
+    """Per-worker-process cache for the broadcast signature map."""
+    import ray
+
+    key = ref.hex()
+    if key not in _SIG_CACHE:
+        _SIG_CACHE[key] = ray.get(ref)
+    return _SIG_CACHE[key]
+
 
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     rng = np.random.RandomState(seed)  # fixed seed: signatures are pinned
@@ -117,37 +129,46 @@ def minhash_candidates(
             {"bucket": pa.array(out_bucket, pa.int64()), id_col: pa.array(out_id)}
         )
 
-    banded = sig_ds.map_batches(band_rows, batch_format="pyarrow")
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch["bucket"].to_numpy(zero_copy_only=False) % 32).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
 
+    banded = sig_ds.map_batches(band_rows, batch_format="pyarrow").map_batches(
+        add_part, batch_format="pyarrow"
+    )
+
+    # ONE map_groups group per shuffle partition (not per bucket): a
+    # per-bucket map_groups pays ~ms pandas overhead per LSH bucket and
+    # there are ~#docs × bands buckets; grouping by `bucket % P` keeps
+    # whole buckets co-located while the per-bucket pair generation runs
+    # vectorized inside the task.
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        ids = sorted(set(group[id_col].tolist()))
+        g = group.drop_duplicates(subset=["bucket", id_col])
+        sizes = g.groupby("bucket")[id_col].agg(list)
         ia, ib = [], []
-        for x in range(len(ids)):
-            for y in range(x + 1, len(ids)):
-                ia.append(ids[x])
-                ib.append(ids[y])
+        for ids in sizes:
+            if len(ids) < 2:
+                continue
+            ids = sorted(ids)
+            for x in range(len(ids)):
+                for y in range(x + 1, len(ids)):
+                    ia.append(ids[x])
+                    ib.append(ids[y])
         return pd.DataFrame({"id_a": ia, "id_b": ib})
 
     cand = (
         banded.repartition(32)
-        .groupby("bucket", num_partitions=32)
+        .groupby("part", num_partitions=32)
         .map_groups(pairs, batch_format="pandas")
     )
-    # the same pair surfaces from several bands -> dedup before verifying
-    from .reduces import grouped_aggregate
 
-    uniq = grouped_aggregate(
-        cand.map_batches(
-            lambda t: t.append_column("_one", pa.array([1] * t.num_rows, pa.int8())),
-            batch_format="pyarrow",
-        ),
-        ["id_a", "id_b"],
-        [("_one", "count", "_n")],
-    )
-
-    # stage 2: broadcast the signature map, estimate Jaccard per pair
+    # stage 2: broadcast the signature map and estimate Jaccard per pair.
+    # Cross-band duplicate pairs are verified redundantly (bounded by the
+    # band count) and deduplicated AFTER the threshold filter — survivors
+    # are the near-dup set, tiny relative to the corpus, so the final
+    # dedup is a single coalesced pass instead of a keyed shuffle.  (If a
+    # workload ever produces a huge survivor set, swap the tail for
+    # ``grouped_aggregate(cand, ["id_a","id_b"], [("est_jaccard","max",...)])``.)
     import ray
 
     from .util_ray import collect_small
@@ -159,28 +180,35 @@ def minhash_candidates(
     }
     ref = ray.put(sig_map)
 
-    class Verify:
-        __name__ = "minhash_verify"
-
-        def __init__(self):
-            self.sigs = None
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self.sigs is None:
-                self.sigs = ray.get(ref)
-            ia = batch["id_a"].to_pylist()
-            ib = batch["id_b"].to_pylist()
-            est = [float(np.mean(self.sigs[x] == self.sigs[y])) for x, y in zip(ia, ib)]
-            out = pa.table(
-                {
-                    "id_a": batch["id_a"],
-                    "id_b": batch["id_b"],
-                    "est_jaccard": pa.array(est, pa.float64()),
-                }
+    def verify(batch: pa.Table) -> pa.Table:
+        sigs = _broadcast_sig_cache(ref)
+        ia = batch["id_a"].to_pylist()
+        ib = batch["id_b"].to_pylist()
+        if not ia:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                 "est_jaccard": pa.array([], pa.float64())}
             )
-            return out.filter(pa.compute.greater_equal(out["est_jaccard"], threshold))
+        sa = np.stack([sigs[x] for x in ia])
+        sb = np.stack([sigs[y] for y in ib])
+        est = (sa == sb).mean(axis=1)
+        out = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "est_jaccard": pa.array(est, pa.float64()),
+            }
+        )
+        return out.filter(pa.compute.greater_equal(out["est_jaccard"], threshold))
 
-    return uniq.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 8))
+    verify.__name__ = "minhash_verify"
+    survivors = cand.map_batches(verify, batch_format="pyarrow")
+
+    def dedup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.drop_duplicates(subset=["id_a", "id_b"], keep="first")
+
+    return survivors.repartition(1).map_batches(dedup_pairs, batch_format="pandas",
+                                                batch_size=None)
 
 
 def connected_components(edges: pa.Table, all_ids=None) -> dict:
@@ -190,6 +218,8 @@ def connected_components(edges: pa.Table, all_ids=None) -> dict:
     edge sets too big for one machine use iterative min-label propagation
     (distributed) instead — see module docstring.
     """
+    if edges.num_rows == 0 or "id_a" not in edges.column_names:
+        return {}
     parent: dict = {}
 
     def find(x):

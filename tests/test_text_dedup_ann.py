@@ -288,3 +288,18 @@ def test_multimodal_audio_frames():
     )
     assert out.num_rows == 4  # 4 frames for the non-null payload, 0 for null
     assert set(out["frame_no"].to_pylist()) == {0, 1, 2, 3}
+
+
+def test_minhash_dedup_edge_cases():
+    import ray.data as rd
+    from docetl_ray.stages.dedup import minhash_dedup
+
+    one = rd.from_arrow(pa.table({"doc_id": [1], "text": ["only document"]}))
+    out, cmap = minhash_dedup(one, "text", "doc_id")
+    assert _collect(out).num_rows == 1 and cmap == {}
+
+    same = rd.from_arrow(
+        pa.table({"doc_id": [1, 2, 3, 4], "text": ["same text body here"] * 4})
+    )
+    out2, _ = minhash_dedup(same, "text", "doc_id")
+    assert sorted(_collect(out2)["doc_id"].to_pylist()) == [1]
