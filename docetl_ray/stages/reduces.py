@@ -159,15 +159,21 @@ def code_reduce(
     from the first group row; ``counts_column`` emits the group size.
     """
 
-    def fn(group: pa.Table) -> pa.Table:
-        row = {k: group[k][0].as_py() for k in keys}
-        if pass_through:
-            for c in group.column_names:
-                if c not in keys:
-                    row.setdefault(c, group[c][0].as_py())
-        if counts_column:
-            row[counts_column] = group.num_rows
-        row.update(group_fn(group))
-        return pa.Table.from_pylist([row])
+    import pandas as pd
 
-    return ds.groupby(keys).map_groups(fn, batch_format="pyarrow")
+    def fn(g: pd.DataFrame) -> pd.DataFrame:
+        row = {k: g[k].iloc[0] for k in keys}
+        if pass_through:
+            for c in g.columns:
+                if c not in keys:
+                    row.setdefault(c, g[c].iloc[0])
+        if counts_column:
+            row[counts_column] = len(g)
+        row.update(group_fn(pa.Table.from_pandas(g, preserve_index=False)))
+        return pd.DataFrame([row])
+
+    from .grouped import grouped_map
+
+    # bucketed grouped execution: high-cardinality reduce keys would pay
+    # per-key task overhead under plain groupby().map_groups
+    return grouped_map(ds, keys, fn)

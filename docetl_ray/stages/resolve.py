@@ -130,4 +130,6 @@ def resolve_fuzzy(
         df[output_col] = [ids[uf.find(i)] for i in range(n)]
         return df
 
-    return ds.groupby(blocking_col).map_groups(per_block, batch_format="pandas")
+    from .grouped import grouped_map
+
+    return grouped_map(ds, blocking_col, per_block)

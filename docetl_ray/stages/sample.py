@@ -70,6 +70,9 @@ def sample_stratified(ds, stratify_cols, n_per_group: int, order_by):
     def head(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(order_by, kind="mergesort").head(n_per_group)
 
+    # stratify keys are categorical (low-cardinality) -> per-key
+    # map_groups is cheapest; high-cardinality grouped ops use
+    # stages/grouped.grouped_map instead
     return ds.groupby(stratify_cols).map_groups(head, batch_format="pandas")
 
 

@@ -167,4 +167,6 @@ def gather(
         group[f"{content_key}_rendered"] = rendered
         return group
 
-    return ds.groupby(doc_id_key).map_groups(render_group, batch_format="pandas")
+    from .grouped import grouped_map
+
+    return grouped_map(ds, doc_id_key, render_group)

@@ -83,4 +83,6 @@ def session_windows(
         out.insert(0, key_col, group[key_col].iloc[0])
         return out
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    from .grouped import grouped_map
+
+    return grouped_map(ds, key_col, per_key)
