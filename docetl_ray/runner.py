@@ -87,12 +87,19 @@ def _apply_op(ds, op: dict):
                        drop_keys=op.get("drop_keys"))
     if t in ("code_map",):
         fn = _exec_code(op["code"])
+        skip = op.get("on_error") == "skip"  # reference skip_on_error, map.py:490-511
 
         def code_fn(batch: pa.Table) -> pa.Table:
             rows = batch.to_pylist()
+            out_rows = []
             for r in rows:
-                r.update(fn(r) or {})
-            return pa.Table.from_pylist(rows)
+                try:
+                    r.update(fn(r) or {})
+                    out_rows.append(r)
+                except Exception:
+                    if not skip:
+                        raise
+            return pa.Table.from_pylist(out_rows)
 
         out = ds.map_batches(code_fn, batch_format="pyarrow")
         if op.get("drop_keys"):

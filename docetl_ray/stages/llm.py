@@ -90,13 +90,16 @@ class LLMMapStage:
 
     def __init__(self, prompt: str, output_schema: dict, client_factory=None,
                  validate: list[str] | None = None,
-                 num_retries_on_validate_failure: int = 2):
+                 num_retries_on_validate_failure: int = 2,
+                 observability: bool = False, op_name: str = "map"):
         self.prompt = prompt
         self.schema = output_schema
         self.client = (client_factory or FakeDeterministicClient)()
         self.cache: dict[str, dict] = {}  # per-actor response cache
         self.validate = validate or []
         self.retries = num_retries_on_validate_failure
+        self.observability = observability  # _observability_{op} column
+        self.op_name = op_name              # (reference map.py:415-419)
 
     def _valid(self, output: dict) -> bool:
         try:
@@ -122,8 +125,20 @@ class LLMMapStage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
-        outputs = [self._complete_cached(render_prompt(self.prompt, {"input": r})) for r in rows]
-        arrow_schema = dsl_schema(self.schema)
+        outputs = []
+        for r in rows:
+            rendered = render_prompt(self.prompt, {"input": r})
+            out = self._complete_cached(rendered)
+            if self.observability:
+                out = dict(out)
+                out[f"_observability_{self.op_name}"] = json.dumps(
+                    {"prompt": rendered, "model": self.client.model}
+                )
+            outputs.append(out)
+        schema_cols = dict(self.schema)
+        if self.observability:
+            schema_cols[f"_observability_{self.op_name}"] = "str"
+        arrow_schema = dsl_schema(schema_cols)
         for field in arrow_schema:
             vals = [o.get(field.name) for o in outputs]
             col = pa.array(vals).cast(field.type) if not pa.types.is_dictionary(field.type) \
@@ -138,11 +153,13 @@ class LLMMapStage:
 def llm_map(ds, prompt: str, output_schema: dict, *, drop_keys=None,
             client_factory=None, concurrency=(1, 8), batch_size: int = 256,
             validate: list[str] | None = None,
-            num_retries_on_validate_failure: int = 2):
+            num_retries_on_validate_failure: int = 2,
+            observability: bool = False, op_name: str = "map"):
     out = ds.map_batches(
         LLMMapStage,
         fn_constructor_args=(prompt, output_schema, client_factory,
-                             validate, num_retries_on_validate_failure),
+                             validate, num_retries_on_validate_failure,
+                             observability, op_name),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
