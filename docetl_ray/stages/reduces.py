@@ -151,12 +151,16 @@ def code_reduce(
     *,
     pass_through: bool = False,
     counts_column: str | None = None,
+    lineage_keys: list[str] | None = None,
+    lineage_column: str | None = None,
 ):
     """Arbitrary per-group UDF reduce (full shuffle — non-decomposable path).
 
     ``group_fn(group_table) -> dict`` of output values; the group keys are
     echoed into the output row.  ``pass_through`` copies non-key extras
-    from the first group row; ``counts_column`` emits the group size.
+    from the first group row; ``counts_column`` emits the group size;
+    ``lineage_keys`` emits ``lineage_column`` as the list of key-subdicts
+    of every group member (reference ``{op}_lineage``, reduce.py:359-368).
     """
 
     import pandas as pd
@@ -169,6 +173,11 @@ def code_reduce(
                     row.setdefault(c, g[c].iloc[0])
         if counts_column:
             row[counts_column] = len(g)
+        if lineage_keys:
+            row[lineage_column or "reduce_lineage"] = [
+                dict(zip(lineage_keys, vals))
+                for vals in g[lineage_keys].itertuples(index=False)
+            ]
         row.update(group_fn(pa.Table.from_pandas(g, preserve_index=False)))
         return pd.DataFrame([row])
 

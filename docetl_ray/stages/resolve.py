@@ -96,6 +96,8 @@ def resolve_fuzzy(
     id_col: str,
     output_col: str = "canonical_id",
     limit_comparisons: int | None = None,
+    overwrite_cols: list[str] | None = None,
+    kv_pairs_column: str | None = None,
 ):
     """Fuzzy entity resolution within blocks.
 
@@ -108,6 +110,12 @@ def resolve_fuzzy(
     The blocking column choice is the scalability contract: blocks must
     be small enough for O(b^2) comparison (the reference has the same
     property — blocking bounds its LLM pair budget).
+
+    ``overwrite_cols``: columns replaced by the cluster representative's
+    values (the reference's per-cluster resolution, resolve.py:597-756);
+    the originals are preserved as a list-of-dicts column
+    ``kv_pairs_column`` (reference ``_kv_pairs_preresolve_{op}``,
+    resolve.py:662-669).
     """
 
     def per_block(df: pd.DataFrame) -> pd.DataFrame:
@@ -127,7 +135,16 @@ def resolve_fuzzy(
             if done >= budget:
                 break
         ids = df[id_col].tolist()
-        df[output_col] = [ids[uf.find(i)] for i in range(n)]
+        roots = [uf.find(i) for i in range(n)]
+        df[output_col] = [ids[r] for r in roots]
+        if overwrite_cols:
+            if kv_pairs_column:
+                df[kv_pairs_column] = [
+                    {c: df[c].iloc[i] for c in overwrite_cols} for i in range(n)
+                ]
+            for c in overwrite_cols:
+                vals = df[c].tolist()
+                df[c] = [vals[r] for r in roots]
         return df
 
     from .grouped import grouped_map

@@ -338,3 +338,44 @@ def test_resolve_fuzzy_union_find():
     assert canon[0] == canon[1] == 1  # near-dups cluster to min id
     assert canon[2] == 3  # singleton keeps itself
     assert canon[3] == canon[4] == 4
+
+
+def test_code_reduce_lineage():
+    from docetl_ray.stages import code_reduce
+
+    ds = _read("orders", columns=["o_orderstatus", "o_orderkey", "o_totalprice"])
+    out = code_reduce(
+        ds,
+        ["o_orderstatus"],
+        lambda g: {"n": g.num_rows},
+        lineage_keys=["o_orderkey"],
+        lineage_column="reduce_lineage",
+    )
+    t = _to_arrow(out)
+    for r in t.to_pylist():
+        assert len(r["reduce_lineage"]) == r["n"]
+        assert all("o_orderkey" in d for d in r["reduce_lineage"])
+
+
+def test_resolve_fuzzy_overwrite_and_kv_pairs():
+    import ray.data as rd
+    from docetl_ray.stages.resolve import resolve_fuzzy
+
+    t = pa.table(
+        {
+            "id": [1, 2],
+            "block": ["b", "b"],
+            "text": ["patient takes metformin daily", "patient takes metformin every day"],
+        }
+    )
+    out = _to_arrow(
+        resolve_fuzzy(
+            rd.from_arrow(t), blocking_col="block", text_col="text",
+            threshold=0.5, id_col="id",
+            overwrite_cols=["text"], kv_pairs_column="_kv_pairs_preresolve_resolve",
+        )
+    ).sort_by([("id", "ascending")])
+    texts = out["text"].to_pylist()
+    assert texts[0] == texts[1] == "patient takes metformin daily"  # canonical
+    kv = out["_kv_pairs_preresolve_resolve"].to_pylist()
+    assert kv[1]["text"] == "patient takes metformin every day"  # original saved
