@@ -311,8 +311,18 @@ def apply_events(
             batch_format="pyarrow",
         )
     )
+    import time
+
+    t0 = time.perf_counter()
     lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows
-    m = table.commit(epoch, lineage)
+    metrics = {
+        "wall_sec": round(time.perf_counter() - t0, 3),
+        "mode": mode,
+        "partitions_touched": len(lineage),
+        "rows_written": int(sum(r["rows"] for r in lineage)),
+        "live_rows_written": int(sum(r["live_rows"] for r in lineage)),
+    }
+    m = table.commit(epoch, lineage, metrics=metrics)
     if mode == "delta" and compact_after:
         over = [
             pid for pid, paths in table.partition_map().items()

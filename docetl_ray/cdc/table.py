@@ -105,7 +105,10 @@ class LakeTable:
     def staging_file(self, epoch: int, pid: int) -> str:
         return os.path.join(self.staging_dir(epoch), f"part-{pid:05d}.parquet")
 
-    def commit(self, epoch: int, partition_records: list[dict[str, Any]]) -> dict[str, Any]:
+    def commit(
+        self, epoch: int, partition_records: list[dict[str, Any]],
+        metrics: dict[str, Any] | None = None,
+    ) -> dict[str, Any]:
         """Atomically publish an epoch.
 
         ``partition_records``: one lineage dict per *changed* partition:
@@ -143,6 +146,8 @@ class LakeTable:
         m["epoch"] = max(m["epoch"], epoch)
         m["epochs"] = sorted(set(m["epochs"]) | {epoch})
         m["num_partitions"] = self.num_partitions
+        if metrics is not None:
+            m.setdefault("epoch_metrics", {})[str(epoch)] = metrics
         return self._write_manifest(m)
 
     def commit_compaction(self, tag: str, partition_records: list[dict[str, Any]]) -> dict[str, Any]:

@@ -202,3 +202,14 @@ def test_resume_from_manifest_fresh_handle(tmp_path):
     apply_events(t2, rd.from_arrow(synth.events_table(1000, 1000)), epoch=1)
     oracle = replay_oracle(synth.events_table(0, 2000))
     _assert_state_matches(_engine_state(t2), oracle)
+
+
+def test_epoch_metrics_recorded(tmp_path):
+    import ray.data as rd
+
+    table = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    m = apply_events(table, rd.from_arrow(synth.events_table(0, 500)), epoch=0)
+    met = m["epoch_metrics"]["0"]
+    assert met["mode"] == "merge" and met["partitions_touched"] == 4
+    assert met["rows_written"] >= met["live_rows_written"] > 0
+    assert met["wall_sec"] > 0
