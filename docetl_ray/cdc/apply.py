@@ -267,9 +267,91 @@ class _ApplyPartition:
         )
 
 
+def _split_block(nparts: int, *blocks):
+    """Map side of the manual hash exchange: split a bundle of blocks into
+    nparts COMPACT per-partition tables.
+
+    Compactness matters: a sliced Arrow table pickles its FULL parent
+    buffers (measured: a 100-row slice of a 10 MB block serializes as
+    10 MB), which makes slice-based shuffles ship each block ~nparts
+    times — the reason Ray Data's sort shuffle degraded superlinearly on
+    payload-heavy rows here.  ``take`` materializes fresh buffers, so
+    each row is copied exactly once.
+    """
+    import pandas as pd
+
+    blocks = [
+        pa.Table.from_pandas(b, preserve_index=False) if isinstance(b, pd.DataFrame) else b
+        for b in blocks
+    ]
+    block = unify_tables(blocks) if len(blocks) > 1 else blocks[0]
+    n = block.num_rows
+    empty = block.slice(0, 0).combine_chunks()
+    if n == 0:
+        return [empty] * nparts if nparts > 1 else empty
+    idx = pc.sort_indices(block, sort_keys=[("part", "ascending")])
+    s = block.take(idx)
+    parts = s["part"].to_numpy(zero_copy_only=False)
+    out = []
+    lo = 0
+    for pid in range(nparts):
+        hi = int(np.searchsorted(parts, pid, side="right"))
+        if hi > lo:
+            out.append(s.take(pa.array(np.arange(lo, hi))))
+        else:
+            out.append(empty)
+        lo = hi
+    return out if nparts > 1 else out[0]
+
+
+def _reduce_partition(apply_obj, *shards):
+    """Reduce side: concat this partition's shards and run the merge."""
+    tables = [t for t in shards if t.num_rows > 0]
+    if not tables:
+        return None
+    group = unify_tables(tables)
+    return apply_obj(group).to_pylist()[0]
+
+
+def _exchange_and_apply(partial_ds, nparts: int, apply_obj) -> list[dict]:
+    """Manual two-phase hash exchange (map: split by part; reduce: merge).
+
+    Used instead of ``groupby().map_groups`` for the apply because Ray
+    Data's sort-based shuffle ships payload-heavy blocks superlinearly
+    (see ``_split_block``).  Data crosses the object store exactly once;
+    map inputs are released before the reduce phase starts (bounded peak
+    memory ~2x the combined winners)."""
+    import ray
+
+    block_refs = list(partial_ds.to_arrow_refs())
+    # bundle blocks so driver-side ref count is ~nparts x bundles, not
+    # nparts x blocks (33k refs at 256 blocks x 128 parts was a fixed
+    # ~seconds of coordination that capped scaling)
+    ncpus = int(ray.cluster_resources().get("CPU", 8))
+    nbundles = max(1, min(len(block_refs), ncpus * 2))
+    bundles = [block_refs[i::nbundles] for i in range(nbundles)]
+    bundles = [b for b in bundles if b]
+    split = ray.remote(num_returns=nparts)(_split_block)
+    split_rows = [split.remote(nparts, *bundle) for bundle in bundles]
+    if nparts == 1:
+        split_rows = [[r] for r in split_rows]
+    # wait for the split phase, then drop map inputs before reducing
+    flat = [r for row in split_rows for r in row]
+    ray.wait(flat, num_returns=len(flat), fetch_local=False)
+    del block_refs, partial_ds
+
+    reduce = ray.remote(_reduce_partition)
+    lineage_refs = [
+        reduce.remote(apply_obj, *[row[pid] for row in split_rows])
+        for pid in range(nparts)
+    ]
+    return [r for r in ray.get(lineage_refs) if r is not None]
+
+
 def apply_events(
     table: LakeTable, events, epoch: int, *, extract: bool = True,
     mode: str = "merge", compact_after: int | None = None,
+    exchange: str = "tasks",
 ) -> dict:
     """Apply one WAL segment (a Dataset of event rows) as one epoch.
 
@@ -294,27 +376,26 @@ def apply_events(
     part_map = table.partition_map()
     ref = ray.put(part_map)
 
-    # Ray's sort-based shuffle cost grows with map_blocks × reduce_partitions
-    # (measured: 258 blocks -> ~60 s for 1 GB vs ~10 s at 64 blocks), so
-    # coalesce the combined winners to ~num_partitions blocks and bound the
-    # reduce side explicitly before the exchange.
-    lineage_ds = (
-        events.map_batches(
-            partial_apply,
-            batch_format="pyarrow",
-            fn_kwargs={"num_partitions": nparts, "extract": extract},
-        )
-        .repartition(nparts)
-        .groupby("part", num_partitions=nparts)
-        .map_groups(
-            _ApplyPartition(ref, table.root, epoch, mode),
-            batch_format="pyarrow",
-        )
-    )
     import time
 
     t0 = time.perf_counter()
-    lineage = lineage_ds.take_all()  # tiny: <= num_partitions rows
+    partial_ds = events.map_batches(
+        partial_apply,
+        batch_format="pyarrow",
+        fn_kwargs={"num_partitions": nparts, "extract": extract},
+    )
+    applier = _ApplyPartition(ref, table.root, epoch, mode)
+    if exchange == "tasks":
+        lineage = _exchange_and_apply(partial_ds, nparts, applier)
+    else:
+        # Dataset-native fallback: coalesce map blocks + bound the reduce
+        # side (Ray's sort shuffle cost grows with blocks x partitions)
+        lineage = (
+            partial_ds.repartition(nparts)
+            .groupby("part", num_partitions=nparts)
+            .map_groups(applier, batch_format="pyarrow")
+            .take_all()
+        )
     metrics = {
         "wall_sec": round(time.perf_counter() - t0, 3),
         "mode": mode,
