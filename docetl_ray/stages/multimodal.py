@@ -98,6 +98,49 @@ class AudioFrameSampleStage:
         return out.append_column("frame_energy", pa.array(energy, pa.float64()))
 
 
+class VideoKeyframeStage:
+    """Actor-pool stage: sample keyframes from a video payload and emit
+    one row per keyframe with a feature vector (flat_map-shaped).
+
+    Stubbed decode (no ffmpeg here): ``fake=True`` derives deterministic
+    frame timestamps/features from the payload hash; ``fake=False``
+    raises at the decode call where a real ffmpeg/PyAV reader plugs in.
+    Batch sizing: video payloads are the widest rows — use small
+    ``batch_size`` (default 8) so batch x concurrency fits worker heap.
+    """
+
+    __name__ = "video_keyframes"
+
+    def __init__(self, *, num_keyframes: int = 3, dim: int = 8, fake: bool = True,
+                 bytes_col: str = "video"):
+        self.num_keyframes = num_keyframes
+        self.dim = dim
+        self.fake = fake
+        self.bytes_col = bytes_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("video decoding requires ffmpeg/PyAV")
+        idx, frame_ts, feats = [], [], []
+        for i, b in enumerate(batch[self.bytes_col].to_pylist()):
+            if not b:
+                continue
+            h = zlib.crc32(b)
+            dur = 1.0 + (h % 600)  # fake duration seconds
+            for f in range(self.num_keyframes):
+                idx.append(i)
+                frame_ts.append(dur * (f + 0.5) / self.num_keyframes)
+                x = np.uint64((h + f * 2654435761) or 1)
+                v = np.empty(self.dim, dtype=np.float32)
+                for d in range(self.dim):
+                    x = np.uint64((int(x) * 6364136223846793005 + 1442695040888963407) & (2**64 - 1))
+                    v[d] = (int(x) >> 33) / 2**31 - 1.0
+                feats.append(v.tolist())
+        out = batch.drop_columns([self.bytes_col]).take(pa.array(idx, pa.int64()))
+        out = out.append_column("keyframe_ts", pa.array(frame_ts, pa.float64()))
+        return out.append_column("keyframe_features", pa.array(feats, pa.list_(pa.float32())))
+
+
 def image_pipeline(ds, *, bytes_col: str = "image", concurrency=(1, 4), batch_size: int = 64):
     """Canonical multimodal wiring: small batches, actor pool, payload
     projected away as soon as features exist."""

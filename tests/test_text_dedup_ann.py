@@ -303,3 +303,19 @@ def test_minhash_dedup_edge_cases():
     )
     out2, _ = minhash_dedup(same, "text", "doc_id")
     assert sorted(_collect(out2)["doc_id"].to_pylist()) == [1]
+
+
+def test_multimodal_video_keyframes():
+    import ray.data as rd
+    from docetl_ray.stages.multimodal import VideoKeyframeStage
+
+    t = pa.table({"id": [1, 2], "video": pa.array([b"MP4fakepayload", None], pa.binary())})
+    out = _collect(
+        rd.from_arrow(t).map_batches(VideoKeyframeStage, batch_format="pyarrow",
+                                     batch_size=8, concurrency=1)
+    )
+    assert out.num_rows == 3  # 3 keyframes for the non-null payload
+    assert "video" not in out.column_names
+    assert all(len(f) == 8 for f in out["keyframe_features"].to_pylist())
+    ts = out["keyframe_ts"].to_pylist()
+    assert ts == sorted(ts) and all(v > 0 for v in ts)
