@@ -162,6 +162,15 @@ def lww_latest(ds, key_col: str, order_cols):
     return pre.groupby(key_col).map_groups(final, batch_format="pyarrow")
 
 
+def _atomic_write_parquet(t: pa.Table, path: str):
+    """Write-temp + rename so a task killed mid-write never leaves a
+    truncated file behind (Ray retries the task; the rename is atomic and
+    the rewrite is deterministic, so retries are safe)."""
+    tmp = f"{path}.tmp-{os.getpid()}"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+
+
 def _state_checksum(t: pa.Table) -> str:
     """Order-independent logical checksum of a partition state.
 
@@ -246,7 +255,7 @@ class _ApplyPartition:
         os.makedirs(staging_dir, exist_ok=True)
         fname = f"part-{pid:05d}.parquet"
         out = os.path.join(staging_dir, fname)
-        pq.write_table(merged, out)
+        _atomic_write_parquet(merged, out)
 
         live = int(pc.sum(pc.cast(pc.invert(merged["_deleted"]), pa.int64())).as_py() or 0)
         rel = os.path.join("epochs", f"epoch-{self.epoch:07d}", fname)
@@ -331,7 +340,12 @@ def _exchange_and_apply(partial_ds, nparts: int, apply_obj) -> list[dict]:
     nbundles = max(1, min(len(block_refs), ncpus * 2))
     bundles = [block_refs[i::nbundles] for i in range(nbundles)]
     bundles = [b for b in bundles if b]
-    split = ray.remote(num_returns=nparts)(_split_block)
+    # tasks are deterministic + idempotent (atomic file writes), so
+    # retrying application exceptions is safe; covers transient fs/oom
+    # hiccups in addition to Ray's default worker-crash retries
+    split = ray.remote(num_returns=nparts, max_retries=3, retry_exceptions=True)(
+        _split_block
+    )
     split_rows = [split.remote(nparts, *bundle) for bundle in bundles]
     if nparts == 1:
         split_rows = [[r] for r in split_rows]
@@ -340,7 +354,7 @@ def _exchange_and_apply(partial_ds, nparts: int, apply_obj) -> list[dict]:
     ray.wait(flat, num_returns=len(flat), fetch_local=False)
     del block_refs, partial_ds
 
-    reduce = ray.remote(_reduce_partition)
+    reduce = ray.remote(max_retries=3, retry_exceptions=True)(_reduce_partition)
     lineage_refs = [
         reduce.remote(apply_obj, *[row[pid] for row in split_rows])
         for pid in range(nparts)
@@ -414,15 +428,19 @@ def apply_events(
     return m
 
 
-def compact(table: LakeTable, *, tag: str, pids: list[int] | None = None) -> dict:
+def compact(
+    table: LakeTable, *, tag: str, pids: list[int] | None = None,
+    drop_tombstones_below_lsn: int | None = None,
+) -> dict:
     """Fold a partition's delta levels into one file (LSM compaction).
 
-    Tombstones are RETAINED in the compacted file: a delete must keep
-    suppressing older out-of-order events until the WAL guarantees no
-    event older than the tombstone can still arrive (tombstone GC is a
-    retention policy decision, recorded here as: never drop during
-    compaction).  Idempotent per ``tag``; distributed one task per
-    partition."""
+    Tombstones are RETAINED by default: a delete must keep suppressing
+    older out-of-order events until the WAL guarantees none older can
+    still arrive.  ``drop_tombstones_below_lsn`` is that guarantee made
+    explicit — a retention watermark: tombstones with ``lsn <`` it are
+    garbage-collected (the caller asserts the WAL will never replay an
+    event with a smaller lsn for those keys).  Idempotent per ``tag``;
+    distributed one task per partition."""
     import ray.data as rd
 
     pmap = table.partition_map()
@@ -443,9 +461,15 @@ def compact(table: LakeTable, *, tag: str, pids: list[int] | None = None) -> dic
             pid = int(row["pid"])
             tables = [pq.read_table(p) for p in row["paths"]]
             merged = lww_last_per_url(unify_tables(tables)).sort_by(STATE_SORT_KEYS)
+            if drop_tombstones_below_lsn is not None:
+                gc_mask = pc.and_(
+                    merged["_deleted"],
+                    pc.less(merged["lsn"], drop_tombstones_below_lsn),
+                )
+                merged = merged.filter(pc.invert(gc_mask))
             os.makedirs(os.path.join(root, cdir), exist_ok=True)
             fname = f"part-{pid:05d}.parquet"
-            pq.write_table(merged, os.path.join(root, cdir, fname))
+            _atomic_write_parquet(merged, os.path.join(root, cdir, fname))
             live = int(pc.sum(pc.cast(pc.invert(merged["_deleted"]), pa.int64())).as_py() or 0)
             out_rows.append(
                 {
