@@ -215,6 +215,27 @@ def _q_token_count(sf_dir):
     return token_count(docs, "text").select_columns(["doc_id", "n_tokens"])
 
 
+def _q_bpe_token_count(sf_dir):
+    from docetl_ray.stages.textops import bpe_token_count
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return bpe_token_count(docs, "text").select_columns(["doc_id", "n_bpe_tokens"])
+
+
+def _q_cdc_flagship_delta(sf_dir):
+    from docetl_ray.cdc import LakeTable, apply_events, read_state
+    from docetl_ray.cdc.apply import compact
+    from docetl_ray.pipelines import wal_from_documents
+
+    out = tempfile.mkdtemp(prefix="docetl_ray_delta_")
+    shutil.rmtree(out, ignore_errors=True)
+    table = LakeTable(out, num_partitions=16)
+    apply_events(table, wal_from_documents(sf_dir), epoch=0, mode="delta")
+    apply_events(table, wal_from_documents(sf_dir, copies=3), epoch=1, mode="delta")
+    compact(table, tag="q")
+    return read_state(table).drop_columns(["_deleted"])
+
+
 def _q_doc_stats(sf_dir):
     from docetl_ray.stages.textops import quality_score
 
@@ -482,6 +503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unnest_embeddings": _q_unnest_embeddings,
         "split_documents_tokens": _q_split_tokens,
         "token_count_documents": _q_token_count,
+        "bpe_token_count_documents": _q_bpe_token_count,
         "doc_stats": _q_doc_stats,
         "add_hash_id_documents": _q_add_hash_id,
         "distinct_segments": _q_distinct_segments,
@@ -495,6 +517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parallel_map_lineitem": _q_parallel_map,
         "top_embedding_vectors": _q_top_embedding,
         # non-SQL-expressible (rows-only)
+        "cdc_flagship_delta": _q_cdc_flagship_delta,
         "top_fts_documents": _q_top_fts,
         "fuzzy_join_documents": _q_fuzzy_join,
         "cdc_flagship": _q_cdc_flagship,
@@ -594,6 +617,13 @@ def oracle_sql() -> dict[str, str]:
         "token_count_documents": r"""
             SELECT doc_id,
                    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+            FROM documents
+        """,
+        "bpe_token_count_documents": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''s|''t|''re|''ve|''m|''ll|''d|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+'))
+                   AS n_bpe_tokens
             FROM documents
         """,
         "doc_stats": r"""

@@ -43,6 +43,27 @@ def token_count(ds, text_col: str, *, out_col: str = "n_tokens"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+#: GPT-2-style pre-tokenizer pattern (contractions, letter runs, digit
+#: runs, punctuation runs) — the deterministic "BPE-ish" token counter
+_BPE_RE = re.compile(r"'s|'t|'re|'ve|'m|'ll|'d|[A-Za-z]+|[0-9]+|[^\sA-Za-z0-9]+")
+
+
+def bpe_token_count(ds, text_col: str, *, out_col: str = "n_bpe_tokens"):
+    """BPE-ish token count via the GPT-2 pre-tokenizer regex (counts the
+    pre-merge word pieces; a real BPE would then merge within each piece,
+    so this upper-bounds and tracks true BPE counts).  Oracle SQL:
+    ``len(regexp_extract_all(text, '<pattern>'))``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        counts = [
+            len(_BPE_RE.findall(t)) if t is not None else 0
+            for t in batch[text_col].to_pylist()
+        ]
+        return batch.append_column(out_col, pa.array(counts, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def quality_score(ds, text_col: str):
     """Heuristic quality features + score (reference delegates quality
     judgments to LLM prompts; here pinned deterministic features):
