@@ -236,6 +236,15 @@ def _q_cdc_flagship_delta(sf_dir):
     return read_state(table).drop_columns(["_deleted"])
 
 
+def _q_text_ratios(sf_dir):
+    from docetl_ray.stages.textops import quality_score
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return quality_score(docs, "text").select_columns(
+        ["doc_id", "punct_ratio", "stopword_ratio", "mean_token_len"]
+    )
+
+
 def _q_doc_stats(sf_dir):
     from docetl_ray.stages.textops import quality_score
 
@@ -504,6 +513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "split_documents_tokens": _q_split_tokens,
         "token_count_documents": _q_token_count,
         "bpe_token_count_documents": _q_bpe_token_count,
+        "text_ratios_documents": _q_text_ratios,
         "doc_stats": _q_doc_stats,
         "add_hash_id_documents": _q_add_hash_id,
         "distinct_segments": _q_distinct_segments,
@@ -694,6 +704,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey DESC)
                         AS BIGINT) AS _rank
             FROM orders ORDER BY o_totalprice DESC, o_orderkey DESC LIMIT 10
+        """,
+        "text_ratios_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+              FROM documents)
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+                     / greatest(1, length(text)) AS punct_ratio,
+                   CAST(len(list_filter(t, x -> lower(x) IN
+                        ('the','and','of','to','in','is','that','it','with','for','was','this')))
+                        AS DOUBLE) / greatest(1, len(t)) AS stopword_ratio,
+                   CASE WHEN len(t) = 0 THEN 0.0
+                        ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+                   END AS mean_token_len
+            FROM toks
+        """,
+        "lang_id_documents": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     list_transform(regexp_extract_all(text, '[a-zA-Z]+'),
+                                    x -> lower(x))[1:2000] AS ws
+              FROM documents),
+            s AS (
+              SELECT doc_id, text,
+                len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','mit','ein','eine','zu','den','von'))) AS s_de,
+                len(list_filter(ws, x -> x IN ('the','and','of','to','in','is','that','it','with','for','was','this'))) AS s_en,
+                len(list_filter(ws, x -> x IN ('el','la','los','las','y','es','una','en','por','para','que','con'))) AS s_es,
+                len(list_filter(ws, x -> x IN ('le','la','les','et','est','une','des','du','dans','pour','que','pas'))) AS s_fr
+              FROM w)
+            SELECT doc_id,
+              CASE WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+                   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                   WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                   WHEN s_es >= s_fr THEN 'es'
+                   ELSE 'fr' END AS lang_pred
+            FROM s
+        """,
+        "cdc_flagship": """
+            WITH final AS (
+              SELECT doc_id, text, lang,
+                     doc_id*2 + 1 AS lsn,
+                     'https://docs.example/' || (doc_id % 997) || '/' || doc_id AS url,
+                     make_timestamp(1704067200000000 + (doc_id*2+1)*1000000) AS warc_ts,
+                     ((doc_id*2654435761 + 1) % 10 = 0) AS is_del
+              FROM documents)
+            SELECT lsn, url, warc_ts, lang, text || chr(10) || 'v1' AS text
+            FROM final WHERE NOT is_del
         """,
         "ann_topk_bruteforce": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
