@@ -231,7 +231,8 @@ def _q_cdc_flagship_delta(sf_dir):
     shutil.rmtree(out, ignore_errors=True)
     table = LakeTable(out, num_partitions=16)
     apply_events(table, wal_from_documents(sf_dir), epoch=0, mode="delta")
-    apply_events(table, wal_from_documents(sf_dir, copies=3), epoch=1, mode="delta")
+    apply_events(table, wal_from_documents(sf_dir, copies=3, lsn_base=1_000_000),
+                 epoch=1, mode="delta")
     compact(table, tag="q")
     return read_state(table).drop_columns(["_deleted"])
 
@@ -526,8 +527,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_topk_orders": _q_rank_topk_orders,
         "parallel_map_lineitem": _q_parallel_map,
         "top_embedding_vectors": _q_top_embedding,
-        # non-SQL-expressible (rows-only)
         "cdc_flagship_delta": _q_cdc_flagship_delta,
+        # non-SQL-expressible (rows-only)
         "top_fts_documents": _q_top_fts,
         "fuzzy_join_documents": _q_fuzzy_join,
         "cdc_flagship": _q_cdc_flagship,
@@ -742,6 +743,42 @@ def oracle_sql() -> dict[str, str]:
                    ELSE 'fr' END AS lang_pred
             FROM s
         """,
+        "gather_documents": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t,
+                     md5(text) AS sp_id
+              FROM documents),
+            chunks AS (
+              SELECT doc_id, sp_id, cn AS sp_chunk_num,
+                     array_to_string(t[(cn-1)*50+1 : cn*50], ' ') AS chunk
+              FROM toks, LATERAL (
+                SELECT unnest(range(1, greatest(1, CAST(ceil(len(t)/50.0) AS BIGINT)) + 1)) AS cn)),
+            w AS (
+              SELECT doc_id, sp_id, sp_chunk_num, chunk,
+                     lag(chunk)  OVER win AS prev_chunk,
+                     lead(chunk) OVER win AS next_chunk,
+                     sum(length(chunk)) OVER (PARTITION BY sp_id ORDER BY sp_chunk_num
+                                              ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) AS skip_before,
+                     sum(length(chunk)) OVER (PARTITION BY sp_id ORDER BY sp_chunk_num
+                                              ROWS BETWEEN 2 FOLLOWING AND UNBOUNDED FOLLOWING) AS skip_after
+              FROM chunks WINDOW win AS (PARTITION BY sp_id ORDER BY sp_chunk_num))
+            SELECT doc_id, sp_chunk_num,
+              concat_ws(chr(10),
+                CASE WHEN skip_before IS NOT NULL
+                     THEN '[... ' || skip_before || ' characters skipped ...]' END,
+                CASE WHEN prev_chunk IS NOT NULL
+                     THEN '--- Previous Chunk ' || (sp_chunk_num-1) || ' ---' END,
+                prev_chunk,
+                '--- Begin Main Chunk ---', chunk, '--- End Main Chunk ---',
+                CASE WHEN next_chunk IS NOT NULL
+                     THEN '--- Next Chunk ' || (sp_chunk_num+1) || ' ---' END,
+                next_chunk,
+                CASE WHEN skip_after IS NOT NULL
+                     THEN '[... ' || skip_after || ' characters skipped ...]' END
+              ) AS text_chunk_rendered
+            FROM w
+        """,
         "cdc_flagship": """
             WITH final AS (
               SELECT doc_id, text, lang,
@@ -751,6 +788,17 @@ def oracle_sql() -> dict[str, str]:
                      ((doc_id*2654435761 + 1) % 10 = 0) AS is_del
               FROM documents)
             SELECT lsn, url, warc_ts, lang, text || chr(10) || 'v1' AS text
+            FROM final WHERE NOT is_del
+        """,
+        "cdc_flagship_delta": """
+            WITH final AS (
+              SELECT doc_id, text, lang,
+                     1000000 + doc_id*3 + 2 AS lsn,
+                     'https://docs.example/' || (doc_id % 997) || '/' || doc_id AS url,
+                     make_timestamp(1704067200000000 + (1000000 + doc_id*3 + 2)*1000000) AS warc_ts,
+                     ((doc_id*2654435761 + 2) % 10 = 0) AS is_del
+              FROM documents)
+            SELECT lsn, url, warc_ts, lang, text || chr(10) || 'v2' AS text
             FROM final WHERE NOT is_del
         """,
         "ann_topk_bruteforce": """

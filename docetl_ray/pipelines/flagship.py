@@ -17,10 +17,13 @@ from ..cdc import LakeTable, apply_events, read_state
 BASE_TS_US = 1_704_067_200_000_000
 
 
-def wal_from_documents(sf_dir: str, *, copies: int = 2):
+def wal_from_documents(sf_dir: str, *, copies: int = 2, lsn_base: int = 0):
     """Events dataset derived from documents: each doc contributes
     ``copies`` events (insert then update/delete) keyed by a synthetic
-    url; op/timestamps are content-deterministic."""
+    url; op/timestamps are content-deterministic.  ``lsn_base`` offsets
+    the LSN range so segments from different calls never collide (a WAL's
+    LSNs are globally unique; two different events must never share
+    (url, warc_ts, lsn) or LWW is ill-defined)."""
     import ray.data as rd
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
@@ -33,7 +36,7 @@ def wal_from_documents(sf_dir: str, *, copies: int = 2):
         for i, t, lg in zip(ids, texts, langs):
             i = int(i)
             for c in range(copies):
-                ev_lsn = i * copies + c
+                ev_lsn = lsn_base + i * copies + c
                 is_del = c > 0 and (i * 2654435761 + c) % 10 == 0
                 lsn.append(ev_lsn)
                 op.append("delete" if is_del else ("insert" if c == 0 else "update"))
