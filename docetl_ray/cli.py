@@ -54,6 +54,21 @@ def cmd_apply(args) -> int:
     return 0
 
 
+def cmd_tail(args) -> int:
+    _init_ray()
+    import ray
+
+    from .cdc import LakeTable, tail
+
+    table = LakeTable(args.table, num_partitions=args.num_partitions)
+    applied = tail(table, args.wal, poll_seconds=args.poll,
+                   stop_after_idle=args.stop_after_idle, mode=args.mode)
+    print(json.dumps({"applied_segments": applied,
+                      "committed_epochs": table.committed_epochs()}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_compact(args) -> int:
     _init_ray()
     import ray
@@ -106,6 +121,15 @@ def main(argv=None) -> int:
     ap.add_argument("--num-partitions", type=int, default=64)
     ap.add_argument("--compact-after", type=int, default=None)
     ap.set_defaults(fn=cmd_apply)
+
+    tp = sub.add_parser("tail", help="tail a WAL directory of segments")
+    tp.add_argument("--wal", required=True)
+    tp.add_argument("--table", required=True)
+    tp.add_argument("--mode", choices=["merge", "delta"], default="delta")
+    tp.add_argument("--num-partitions", type=int, default=64)
+    tp.add_argument("--poll", type=float, default=1.0)
+    tp.add_argument("--stop-after-idle", type=int, default=3)
+    tp.set_defaults(fn=cmd_tail)
 
     cp = sub.add_parser("compact", help="fold delta levels")
     cp.add_argument("--table", required=True)
