@@ -85,4 +85,14 @@ def session_windows(
 
     from .grouped import grouped_map
 
-    return grouped_map(ds, key_col, per_key)
+    sessions = grouped_map(ds, key_col, per_key)
+
+    # the pandas path yields ns-precision timestamps; pin the canonical
+    # timestamp[us] schema (matches inputs and SQL oracles)
+    def fix(batch: pa.Table) -> pa.Table:
+        for c in ("session_start", "session_end"):
+            i = batch.column_names.index(c)
+            batch = batch.set_column(i, c, pc.cast(batch[c], pa.timestamp("us")))
+        return batch
+
+    return sessions.map_batches(fix, batch_format="pyarrow")
