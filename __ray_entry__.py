@@ -25,6 +25,24 @@ def _rp(sf_dir: str, name: str, columns=None):
     return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
+def _typed_table(ds):
+    """Materialize a (small, possibly empty) result Dataset into a pyarrow
+    Table that keeps its column types.  ``Dataset.to_pandas()`` on a
+    fully-filtered dataset yields a ZERO-COLUMN frame, which the driver's
+    schema compare then fails on 0-row results — pinning the Dataset's own
+    Arrow schema here preserves types regardless of row count."""
+    import pyarrow as pa
+
+    from docetl_ray.stages.joins import _ds_arrow_schema
+    from docetl_ray.stages.util_ray import collect_small
+
+    schema = _ds_arrow_schema(ds)
+    t = collect_small(ds)
+    if t.num_columns == 0:
+        return schema.empty_table()
+    return t.select(schema.names).cast(schema)
+
+
 def entry() -> Any:
     from docetl_ray.pipelines import cdc_flagship
 
@@ -133,7 +151,9 @@ def _q_join_anti(sf_dir):
 
     ds = _rp(sf_dir, "customer", ["c_custkey", "c_name"])
     orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
-    return broadcast_join(ds, orders, on="c_custkey", right_on="o_custkey", how="anti")
+    out = broadcast_join(ds, orders, on="c_custkey", right_on="o_custkey", how="anti")
+    # possibly-empty result: return a typed Arrow table (see _typed_table)
+    return _typed_table(out)
 
 
 def _q_topk_orders(sf_dir):
@@ -168,7 +188,8 @@ def _q_sample_custom(sf_dir):
     from docetl_ray.stages.sample import sample_custom
 
     ds = _rp(sf_dir, "nation", ["n_nationkey", "n_name"])
-    return sample_custom(ds, "n_name", ["FRANCE", "GERMANY", "JAPAN"])
+    # possibly-empty result: return a typed Arrow table (see _typed_table)
+    return _typed_table(sample_custom(ds, "n_name", ["FRANCE", "GERMANY", "JAPAN"]))
 
 
 def _q_sample_outliers(sf_dir):

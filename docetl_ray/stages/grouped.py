@@ -6,7 +6,8 @@ overhead.
 wall time when keys are high-cardinality (one group per document, per
 user, per LSH bucket...).  ``grouped_map`` instead:
 
-  1. adds ``_gbucket = crc32(key) % num_partitions``,
+  1. adds ``_gbucket = hash(key) % num_partitions`` (vectorized via
+     ``util_ray.bucket_codes`` — no per-row Python),
   2. shuffles ONCE on the bucket (``groupby("_gbucket",
      num_partitions=...)`` after a coalescing repartition),
   3. inside each bucket task, iterates the key-groups with pandas'
@@ -20,12 +21,12 @@ gather / session windows / stratified ops.
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Callable
 
-import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from .util_ray import bucket_codes
 
 
 def grouped_map(
@@ -39,17 +40,7 @@ def grouped_map(
     keys = [keys] if isinstance(keys, str) else list(keys)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        k = pc.cast(batch[keys[0]], pa.string()).to_pylist()
-        for c in keys[1:]:
-            nxt = pc.cast(batch[c], pa.string()).to_pylist()
-            k = [f"{a}|{b}" for a, b in zip(k, nxt)]
-        b = np.fromiter(
-            (zlib.crc32(str(x).encode()) % num_partitions for x in k),
-            dtype=np.int32,
-            count=len(k),
-        )
+        b = bucket_codes(batch, keys, num_partitions)
         return batch.append_column("_gbucket", pa.array(b, pa.int32()))
 
     def per_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:

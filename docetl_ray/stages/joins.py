@@ -14,16 +14,24 @@ analogous candidate-restriction step):
   buckets by tagging each side and bucketing through ONE groupby
   shuffle, then join matching buckets pairwise inside ``map_groups``.
   Key-collision suffixing mirrors ``equijoin.py:480-483``.
+
+SQL semantics pinned explicitly (they differ from pandas defaults):
+
+- NULL join keys never match (pandas ``merge`` matches NaN==NaN): the
+  build/right side drops null-key rows before the merge, so null-key
+  probe rows fall out of inner/semi, survive anti, and emit null-padded
+  in left joins — exactly SQL.
+- Output schema is computed ONCE from the input schemas and every batch
+  (including empty ones) is cast to it, so a 0-row result still carries
+  the correct column types end-to-end.
 """
 
 from __future__ import annotations
 
-import zlib
-
-import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .util_ray import bucket_codes
 
 _BCAST_CACHE: dict = {}
 
@@ -48,10 +56,37 @@ def _as_arrow(obj) -> pa.Table:
     return pa.concat_tables(ray.get(obj.to_arrow_refs()), promote_options="permissive")
 
 
-def _suffix_collisions(left: pd.DataFrame, right: pd.DataFrame, on_l, on_r):
-    """Rename right-side collision columns with _right (equijoin parity)."""
-    collide = (set(left.columns) & set(right.columns)) - set(on_l) - set(on_r)
-    return right.rename(columns={c: f"{c}_right" for c in collide})
+def _ds_arrow_schema(ds) -> pa.schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+
+
+def _drop_null_keys(df: pd.DataFrame, keys) -> pd.DataFrame:
+    """SQL: NULL = NULL is not true — null-key build rows never match."""
+    if not len(df):
+        return df
+    return df.dropna(subset=list(keys))
+
+
+def _join_out_schema(l_schema: pa.Schema, r_schema: pa.Schema, on, right_on, how):
+    """Output schema + right-side rename map (collision suffixing)."""
+    if how in ("semi", "anti"):
+        return l_schema, {}
+    left_cols = set(l_schema.names)
+    rename = {
+        c: f"{c}_right"
+        for c in r_schema.names
+        if c in left_cols and not (c in on and c in right_on)
+    }
+    fields = list(l_schema)
+    for n, t in zip(r_schema.names, r_schema.types):
+        out_name = rename.get(n, n)
+        if out_name not in left_cols:
+            fields.append(pa.field(out_name, t))
+    return pa.schema(fields), rename
 
 
 def broadcast_join(
@@ -73,7 +108,14 @@ def broadcast_join(
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
-    small_df = _as_arrow(small).to_pandas()
+    small_tbl = _as_arrow(small)
+    out_schema, rename = _join_out_schema(
+        _ds_arrow_schema(ds), small_tbl.schema, on, right_on, how
+    )
+    small_df = _drop_null_keys(small_tbl.to_pandas(), right_on)
+    if rename:
+        small_df = small_df.rename(columns=rename)
+    right_on_u = [rename.get(c, c) for c in right_on]
     ref = ray.put(small_df)
 
     # stateless tasks + per-worker-process cache: ray.get of a ray.put
@@ -84,17 +126,18 @@ def broadcast_join(
         small_side = _broadcast_cache_get(ref)
         left = batch.to_pandas()
         if how in ("semi", "anti"):
-            keyset = small_side[right_on].drop_duplicates()
+            keyset = small_side[right_on_u].drop_duplicates()
             keyset.columns = on
             m = left.merge(keyset, on=on, how="left", indicator=True)
             keep = m["_merge"] == ("both" if how == "semi" else "left_only")
             out = m.loc[keep, list(left.columns)]
         else:
-            right = _suffix_collisions(left, small_side, on, right_on)
             out = left.merge(
-                right, left_on=on, right_on=right_on, how=how, sort=False
+                small_side, left_on=on, right_on=right_on_u, how=how, sort=False
             )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out[out_schema.names], schema=out_schema, preserve_index=False
+        )
 
     probe.__name__ = "broadcast_probe"
     return ds.map_batches(probe, batch_format="pyarrow")
@@ -111,34 +154,25 @@ def hash_join(
 ):
     """Partitioned hash join of two large Datasets.
 
-    Adds ``__bucket = crc32(key) % B`` to both sides, tags them, unions,
-    and joins each bucket inside one ``map_groups`` task — a single
-    all-to-all exchange.  Skewed keys: raise ``num_buckets`` (splits
-    partitions); a single hot *key* must still colocate, so extreme heads
-    should be broadcast instead.
+    Adds ``__bucket = hash(key) % B`` (vectorized, no per-row Python) to
+    both sides, tags them, unions, and joins each bucket inside one
+    ``map_groups`` task — a single all-to-all exchange.  Skewed keys:
+    raise ``num_buckets`` (splits partitions); a single hot *key* must
+    still colocate, so extreme heads should be broadcast instead.
     """
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
 
-    l_schema, r_schema = left.schema(), right.schema()
-    left_cols = list(l_schema.names)
-    # rename right non-key columns colliding with left (equijoin parity)
-    rename = {
-        c: f"{c}_right"
-        for c in r_schema.names
-        if c in left_cols and not (c in on and c in right_on)
-    }
-    right_cols = [rename.get(c, c) for c in r_schema.names]
+    l_arrow = _ds_arrow_schema(left)
+    r_arrow = _ds_arrow_schema(right)
+    left_cols = list(l_arrow.names)
+    out_schema, rename = _join_out_schema(l_arrow, r_arrow, on, right_on, how)
+    right_cols = [rename.get(c, c) for c in r_arrow.names]
     right_on_u = [rename.get(c, c) for c in right_on]
-    # unified schema: left fields + right-only fields (null-padded per side)
-    l_arrow = pa.schema(
-        [pa.field(n, t) for n, t in zip(l_schema.names, l_schema.types)]
-    )
-    r_fields = {
-        rename.get(n, n): t for n, t in zip(r_schema.names, r_schema.types)
-    }
+    # wire schema for the unioned exchange: left fields + right-only fields
+    r_fields = {rename.get(n, n): t for n, t in zip(r_arrow.names, r_arrow.types)}
     unified = list(l_arrow) + [
         pa.field(n, t) for n, t in r_fields.items() if n not in left_cols
     ]
@@ -148,15 +182,13 @@ def hash_join(
         def fn(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            key = pc.cast(batch[key_cols[0]], pa.string()).to_pylist()
-            for c in key_cols[1:]:
-                nxt = pc.cast(batch[c], pa.string()).to_pylist()
-                key = [f"{a}|{b}" for a, b in zip(key, nxt)]
-            b = np.fromiter(
-                (zlib.crc32(str(k).encode()) % num_buckets for k in key),
-                dtype=np.int32,
-                count=len(key),
-            )
+            if side == "r":
+                # null build keys can never match any probe row
+                mask = pc.is_valid(batch[key_cols[0]])
+                for c in key_cols[1:]:
+                    mask = pc.and_(mask, pc.is_valid(batch[c]))
+                batch = batch.filter(mask)
+            b = bucket_codes(batch, key_cols, num_buckets)
             if side == "r":
                 batch = batch.rename_columns(
                     [rename.get(c, c) for c in batch.column_names]
@@ -195,7 +227,9 @@ def hash_join(
             out = m.loc[keep, list(l.columns)]
         else:
             out = l.merge(r, left_on=on, right_on=right_on_u, how=how, sort=False)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return pa.Table.from_pandas(
+            out[out_schema.names], schema=out_schema, preserve_index=False
+        )
 
     join_bucket.__name__ = "join_bucket"
     return (
