@@ -455,7 +455,11 @@ def _q_fingerprint(sf_dir):
     from docetl_ray.stages.textops import fingerprint
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
-    return fingerprint(docs, "text").select_columns(["doc_id", "fingerprint"])
+    # sql_parity: md5 gram hash + md5 set digest, exactly replicable in
+    # DuckDB (the fast path uses a vectorized polynomial hash instead)
+    return fingerprint(docs, "text", sql_parity=True).select_columns(
+        ["doc_id", "fingerprint"]
+    )
 
 
 def _q_resolve_fuzzy(sf_dir):
@@ -512,7 +516,22 @@ def _q_multimodal_image(sf_dir):
         )
 
     with_bytes = docs.map_batches(fake_payload, batch_format="pyarrow")
-    return image_pipeline(with_bytes, bytes_col="image")
+    feats = image_pipeline(with_bytes, bytes_col="image", sql_parity=True)
+
+    # project the list column to scalars for the driver's value-hash
+    # (element 0 + exact sum — the 12-bit feature mantissas sum exactly)
+    def digest(t: pa.Table) -> pa.Table:
+        vals = t["image_features"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "image_bytes_len": t["image_bytes_len"],
+                "feat0": pa.array([v[0] for v in vals], pa.float64()),
+                "feat_sum": pa.array([float(sum(v)) for v in vals], pa.float64()),
+            }
+        )
+
+    return feats.map_batches(digest, batch_format="pyarrow")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -832,5 +851,191 @@ def oracle_sql() -> dict[str, str]:
               FROM qn CROSS JOIN embeddings e)
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY score DESC, vec_id) <= 5
+        """,
+        # multimodal image stage, sql_parity fake decode: payload = first
+        # 256 utf-8 bytes of text (ASCII corpus, so SQL substr matches);
+        # feature i = (md5(payload || ':' || i) first-8-bytes % 4096)/4096
+        # — 12-bit mantissas, exact in both float64 paths
+        "multimodal_image_features": """
+            WITH f AS (
+              SELECT doc_id,
+                     least(length(text), 256) AS image_bytes_len,
+                     list_transform(range(0, 16), i ->
+                       CAST((('0x' || substr(md5(substr(text, 1, 256) || ':' || i), 1, 16))::UBIGINT
+                             % 4096) AS DOUBLE) / 4096.0
+                     ) AS image_features
+              FROM documents)
+            SELECT doc_id, image_bytes_len,
+                   image_features[1] AS feat0,
+                   list_sum(image_features) AS feat_sum
+            FROM f
+        """,
+        # fuzzy resolve: token-Jaccard >= 0.8 edges within source blocks,
+        # connected components via recursive reachability closure (UNION
+        # dedups, so it terminates), canonical = min id of the component
+        "resolve_fuzzy_documents": r"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id, source,
+                     unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ),
+            tokd AS (SELECT DISTINCT doc_id, source, w FROM tok),
+            sz AS (SELECT doc_id, count(*) AS n FROM tokd GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+              FROM tokd a JOIN tokd b
+                ON a.w = b.w AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            e0 AS (
+              SELECT ia, ib FROM inter
+              JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8
+            ),
+            edges AS (SELECT ia AS a, ib AS b FROM e0
+                      UNION ALL SELECT ib AS a, ia AS b FROM e0),
+            reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM documents
+              UNION
+              SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+        """,
+        # text_ratios plus the pinned quality score formula (same clip
+        # expressions, same evaluation order as the numpy implementation)
+        "quality_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, text,
+                     list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+              FROM documents),
+            feats AS (
+              SELECT doc_id,
+                     len(t) AS n_tok,
+                     CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE)
+                       / greatest(1, length(text)) AS punct_ratio,
+                     CAST(len(list_filter(t, x -> lower(x) IN
+                          ('the','and','of','to','in','is','that','it','with','for','was','this')))
+                          AS DOUBLE) / greatest(1, len(t)) AS stopword_ratio,
+                     CASE WHEN len(t) = 0 THEN 0.0
+                          ELSE CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / len(t)
+                     END AS mean_token_len
+              FROM toks)
+            SELECT doc_id, punct_ratio, stopword_ratio, mean_token_len,
+                   0.5 * (least(greatest(CAST(n_tok AS DOUBLE) / 50.0, 0), 1)
+                          * least(greatest((5000 - CAST(n_tok AS DOUBLE)) / 5000.0, 0), 1))
+                   + 0.25 * (1.0 - least(greatest(abs(punct_ratio - 0.02) * 20, 0), 1))
+                   + 0.25 * (1.0 - least(greatest(abs(mean_token_len - 5.0) / 5.0, 0), 1))
+                     AS quality
+            FROM feats
+        """,
+        # winnowing fingerprint, sql_parity mode: md5 char-5-gram hashes
+        # (lexicographic min == numeric min on the uint64 hex prefix),
+        # window-4 minima over fully-contained windows, md5 of the sorted
+        # comma-joined selected set
+        "fingerprint_documents": """
+            WITH pos AS (
+              SELECT doc_id, text, unnest(range(1, greatest(length(text) - 3, 2))) AS p
+              FROM documents),
+            g AS (
+              SELECT doc_id, p, substr(md5(substr(text, p, 5)), 1, 16) AS h
+              FROM pos),
+            wm AS (
+              SELECT doc_id, p,
+                     min(h) OVER (PARTITION BY doc_id ORDER BY p
+                                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+                     max(p) OVER (PARTITION BY doc_id) AS maxp
+              FROM g),
+            sel AS (
+              SELECT DISTINCT doc_id, mh FROM wm WHERE p <= maxp - 3
+              UNION
+              SELECT doc_id, min(h) AS mh FROM g GROUP BY doc_id HAVING max(p) < 4
+            )
+            SELECT doc_id, md5(string_agg(mh, ',' ORDER BY mh)) AS fingerprint
+            FROM sel GROUP BY doc_id
+        """,
+        # SimHash-64: md5-prefix token hashes, per-bit weighted votes,
+        # reassembled with two's-complement wrap to match the int64 output
+        "simhash_documents": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+              FROM documents),
+            th AS (
+              SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+              FROM toks),
+            bits AS (
+              SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, range(0, 64) AS b(b)
+              GROUP BY doc_id, b.b),
+            acc AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0
+                              THEN CAST(1::UBIGINT << b AS HUGEINT) ELSE 0 END) AS s
+              FROM bits GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(CASE WHEN coalesce(a.s, 0) >= 9223372036854775808
+                             THEN coalesce(a.s, 0) - 18446744073709551616
+                             ELSE coalesce(a.s, 0) END AS BIGINT) AS simhash
+            FROM documents d LEFT JOIN acc a ON a.doc_id = d.doc_id
+        """,
+        # BM25 (k1=1.5, b=0.75) over \w+ lowercased tokens — identical
+        # two-pass stats (query-term df + global avg doc length) in SQL
+        "top_fts_documents": """
+            WITH toks AS (
+              SELECT doc_id, lower(unnest(regexp_extract_all(text, '\\w+'))) AS w
+              FROM documents
+            ),
+            dl AS (SELECT doc_id, count(*) AS L FROM toks GROUP BY doc_id),
+            const AS (
+              SELECT (SELECT count(*) FROM documents) AS n_docs,
+                     (SELECT CAST(count(*) AS DOUBLE) FROM toks)
+                       / (SELECT count(*) FROM documents) AS avgl
+            ),
+            qdf AS (
+              SELECT w, count(DISTINCT doc_id) AS df FROM toks
+              WHERE w IN ('spark','window','merge') GROUP BY w
+            ),
+            idf AS (
+              SELECT w, ln(1 + ((SELECT n_docs FROM const) - df + 0.5) / (df + 0.5)) AS idf
+              FROM qdf
+            ),
+            tf AS (
+              SELECT doc_id, w, count(*) AS f FROM toks
+              WHERE w IN ('spark','window','merge') GROUP BY doc_id, w
+            ),
+            score AS (
+              SELECT tf.doc_id,
+                     sum(idf.idf * tf.f * (1.5 + 1)
+                         / (tf.f + 1.5 * (1 - 0.75 + 0.75 * dl.L / (SELECT avgl FROM const)))) AS s
+              FROM tf JOIN idf ON tf.w = idf.w JOIN dl ON dl.doc_id = tf.doc_id
+              GROUP BY tf.doc_id
+            )
+            SELECT doc_id FROM score
+            QUALIFY row_number() OVER (ORDER BY s DESC, doc_id) <= 20
+        """,
+        # exact char-5-gram Jaccard join: the engine's MinHash-LSH blocking
+        # plus exact verification equals the all-pairs SQL answer whenever
+        # LSH recall covers every >=threshold pair (miss prob <= (1-j)^64
+        # per pair at j>=0.8 — negligible; checked exact at sf0.01)
+        "fuzzy_join_documents": """
+            WITH sh0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(length(text) - 3, 2)),
+                                           p -> substr(text, p, 5))) AS s
+              FROM documents
+            ),
+            shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+            sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_id, b.doc_id AS rdoc_id, count(*) AS i
+              FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < 250 AND b.doc_id >= 250
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.doc_id, i.rdoc_id,
+                   CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+            FROM inter i
+            JOIN sz sa ON sa.doc_id = i.doc_id
+            JOIN sz sb ON sb.doc_id = i.rdoc_id
+            WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
         """,
     }

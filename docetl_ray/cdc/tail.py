@@ -1,9 +1,9 @@
 """WAL tailing: discover and apply new segment directories in order.
 
 A WAL producer writes each segment as a directory of parquet files named
-``segment-<seq>`` (zero-padded), finalized by a ``_COMMITTED`` marker
-(writers stage under another name and rename — the marker is the
-visibility barrier).  ``tail_once`` applies every committed segment the
+``segment-<seq>`` (zero-padded), containing a ``_COMMITTED`` marker
+(writers stage under a dot-name WITH the marker already inside, then
+``os.rename`` — the rename is the single atomic visibility barrier).  ``tail_once`` applies every committed segment the
 table hasn't seen yet, in sequence order, each as its own epoch
 (epoch id = segment sequence number, so replay detection is free);
 ``tail`` loops with a poll interval until ``stop_after_idle`` polls see
@@ -85,8 +85,18 @@ def write_segment(wal_root: str, seq: int, events_table) -> str:
 
     staging = os.path.join(wal_root, f".staging-segment-{seq:07d}")
     final = os.path.join(wal_root, f"segment-{seq:07d}")
-    os.makedirs(staging, exist_ok=True)
+    if os.path.exists(os.path.join(final, "_COMMITTED")):
+        return final  # idempotent producer retry
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)  # leftover from a crashed try
+    os.makedirs(staging)
     pq.write_table(events_table, os.path.join(staging, "part-00000.parquet"))
+    # marker goes INSIDE staging so the rename is the single atomic
+    # visibility barrier: a crash before the rename leaves only an
+    # invisible staging dir a retry clears; after, the segment is
+    # complete AND committed.  (Marker-after-rename would strand a
+    # committed-looking dir with no marker on crash between the two.)
+    open(os.path.join(staging, "_COMMITTED"), "w").close()
     os.rename(staging, final)
-    open(os.path.join(final, "_COMMITTED"), "w").close()
     return final

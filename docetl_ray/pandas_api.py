@@ -35,8 +35,10 @@ def _to_df(ds) -> pd.DataFrame:
 class SemanticAccessor:
     def __init__(self, df: pd.DataFrame):
         self._df = df
-        if not hasattr(df, "_docetl_history"):
-            self.history: list[dict] = []
+        # pandas builds a FRESH accessor per df.semantic access, so
+        # history must live on the DataFrame itself (df.attrs survives
+        # across accesses and shallow copies) — pd_accessors.py:102-147
+        self.history: list[dict] = df.attrs.setdefault("_docetl_history", [])
 
     def _record(self, op: str, **kw):
         self.history.append({"op": op, **kw})

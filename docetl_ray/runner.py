@@ -322,11 +322,19 @@ class PipelineRunner:
         the upstream chain is unchanged — reference runner.py:546-601)."""
         import ray.data as rd
 
+        import shutil
+
         h = _op_chain_hash(chain)
         d = os.path.join(self.config["checkpoint_dir"], step, f"{op_name}-{h}")
         marker = os.path.join(d, "_SUCCESS")
         if os.path.exists(marker):
             return rd.read_parquet(d)
-        ds.write_parquet(d)
-        open(marker, "w").close()
+        # stage + rename so a crashed prior attempt's partial files can
+        # never mix with (and duplicate) this attempt's output
+        staging = d + ".staging"
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(d, ignore_errors=True)
+        ds.write_parquet(staging)
+        open(os.path.join(staging, "_SUCCESS"), "w").close()
+        os.rename(staging, d)
         return rd.read_parquet(d)

@@ -11,8 +11,10 @@ Jaccard ≥ threshold — deterministic and scalable:
     left + right (side-tagged)
       -> minhash bands per row      (map, vectorized)
       -> ONE groupby on band bucket -> cross-side candidate pairs
+      -> texts routed TO the pairs by two keyed-shuffle hash joins
+         (never a whole-side broadcast — scales to corpora far larger
+         than driver memory)
       -> exact-Jaccard verify + per-side match ``limits``
-      -> output joined rows (left cols + right cols, _right suffix)
 
 Per-side ``limits`` mirror ``equijoin.py:474-489`` (cap matches per
 left/right row, keeping the highest-similarity pairs deterministically).
@@ -47,10 +49,7 @@ def fuzzy_join(
     ``(left_id, right_id, jaccard)`` pairs with exact n-gram Jaccard >=
     threshold.  Join payload columns back with ``broadcast_join`` /
     ``hash_join`` on the id columns."""
-    import ray
-
     from .reduces import grouped_aggregate
-    from .util_ray import collect_small
 
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm)
@@ -107,22 +106,34 @@ def fuzzy_join(
         [("_one", "count", "_n")],
     )
 
-    # broadcast the (small-side-bounded) text maps for exact verification
-    ltexts = collect_small(left.select_columns([left_id, left_text]))
-    rtexts = collect_small(right.select_columns([right_id, right_text]))
-    lmap = dict(zip(ltexts[left_id].to_pylist(), ltexts[left_text].to_pylist()))
-    rmap = dict(zip(rtexts[right_id].to_pylist(), rtexts[right_text].to_pylist()))
-    ref = ray.put((lmap, rmap))
+    # Route each side's text TO its candidate pairs with a keyed-shuffle
+    # hash join (pairs are sparse; texts ship through the exchange once
+    # per side — no whole-corpus driver materialization or broadcast).
+    from .joins import hash_join
+
+    def _proj(ds_side, id_col, text_col, id_out, text_out):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({id_out: batch[id_col], text_out: batch[text_col]})
+
+        fn.__name__ = f"project_{id_out}"
+        return ds_side.map_batches(fn, batch_format="pyarrow")
+
+    lt = _proj(left, left_id, left_text, "_jl_id", "_jl_text")
+    rt = _proj(right, right_id, right_text, "_jr_id", "_jr_text")
+    with_l = hash_join(uniq, lt, on="lid", right_on="_jl_id")
+    with_lr = hash_join(with_l, rt, on="rid_", right_on="_jr_id")
+
+    rid_out = right_id if right_id != left_id else f"{right_id}_right"
 
     def verify(batch: pa.Table) -> pa.Table:
-        lm, rm = ray.get(ref)
-        ls = batch["lid"].to_pylist()
-        rs = batch["rid_"].to_pylist()
-        jac = [jaccard_ngram(lm[x] or "", rm[y] or "", shingle_k) for x, y in zip(ls, rs)]
+        jac = [
+            jaccard_ngram(a or "", b or "", shingle_k)
+            for a, b in zip(batch["_jl_text"].to_pylist(), batch["_jr_text"].to_pylist())
+        ]
         out = pa.table(
             {
                 left_id: batch["lid"],
-                right_id if right_id != left_id else f"{right_id}_right": batch["rid_"],
+                rid_out: batch["rid_"],
                 "jaccard": pa.array(jac, pa.float64()),
             }
         )
@@ -131,7 +142,7 @@ def fuzzy_join(
         return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
     verify.__name__ = "fuzzy_verify"
-    pairs = uniq.map_batches(verify, batch_format="pyarrow")
+    pairs = with_lr.map_batches(verify, batch_format="pyarrow")
 
     lim_l, lim_r = limits
     if lim_l is None and lim_r is None:

@@ -36,20 +36,35 @@ class ImageFeatureStage:
 
     __name__ = "image_features"
 
-    def __init__(self, *, dim: int = 16, fake: bool = True, bytes_col: str = "image"):
+    def __init__(self, *, dim: int = 16, fake: bool = True, bytes_col: str = "image",
+                 sql_parity: bool = False):
         self.dim = dim
         self.fake = fake
         self.bytes_col = bytes_col
+        # sql_parity: md5-derived float64 features with 12-bit mantissas,
+        # exactly replicable in DuckDB for the correctness oracle
+        self.sql_parity = sql_parity
         # real impl would load the decoder/model here, once per actor
 
     def _decode(self, payload: bytes | None) -> np.ndarray:
+        dtype = np.float64 if self.sql_parity else np.float32
         if payload is None:
-            return np.zeros(self.dim, dtype=np.float32)
+            return np.zeros(self.dim, dtype=dtype)
         if not self.fake:
             raise NotImplementedError(
                 "image decoding requires PIL/cv2, not present in this "
                 "environment; plug the real decoder here"
             )
+        if self.sql_parity:
+            import hashlib
+
+            vals = np.empty(self.dim, dtype=np.float64)
+            for i in range(self.dim):
+                h = int.from_bytes(
+                    hashlib.md5(payload + b":" + str(i).encode()).digest()[:8], "big"
+                )
+                vals[i] = (h % 4096) / 4096.0
+            return vals
         # deterministic fake: crc32-seeded feature vector
         h = zlib.crc32(payload)
         vals = np.empty(self.dim, dtype=np.float32)
@@ -62,9 +77,10 @@ class ImageFeatureStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         feats = [self._decode(b).tolist() for b in batch[self.bytes_col].to_pylist()]
         sizes = [len(b) if b is not None else 0 for b in batch[self.bytes_col].to_pylist()]
+        ftype = pa.list_(pa.float64() if self.sql_parity else pa.float32())
         out = batch.drop_columns([self.bytes_col])  # project the payload away early
         out = out.append_column("image_bytes_len", pa.array(sizes, pa.int64()))
-        return out.append_column("image_features", pa.array(feats, pa.list_(pa.float32())))
+        return out.append_column("image_features", pa.array(feats, ftype))
 
 
 class AudioFrameSampleStage:
@@ -141,12 +157,13 @@ class VideoKeyframeStage:
         return out.append_column("keyframe_features", pa.array(feats, pa.list_(pa.float32())))
 
 
-def image_pipeline(ds, *, bytes_col: str = "image", concurrency=(1, 4), batch_size: int = 64):
+def image_pipeline(ds, *, bytes_col: str = "image", concurrency=(1, 4),
+                   batch_size: int = 64, sql_parity: bool = False):
     """Canonical multimodal wiring: small batches, actor pool, payload
     projected away as soon as features exist."""
     return ds.map_batches(
         ImageFeatureStage,
-        fn_constructor_kwargs={"bytes_col": bytes_col},
+        fn_constructor_kwargs={"bytes_col": bytes_col, "sql_parity": sql_parity},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

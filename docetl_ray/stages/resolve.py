@@ -122,7 +122,9 @@ def resolve_fuzzy(
         df = df.sort_values(id_col, kind="mergesort").reset_index(drop=True)
         n = len(df)
         uf = _UnionFind(n)
-        texts = df[text_col].tolist()
+        # null text never matches anything but must not crash the block
+        texts = ["" if t is None or t is pd.NA or (isinstance(t, float) and pd.isna(t))
+                 else str(t) for t in df[text_col]]
         budget = limit_comparisons if limit_comparisons is not None else n * n
         done = 0
         for i in range(n):

@@ -134,30 +134,63 @@ def lang_id(ds, text_col: str, *, out_col: str = "lang_pred"):
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
-def fingerprint(
-    ds, text_col: str, *, out_col: str = "fingerprint", k: int = 5, window: int = 4
-):
-    """Winnowing document fingerprint: rolling crc32 over char ``k``-grams,
-    min in each sliding ``window``, set of selected hashes -> one stable
-    64-bit hex digest.  Robust to small edits; deterministic."""
+_FNV_PRIME = np.uint64(1099511628211)
 
-    def fp(t: str) -> str:
-        t = t or ""
-        if len(t) < k:
-            return f"{zlib.crc32(t.encode('utf-8')) :016x}"
-        grams = np.fromiter(
-            (zlib.crc32(t[i : i + k].encode("utf-8")) for i in range(len(t) - k + 1)),
-            dtype=np.uint64,
-        )
+
+def fingerprint(
+    ds, text_col: str, *, out_col: str = "fingerprint", k: int = 5, window: int = 4,
+    sql_parity: bool = False,
+):
+    """Winnowing document fingerprint: hash every char ``k``-gram, take the
+    min in each sliding ``window`` of gram hashes, digest the selected-hash
+    set.  Robust to small edits; deterministic.
+
+    Default (fast) mode: vectorized polynomial rolling hash over the UTF-8
+    bytes (numpy sliding windows — no per-gram Python) + an FNV fold of
+    the sorted selected hashes.  ``sql_parity=True`` switches the gram
+    hash to ``substr(md5(gram), 1, 16)`` (compared lexicographically —
+    equivalent to numeric order on the uint64 prefix) and the digest to
+    ``md5(string_agg(h, ',' ORDER BY h))``, both exactly expressible in
+    DuckDB for the correctness oracle; same winnowing structure, slower
+    constant factor."""
+    import hashlib
+
+    def fp_fast(t: str) -> str:
+        b = (t or "").encode("utf-8")
+        if len(b) < k:
+            return f"{zlib.crc32(b):016x}"
+        arr = np.frombuffer(b, dtype=np.uint8).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            w = _FNV_PRIME ** np.arange(k, dtype=np.uint64)  # wraps mod 2^64
+            grams = (np.lib.stride_tricks.sliding_window_view(arr, k) * w).sum(
+                axis=1, dtype=np.uint64
+            )
         if len(grams) <= window:
             sel = {int(grams.min())}
         else:
-            w = np.lib.stride_tricks.sliding_window_view(grams, window)
-            sel = set(w.min(axis=1).tolist())
+            sw = np.lib.stride_tricks.sliding_window_view(grams, window)
+            sel = set(sw.min(axis=1).tolist())
         acc = np.uint64(1469598103934665603)
         for h in sorted(sel):
             acc = np.uint64((int(acc) ^ h) * 1099511628211 & 0xFFFFFFFFFFFFFFFF)
         return f"{int(acc):016x}"
+
+    def fp_sql(t: str) -> str:
+        t = t or ""
+        if len(t) < k:
+            grams = [hashlib.md5(t.encode("utf-8")).hexdigest()[:16]]
+        else:
+            grams = [
+                hashlib.md5(t[i : i + k].encode("utf-8")).hexdigest()[:16]
+                for i in range(len(t) - k + 1)
+            ]
+        if len(grams) <= window:
+            sel = {min(grams)}
+        else:
+            sel = {min(grams[i : i + window]) for i in range(len(grams) - window + 1)}
+        return hashlib.md5(",".join(sorted(sel)).encode("utf-8")).hexdigest()
+
+    fp = fp_sql if sql_parity else fp_fast
 
     def fn(batch: pa.Table) -> pa.Table:
         return batch.append_column(
