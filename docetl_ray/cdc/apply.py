@@ -150,16 +150,34 @@ def lww_latest(ds, key_col: str, order_cols):
     ORDER BY o1 DESC, o2 DESC) = 1``.
     """
     order_cols = [order_cols] if isinstance(order_cols, str) else list(order_cols)
+    from ..stages.util_ray import bucket_codes
+
+    num_buckets = 32
 
     def partial(batch: pa.Table) -> pa.Table:
-        return last_per_key(batch, key_col, order_cols)
+        # strip schema metadata so every batch carries the IDENTICAL
+        # schema object (pandas-origin metadata made Ray's schema dedup
+        # warn "Failed to hash the schemas" per batch)
+        w = last_per_key(batch.replace_schema_metadata(None), key_col, order_cols)
+        b = bucket_codes(w, key_col, num_buckets)
+        return w.append_column("_kbucket", pa.array(b, pa.int32()))
 
     def final(group: pa.Table) -> pa.Table:
-        return last_per_key(group, key_col, order_cols)
+        # whole-bucket LWW in one vectorized sort+filter — NOT per distinct
+        # key: groupby(key).map_groups pays ~ms of task/pandas overhead per
+        # key, which dominates on high-cardinality keys
+        return last_per_key(
+            group.drop_columns(["_kbucket"]).replace_schema_metadata(None),
+            key_col,
+            order_cols,
+        )
 
     final.__name__ = "lww_final"
     pre = ds.map_batches(partial, batch_format="pyarrow")
-    return pre.groupby(key_col).map_groups(final, batch_format="pyarrow")
+    return (
+        pre.groupby("_kbucket", num_partitions=num_buckets)
+        .map_groups(final, batch_format="pyarrow")
+    )
 
 
 def _atomic_write_parquet(t: pa.Table, path: str):
@@ -174,23 +192,29 @@ def _atomic_write_parquet(t: pa.Table, path: str):
 def _state_checksum(t: pa.Table) -> str:
     """Order-independent logical checksum of a partition state.
 
-    Sum of per-row crc32 over (url, lsn, warc_ts_us, deleted, crc32(text))
-    — deterministic, chunking- and file-format-independent.
+    uint64 sum of vectorized per-row hashes over (url, lsn, warc_ts_us,
+    deleted, text-null-flag, text) — deterministic (fixed-key C siphash
+    via ``hash_pandas_object``), chunking- and file-format-independent,
+    no per-row Python.  Rides the write path of EVERY epoch, so it must
+    stay O(columns) vectorized work, not O(rows) interpreter work.
     """
     if t.num_rows == 0:
         return "0"
-    urls = t["url"].to_numpy(zero_copy_only=False)
-    lsns = t["lsn"].to_numpy(zero_copy_only=False)
-    ts = t["warc_ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-    dead = t["_deleted"].to_numpy(zero_copy_only=False)
-    texts = t["text"].to_numpy(zero_copy_only=False)
-    total = 0
-    for u, l, s, d, x in zip(urls, lsns, ts, dead, texts):
-        row = f"{u}|{l}|{s}|{int(bool(d))}|".encode()
-        c = zlib.crc32(row)
-        if x is not None:
-            c = zlib.crc32(x.encode("utf-8"), c)
-        total = (total + c) & 0xFFFFFFFFFFFFFFFF
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {
+            "url": t["url"].to_pandas(),
+            "lsn": t["lsn"].to_pandas(),
+            "ts": t["warc_ts"].cast(pa.int64()).to_pandas(),
+            "dead": t["_deleted"].cast(pa.int8()).to_pandas(),
+            "tnull": pc.is_null(t["text"]).cast(pa.int8()).to_pandas(),
+            "text": t["text"].to_pandas().fillna(""),
+        }
+    )
+    h = pd.util.hash_pandas_object(df, index=False).to_numpy()
+    with np.errstate(over="ignore"):
+        total = int(h.sum(dtype=np.uint64))
     return hashlib.md5(f"{t.num_rows}:{total}".encode()).hexdigest()
 
 

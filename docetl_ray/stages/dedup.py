@@ -14,8 +14,10 @@ shuffle-consciously:
 
 Connected components: candidate edges after thresholding are a tiny
 fraction of the corpus, so components run on the driver's union-find by
-default; ``cc_rounds`` switches to distributed min-label propagation
-(each round = one groupby shuffle) when edge volume is itself large.
+default; ``distributed=True`` switches to
+``connected_components_distributed`` — min-label propagation where each
+round is one keyed-shuffle join + one partial-combined grouped min —
+when the edge set is itself too large for one machine.
 """
 
 from __future__ import annotations
@@ -88,11 +90,18 @@ def minhash_candidates(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    verify: str = "broadcast",
 ):
     """MinHash+LSH candidate pairs with signature-estimated Jaccard.
 
     Returns a Dataset of ``(id_a, id_b, est_jaccard)`` rows with
     ``est_jaccard >= threshold`` (id_a < id_b, deduplicated).
+
+    ``verify="broadcast"`` ships the id->signature map once via
+    ``ray.put`` (right up to ~10M docs at 64 perms ≈ 5 GB);
+    ``verify="shuffle"`` instead routes signatures TO the candidate
+    pairs with two keyed-shuffle hash joins — no driver materialization,
+    the 100-TB path.
     """
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm)
@@ -162,53 +171,88 @@ def minhash_candidates(
         .map_groups(pairs, batch_format="pandas")
     )
 
-    # stage 2: broadcast the signature map and estimate Jaccard per pair.
-    # Cross-band duplicate pairs are verified redundantly (bounded by the
-    # band count) and deduplicated AFTER the threshold filter — survivors
-    # are the near-dup set, tiny relative to the corpus, so the final
-    # dedup is a single coalesced pass instead of a keyed shuffle.  (If a
-    # workload ever produces a huge survivor set, swap the tail for
-    # ``grouped_aggregate(cand, ["id_a","id_b"], [("est_jaccard","max",...)])``.)
-    import ray
+    # stage 2: estimate Jaccard per candidate pair from the signatures.
+    if verify == "shuffle":
+        # keyed-shuffle verify: hash-join the signature table onto the
+        # pairs (twice) — never materializes the sig map on the driver
+        from .joins import hash_join
 
-    from .util_ray import collect_small
+        def ren(suffix):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {f"_sid{suffix}": batch[id_col], f"_sig{suffix}": batch["_sig"]}
+                )
 
-    sig_small = collect_small(sig_ds)
-    sig_map = {
-        i: np.asarray(s, dtype=np.int64)
-        for i, s in zip(sig_small[id_col].to_pylist(), sig_small["_sig"].to_pylist())
-    }
-    ref = ray.put(sig_map)
+            fn.__name__ = f"sig{suffix}"
+            return fn
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sigs = _broadcast_sig_cache(ref)
-        ia = batch["id_a"].to_pylist()
-        ib = batch["id_b"].to_pylist()
-        if not ia:
-            return pa.table(
-                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                 "est_jaccard": pa.array([], pa.float64())}
+        with_a = hash_join(cand, sig_ds.map_batches(ren("a"), batch_format="pyarrow"),
+                           on="id_a", right_on="_sida")
+        with_ab = hash_join(with_a, sig_ds.map_batches(ren("b"), batch_format="pyarrow"),
+                            on="id_b", right_on="_sidb")
+
+        def est_pair(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                     "est_jaccard": pa.array([], pa.float64())}
+                )
+            sa = np.asarray(batch["_siga"].to_pylist(), dtype=np.int64)
+            sb = np.asarray(batch["_sigb"].to_pylist(), dtype=np.int64)
+            est = (sa == sb).mean(axis=1)
+            out = pa.table(
+                {"id_a": batch["id_a"], "id_b": batch["id_b"],
+                 "est_jaccard": pa.array(est, pa.float64())}
             )
-        sa = np.stack([sigs[x] for x in ia])
-        sb = np.stack([sigs[y] for y in ib])
-        est = (sa == sb).mean(axis=1)
-        out = pa.table(
-            {
-                "id_a": batch["id_a"],
-                "id_b": batch["id_b"],
-                "est_jaccard": pa.array(est, pa.float64()),
-            }
-        )
-        return out.filter(pa.compute.greater_equal(out["est_jaccard"], threshold))
+            return out.filter(pa.compute.greater_equal(out["est_jaccard"], threshold))
 
-    verify.__name__ = "minhash_verify"
-    survivors = cand.map_batches(verify, batch_format="pyarrow")
+        est_pair.__name__ = "minhash_verify_shuffle"
+        survivors = with_ab.map_batches(est_pair, batch_format="pyarrow")
+    else:
+        # broadcast verify: ray.put the id->sig map once, zero-copy read +
+        # per-worker cache in every task (documented ~10M-doc ceiling)
+        import ray
 
-    def dedup_pairs(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.drop_duplicates(subset=["id_a", "id_b"], keep="first")
+        from .util_ray import collect_small
 
-    return survivors.repartition(1).map_batches(dedup_pairs, batch_format="pandas",
-                                                batch_size=None)
+        sig_small = collect_small(sig_ds)
+        sig_map = {
+            i: np.asarray(s, dtype=np.int64)
+            for i, s in zip(sig_small[id_col].to_pylist(), sig_small["_sig"].to_pylist())
+        }
+        ref = ray.put(sig_map)
+
+        def verify_fn(batch: pa.Table) -> pa.Table:
+            sigs = _broadcast_sig_cache(ref)
+            ia = batch["id_a"].to_pylist()
+            ib = batch["id_b"].to_pylist()
+            if not ia:
+                return pa.table(
+                    {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+                     "est_jaccard": pa.array([], pa.float64())}
+                )
+            sa = np.stack([sigs[x] for x in ia])
+            sb = np.stack([sigs[y] for y in ib])
+            est = (sa == sb).mean(axis=1)
+            out = pa.table(
+                {
+                    "id_a": batch["id_a"],
+                    "id_b": batch["id_b"],
+                    "est_jaccard": pa.array(est, pa.float64()),
+                }
+            )
+            return out.filter(pa.compute.greater_equal(out["est_jaccard"], threshold))
+
+        verify_fn.__name__ = "minhash_verify"
+        survivors = cand.map_batches(verify_fn, batch_format="pyarrow")
+
+    # cross-band duplicate pairs survive redundantly (bounded by band
+    # count); dedup with a partial-combined grouped max — one bounded
+    # shuffle of the (sparse) survivor set, no single-task bottleneck
+    from .reduces import grouped_aggregate
+
+    return grouped_aggregate(survivors, ["id_a", "id_b"],
+                             [("est_jaccard", "max", "est_jaccard")])
 
 
 def connected_components(edges: pa.Table, all_ids=None) -> dict:
@@ -238,6 +282,103 @@ def connected_components(edges: pa.Table, all_ids=None) -> dict:
     return {x: find(x) for x in list(parent)}
 
 
+def connected_components_distributed(
+    edges,
+    *,
+    num_partitions: int = 32,
+    max_rounds: int = 16,
+):
+    """Distributed connected components by min-label propagation.
+
+    ``edges``: Dataset with ``id_a``/``id_b`` columns.  Returns a Dataset
+    ``(id, label)`` covering every id that appears in an edge, with
+    ``label`` = the minimum id of its connected component.
+
+    Each round is ONE keyed-shuffle hash join (labels onto the static
+    symmetrized edge list) plus one partial-combined grouped min — no
+    driver-side state, so the edge set may exceed single-machine memory.
+    Rounds stop when the global label sum stops decreasing (it is
+    monotone non-increasing, so equality == convergence); near-dup
+    clusters have tiny diameters, so 2-4 rounds is typical.
+    ``max_rounds`` bounds pathological chains.
+
+    Reference anchor: the clustering step of resolve
+    (``/root/reference/docetl/operations/resolve.py:441-477``) — an
+    in-process union-find recast as iterated shuffles.
+    """
+    from .joins import hash_join
+    from .reduces import global_aggregate, grouped_aggregate
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        fwd = pa.table({"src": batch["id_a"], "dst": batch["id_b"]})
+        rev = pa.table({"src": batch["id_b"], "dst": batch["id_a"]})
+        return pa.concat_tables([fwd, rev]).combine_chunks()
+
+    sym = edges.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    # 1-hop head start: label(v) = min(v, min neighbor)
+    import pyarrow.compute as pc
+
+    def init_label(batch: pa.Table) -> pa.Table:
+        lab = pc.min_element_wise(batch["src"], batch["_mindst"])
+        return pa.table({"id": batch["src"], "label": lab})
+
+    labels = (
+        grouped_aggregate(sym, ["src"], [("dst", "min", "_mindst")])
+        .map_batches(init_label, batch_format="pyarrow")
+        .materialize()
+    )
+    prev_sum = global_aggregate(labels, [("label", "sum", "s")])["s"]
+
+    for _ in range(max_rounds):
+        prop = hash_join(sym, labels, on="src", right_on="id",
+                         num_buckets=num_partitions)
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            return pa.table({"id": batch["dst"], "label": batch["label"]})
+
+        cand = prop.map_batches(relabel, batch_format="pyarrow")
+        labels = grouped_aggregate(
+            cand.union(labels), ["id"], [("label", "min", "label")]
+        ).materialize()
+        s = global_aggregate(labels, [("label", "sum", "s")])["s"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+    return labels
+
+
+def _keep_representatives(ds, id_col: str, dup_ids_ds_or_set, *, how: str = "broadcast"):
+    """Drop ``dup_ids`` rows from ``ds``.
+
+    ``how="broadcast"``: dup ids collected once, vectorized ``pc.is_in``
+    filter per batch (right when dups fit one machine — the common case).
+    ``how="antijoin"``: keyed-shuffle anti join (right when even the dup
+    id set is huge); ships the corpus through one exchange.
+    """
+    import pyarrow.compute as pc
+
+    if how == "antijoin":
+        from .joins import hash_join
+
+        return hash_join(ds, dup_ids_ds_or_set, on=id_col, right_on="id", how="anti")
+
+    if not isinstance(dup_ids_ds_or_set, (set, frozenset, list)):
+        from .util_ray import collect_small
+
+        t = collect_small(dup_ids_ds_or_set)
+        dup_ids_ds_or_set = set(t["id"].to_pylist()) if t.num_rows else set()
+    value_set = pa.array(sorted(dup_ids_ds_or_set))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        if len(value_set) == 0:
+            return batch
+        mask = pc.invert(pc.is_in(batch[id_col], value_set=value_set))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def minhash_dedup(
     ds,
     text_col: str,
@@ -247,25 +388,36 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
+    distributed: bool = False,
 ):
     """End-to-end near-dup removal: keep one representative (min id) per
-    near-duplicate cluster.  Returns (deduped_ds, canonical_map)."""
+    near-duplicate cluster.  Returns (deduped_ds, canonical_map).
+
+    ``distributed=True`` runs connected components as distributed
+    min-label propagation and the keep-filter as an anti join — no
+    driver-side edge materialization; ``canonical_map`` is then returned
+    as a Dataset ``(id, label)`` instead of a dict."""
     from .util_ray import collect_small
 
     cand = minhash_candidates(
         ds, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k, threshold=threshold,
+        verify="shuffle" if distributed else "broadcast",
     )
+    if distributed:
+        labels = connected_components_distributed(cand)
+        import pyarrow.compute as pc
+
+        dups = labels.map_batches(
+            lambda t: t.filter(pc.not_equal(t["id"], t["label"])).select(["id"]),
+            batch_format="pyarrow",
+        )
+        return _keep_representatives(ds, id_col, dups, how="antijoin"), labels
+
     edges = collect_small(cand)
     cmap = connected_components(edges)
     dup_ids = {k for k, v in cmap.items() if v != k}
-
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        mask = pa.array([i not in dup_ids for i in ids])
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow"), cmap
+    return _keep_representatives(ds, id_col, dup_ids), cmap
 
 
 # ---------------------------------------------------------------------------
@@ -349,10 +501,12 @@ def embedding_dedup(
     threshold: float = 0.95,
     num_planes: int = 12,
     seed: int = 11,
+    distributed: bool = False,
 ):
     """Embedding near-dup: LSH-bucket by random-hyperplane sign code, then
     exact pairwise cosine within buckets -> candidate edges -> components.
-    Returns (deduped_ds, canonical_map)."""
+    Returns (deduped_ds, canonical_map); with ``distributed=True``,
+    components run as min-label propagation and the map is a Dataset."""
     from .util_ray import collect_small
 
     dim_probe = ds.take(1)[0][emb_col]
@@ -392,17 +546,25 @@ def embedding_dedup(
             cs.append(float(sim[x, y]))
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
 
-    cand = (
-        ds.map_batches(bucketize, batch_format="pyarrow")
-        .groupby("_code")
-        .map_groups(pairs, batch_format="pandas")
+    # bucketed grouped exchange (NOT per-bucket map_groups): LSH codes are
+    # high-cardinality, so per-code tasks would pay ~ms overhead per code;
+    # grouped_map shuffles once on hash(code) and iterates codes locally
+    from .grouped import grouped_map
+
+    cand = grouped_map(
+        ds.map_batches(bucketize, batch_format="pyarrow"), "_code", pairs
     )
+    if distributed:
+        labels = connected_components_distributed(cand)
+        import pyarrow.compute as pc
+
+        dups = labels.map_batches(
+            lambda t: t.filter(pc.not_equal(t["id"], t["label"])).select(["id"]),
+            batch_format="pyarrow",
+        )
+        return _keep_representatives(ds, id_col, dups, how="antijoin"), labels
+
     edges = collect_small(cand)
     cmap = connected_components(edges)
     dup_ids = {k for k, v in cmap.items() if v != k}
-
-    def keep(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
-        return batch.filter(pa.array([i not in dup_ids for i in ids]))
-
-    return ds.map_batches(keep, batch_format="pyarrow"), cmap
+    return _keep_representatives(ds, id_col, dup_ids), cmap

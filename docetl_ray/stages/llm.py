@@ -67,7 +67,13 @@ class FakeDeterministicClient:
             elif t in ("bool", "boolean"):
                 out[key] = bool(seed % 2)
             elif t.startswith("list["):
-                out[key] = [f"item{seed % 7}", f"item{(seed >> 8) % 7}"]
+                inner = t[5:-1].strip()
+                if inner in ("int", "integer"):
+                    out[key] = [seed % 7, (seed >> 8) % 7]
+                elif inner in ("float", "number"):
+                    out[key] = [(seed % 100) / 10.0, ((seed >> 8) % 100) / 10.0]
+                else:
+                    out[key] = [f"item{seed % 7}", f"item{(seed >> 8) % 7}"]
             else:
                 out[key] = f"gen_{seed % 100000:05d}"
         return out
@@ -91,7 +97,8 @@ class LLMMapStage:
     def __init__(self, prompt: str, output_schema: dict, client_factory=None,
                  validate: list[str] | None = None,
                  num_retries_on_validate_failure: int = 2,
-                 observability: bool = False, op_name: str = "map"):
+                 observability: bool = False, op_name: str = "map",
+                 gleaning: dict | None = None):
         self.prompt = prompt
         self.schema = output_schema
         self.client = (client_factory or FakeDeterministicClient)()
@@ -100,6 +107,10 @@ class LLMMapStage:
         self.retries = num_retries_on_validate_failure
         self.observability = observability  # _observability_{op} column
         self.op_name = op_name              # (reference map.py:415-419)
+        # gleaning: {"validation_prompt": str, "num_rounds": int,
+        #            "if": optional python expr on `output`} — the
+        # validator-driven refinement loop, api.py:307-462
+        self.gleaning = gleaning
 
     def _valid(self, output: dict) -> bool:
         try:
@@ -107,13 +118,46 @@ class LLMMapStage:
         except Exception:
             return False
 
+    _GLEAN_SCHEMA = {"should_refine": "bool", "improvements": "str"}
+
+    def _glean(self, rendered: str, out: dict) -> dict:
+        """Validator-driven refinement (gleaning), mirroring
+        ``api.py:307-462``: up to ``num_rounds`` rounds of (condition
+        check -> validator call -> should_refine? -> improvement call)."""
+        cfg = self.gleaning
+        rounds = cfg.get("num_rounds", 2)
+        cond = cfg.get("if")
+        for rnd in range(rounds):
+            if cond:
+                try:
+                    if not eval(cond, {"output": out}):
+                        break  # should_glean gate, api.py:334-336
+                except Exception:
+                    break
+            vprompt = render_prompt(cfg["validation_prompt"], {"output": out})
+            suggestion = self.client.complete(
+                f"{rendered}\n[assistant] {json.dumps(out, sort_keys=True, default=str)}"
+                f"\n[validator] {vprompt}",
+                self._GLEAN_SCHEMA,
+            )
+            if not suggestion.get("should_refine"):
+                break  # api.py:416-417
+            out = self.client.complete(
+                f"{rendered}\n[improve round {rnd + 1}] "
+                f"{suggestion.get('improvements', '')}",
+                self.schema,
+            )
+        return out
+
     def _complete_cached(self, rendered: str) -> dict:
         key = hashlib.md5(
             f"{self.client.model}|{rendered}|{json.dumps(self.schema, sort_keys=True)}".encode()
         ).hexdigest()
         if key not in self.cache:
             out = self.client.complete(rendered, self.schema)
-            if self.validate:
+            if self.gleaning:
+                out = self._glean(rendered, out)
+            elif self.validate:
                 attempt = 0
                 while not self._valid(out) and attempt < self.retries:
                     attempt += 1
@@ -154,12 +198,13 @@ def llm_map(ds, prompt: str, output_schema: dict, *, drop_keys=None,
             client_factory=None, concurrency=(1, 8), batch_size: int = 256,
             validate: list[str] | None = None,
             num_retries_on_validate_failure: int = 2,
-            observability: bool = False, op_name: str = "map"):
+            observability: bool = False, op_name: str = "map",
+            gleaning: dict | None = None):
     out = ds.map_batches(
         LLMMapStage,
         fn_constructor_args=(prompt, output_schema, client_factory,
                              validate, num_retries_on_validate_failure,
-                             observability, op_name),
+                             observability, op_name, gleaning),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -183,26 +228,124 @@ def llm_filter(ds, prompt: str, *, filter_key: str = "keep", client_factory=None
     )
 
 
+def _value_sample(rows: list[dict], cfg: dict, keys: list[str]) -> list[dict]:
+    """Deterministic recast of reduce value_sampling (reduce.py:298-322):
+    bound the rows fed to the prompt.  ``first_n`` is verbatim;
+    ``random`` replaces RNG with an md5-of-position keep-rule (stable
+    across runs/parallelism), keeping original order like the reference's
+    post-sample re-sort; cluster/sem_sim need an embedding service and
+    raise here."""
+    if not cfg or not cfg.get("enabled"):
+        return rows
+    n = min(cfg["sample_size"], len(rows))
+    method = cfg.get("method", "first_n")
+    if method == "first_n" or len(rows) <= n:
+        return rows[:n]
+    if method == "random":
+        keyed = sorted(
+            range(len(rows)),
+            key=lambda i: hashlib.md5(f"vs|{i}|{len(rows)}".encode()).hexdigest(),
+        )[:n]
+        return [rows[i] for i in sorted(keyed)]  # original order, reduce.py:305-306
+    raise NotImplementedError(
+        f"value_sampling method {method!r} needs an embedding service "
+        "(reference reduce.py:309-321); use first_n/random offline"
+    )
+
+
 def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
-               client_factory=None, pass_through: bool = False):
-    """Grouped prompt reduce: renders the prompt with the whole group
-    (``inputs``) and merges the typed output with the group key (one
-    output row per group; reduce.py:915-980)."""
+               client_factory=None, pass_through: bool = False,
+               fold_prompt: str | None = None, fold_batch_size: int | None = None,
+               merge_prompt: str | None = None, merge_batch_size: int | None = None,
+               scratchpad: bool = False, value_sampling: dict | None = None,
+               associative: bool = True):
+    """Grouped prompt reduce with the reference's plan surface
+    (reduce.py:324-699):
+
+    - plain: render ``prompt`` with the whole group (``inputs``) — one
+      call per group (``_batch_reduce``, reduce.py:915-980).  Unbounded
+      group => unbounded prompt; use a fold plan for big groups.
+    - incremental fold (``fold_prompt`` + ``fold_batch_size``): fold
+      batches sequentially into the accumulated ``output``; optional
+      ``scratchpad`` threads ``updated_scratchpad`` between folds and
+      strips it from the final output (reduce.py:631-699).
+    - fold+merge (``merge_prompt`` too, ``associative=True``): fold each
+      batch independently, then reduce the fold outputs with a merge
+      tree in rounds of ``merge_batch_size`` (reduce.py:466-629; the
+      reference's runtime-adaptive parallel-fold count is recast as a
+      deterministic merge tree — same prompts, reproducible shape).
+    - ``value_sampling``: bound the rows fed to prompts (reduce.py:298-322).
+
+    One output row per group; ``_counts_prereduce`` always counts the
+    FULL group (pre-sampling), matching reduce.py:343.
+    """
     keys = [reduce_key] if isinstance(reduce_key, str) else list(reduce_key)
 
     stage = {"client": None}
 
-    def fn(group: pa.Table) -> pa.Table:
+    def _client():
         if stage["client"] is None:
             stage["client"] = (client_factory or FakeDeterministicClient)()
+        return stage["client"]
+
+    def _batch_reduce(rows, key_ctx, pad=None):
+        schema = dict(output_schema)
+        ctx = {"inputs": rows, "reduce_key": key_ctx}
+        if pad is not None:
+            schema["updated_scratchpad"] = "str"
+            ctx["scratchpad"] = pad
+        return _client().complete(render_prompt(prompt, ctx), schema)
+
+    def _fold(rows, current, key_ctx, pad=None):
+        if current is None:
+            return _batch_reduce(rows, key_ctx, pad)
+        schema = dict(output_schema)
+        ctx = {"inputs": rows, "output": current, "reduce_key": key_ctx}
+        if pad is not None:
+            schema["updated_scratchpad"] = "str"
+            ctx["scratchpad"] = pad
+        return _client().complete(render_prompt(fold_prompt, ctx), schema)
+
+    def _merge(outputs, key_ctx):
+        ctx = {"outputs": outputs, "reduce_key": key_ctx}
+        return _client().complete(render_prompt(merge_prompt, ctx), output_schema)
+
+    def _reduce_group(rows, key_ctx) -> dict:
+        sampled = _value_sample(rows, value_sampling, keys)
+        if merge_prompt and associative and fold_batch_size:
+            # fold each batch independently, then merge-tree the outputs
+            folds = [
+                _batch_reduce(sampled[i : i + fold_batch_size], key_ctx)
+                for i in range(0, len(sampled), fold_batch_size)
+            ]
+            mb = merge_batch_size or 2
+            while len(folds) > 1:
+                folds = [
+                    _merge(folds[i : i + mb], key_ctx)
+                    for i in range(0, len(folds), mb)
+                ]
+            return folds[0]
+        if fold_batch_size and fold_batch_size >= len(sampled):
+            return _batch_reduce(sampled, key_ctx)  # reduce.py:328-334
+        if fold_prompt and fold_batch_size:
+            current, pad = None, ("" if scratchpad else None)
+            for i in range(0, len(sampled), fold_batch_size):
+                out = _fold(sampled[i : i + fold_batch_size], current, key_ctx, pad)
+                if scratchpad and "updated_scratchpad" in out:
+                    pad = out.pop("updated_scratchpad")  # reduce.py:686-693
+                current = out
+            return current if current is not None else {}
+        return _batch_reduce(sampled, key_ctx)
+
+    def fn(group: pa.Table) -> pa.Table:
         rows = group.to_pylist()
-        rendered = render_prompt(prompt, {"inputs": rows, "reduce_key": {k: rows[0][k] for k in keys}})
-        out = stage["client"].complete(rendered, output_schema)
+        key_ctx = {k: rows[0][k] for k in keys}
+        out = _reduce_group(rows, key_ctx)
         row = {k: rows[0][k] for k in keys}
         if pass_through:
             for c, v in rows[0].items():
                 row.setdefault(c, v)
-        row.update(out)
+        row.update({k: v for k, v in out.items() if k != "updated_scratchpad"})
         row["_counts_prereduce"] = group.num_rows
         return pa.Table.from_pylist([row])
 

@@ -1,0 +1,231 @@
+"""Rank / order operator: docetl ``rank`` parity (SURVEY.md §2.1;
+reference ``/root/reference/docetl/operations/rank.py``).
+
+Two phases, mirroring the reference ``execute`` (rank.py:671-885):
+
+1. **Initial ordering** — distributed.  ``likert``: every row is rated
+   1-7 against the criteria by the pluggable client inside an actor-pool
+   ``map_batches`` (reference ``_execute_likert_rating_qurk``); the
+   rated dataset is then sorted (stable id tiebreak).  ``score``: a
+   caller-supplied deterministic ``score_fn(row) -> float`` replaces the
+   embedding-similarity initial ordering (no embedding service here).
+2. **Picky-window refinement** — driver-side over the TOP-K PREFIX only
+   (the reference's windows never touch indices >= k): exactly
+   ``rerank_call_budget`` sliding windows walk from position k-1 toward
+   0 (step/window sizes per rank.py:755-768); the client picks
+   ``num_top_items_per_window`` docs per window and the picks are
+   swapped to the window's front (rank.py:820-852).  k is small by
+   contract, so the refinement state is O(k) on the driver while the
+   scoring pass stays distributed.
+
+Output: the top-k rows with a 1-based ``_rank`` column (rank.py:874-885).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+
+def _window_plan(k: int, budget: int, num_top_items: int, overlap_fraction: float):
+    """Step/window sizes exactly as rank.py:755-768."""
+    step_size = max(1, int(k / (budget - 1 or 1)))
+    window_size = min(
+        k,
+        (
+            max(num_top_items, int(step_size / (1 - overlap_fraction)))
+            if overlap_fraction < 1
+            else step_size * 2
+        ),
+    )
+    return step_size, window_size
+
+
+def _doc_content(row: dict, input_keys: list[str]) -> str:
+    """rank.py:34-50 content extraction."""
+    keys = input_keys or list(row.keys())
+    return "\n".join(f"{k}: {row[k]}" for k in keys if k in row)
+
+
+def refine_topk_window(
+    items: list[dict],
+    *,
+    criteria: str,
+    input_keys: list[str],
+    k: int,
+    client,
+    rerank_call_budget: int = 10,
+    num_top_items_per_window: int = 3,
+    overlap_fraction: float = 0.5,
+) -> list[dict]:
+    """Sliding picky-window refinement over an initially-ordered list
+    (rank.py:770-872).  Mutates order only within the first-k prefix;
+    returns the reordered list."""
+    k = min(k, len(items))
+    if k <= 1 or len(items) <= 1:
+        return items
+    step_size, window_size = _window_plan(
+        k, rerank_call_budget, num_top_items_per_window, overlap_fraction
+    )
+    current = list(items)
+    pos = {id(doc): i for i, doc in enumerate(current)}
+
+    for i in range(k - 1, 0, -step_size):
+        end_idx = i
+        start_idx = max(0, end_idx - window_size)
+        if start_idx == 0:
+            end_idx = window_size
+        window_indices = list(range(start_idx, end_idx))
+        if len(window_indices) < num_top_items_per_window:
+            continue
+        window_docs = [current[idx] for idx in window_indices]
+        rendered = (
+            f"Pick the top {num_top_items_per_window} documents for: {criteria}\n"
+            + "\n---\n".join(
+                f"[{j}] {_doc_content(d, input_keys)}" for j, d in enumerate(window_docs)
+            )
+        )
+        out = client.complete(rendered, {"top_indices": "list[int]"})
+        picks = [
+            int(x) for x in out.get("top_indices", [])
+            if isinstance(x, (int, float, str)) and str(x).lstrip("-").isdigit()
+        ]
+        picks = [x for x in picks if 0 <= x < len(window_docs)]
+        picks = list(dict.fromkeys(picks))[:num_top_items_per_window]
+        # swap picks to the front of the window (rank.py:820-852)
+        for target_idx, wi in enumerate(picks):
+            doc = window_docs[wi]
+            cur = pos[id(doc)]
+            tgt = window_indices[target_idx]
+            if cur == tgt:
+                continue
+            other = current[tgt]
+            current[cur], current[tgt] = other, doc
+            pos[id(doc)], pos[id(other)] = tgt, cur
+        if start_idx == 0:
+            break
+    return current
+
+
+def rank(
+    ds,
+    *,
+    criteria: str,
+    input_keys: list[str],
+    direction: str = "desc",
+    k: int | None = None,
+    initial_ordering_method: str = "likert",
+    score_fn=None,
+    id_col: str | None = None,
+    rerank_call_budget: int = 10,
+    num_top_items_per_window: int = 3,
+    overlap_fraction: float = 0.5,
+    client_factory=None,
+    concurrency=(1, 8),
+    batch_size: int = 256,
+    rank_col: str = "_rank",
+):
+    """Full rank operator: distributed initial ordering + budgeted
+    picky-window refinement; returns the top-k rows with ``rank_col``.
+
+    ``initial_ordering_method="likert"`` rates each row 1-7 via the
+    client (actor pool); ``"score"`` uses the deterministic ``score_fn``
+    (the stand-in for the reference's embedding-similarity ordering).
+    ``id_col`` breaks rating ties deterministically.
+    """
+    from .llm import FakeDeterministicClient
+
+    if initial_ordering_method == "likert":
+
+        class Rater:
+            __name__ = "likert_rate"
+
+            def __init__(self):
+                self.client = (client_factory or FakeDeterministicClient)()
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                rows = batch.to_pylist()
+                ratings = []
+                for r in rows:
+                    rendered = (
+                        f"Rate 1-7 for: {criteria}\n{_doc_content(r, input_keys)}"
+                    )
+                    out = self.client.complete(rendered, {"rating": "int"})
+                    val = out.get("rating", 4)
+                    ratings.append(int(val) % 7 + 1 if val > 7 or val < 1 else int(val))
+                return batch.append_column("_rating", pa.array(ratings, pa.int64()))
+
+        scored = ds.map_batches(
+            Rater, batch_format="pyarrow", batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        sort_col = "_rating"
+    elif initial_ordering_method == "score":
+        if score_fn is None:
+            raise ValueError("score method needs score_fn")
+
+        def add_score(batch: pa.Table) -> pa.Table:
+            vals = [float(score_fn(r)) for r in batch.to_pylist()]
+            return batch.append_column("_rating", pa.array(vals, pa.float64()))
+
+        scored = ds.map_batches(add_score, batch_format="pyarrow")
+        sort_col = "_rating"
+    else:
+        raise ValueError(f"unknown initial_ordering_method {initial_ordering_method!r}")
+
+    descending = direction == "desc"
+    sort_keys = [sort_col] + ([id_col] if id_col else [])
+    desc_flags = [descending] + ([False] if id_col else [])
+    n = ds.count() if k is None else None
+    k_eff = n if k is None else k
+
+    # top-k prefix to the driver (small by contract: the budget bounds
+    # how much of the ordering the windows can touch)
+    top = scored.sort(sort_keys, descending=desc_flags).limit(k_eff)
+    items = [dict(r) for r in top.to_pandas().to_dict("records")]
+    client = (client_factory or FakeDeterministicClient)()
+    refined = refine_topk_window(
+        items,
+        criteria=criteria,
+        input_keys=input_keys,
+        k=k_eff,
+        client=client,
+        rerank_call_budget=rerank_call_budget,
+        num_top_items_per_window=num_top_items_per_window,
+        overlap_fraction=overlap_fraction,
+    )
+    import ray.data as rd
+
+    for i, doc in enumerate(refined):
+        doc[rank_col] = i + 1
+        doc.pop("_rating", None)
+    return rd.from_items(refined)
+
+
+def topk_llm_compare(
+    ds,
+    *,
+    query: str,
+    keys: list[str],
+    k: int,
+    client_factory=None,
+    score_fn=None,
+    **rank_kwargs,
+):
+    """topk ``method="llm_compare"`` (reference topk.py:182-235):
+    delegates to rank with direction=desc and budget 100, then keeps k.
+    Jinja in ``query`` is rejected exactly like topk.py:115-119."""
+    if "{{" in query or "}}" in query:
+        raise ValueError("'query' cannot contain Jinja templates when method='llm_compare'")
+    out = rank(
+        ds,
+        criteria=query,
+        input_keys=keys,
+        direction="desc",
+        k=k,
+        initial_ordering_method="score" if score_fn is not None else "likert",
+        score_fn=score_fn,
+        rerank_call_budget=rank_kwargs.pop("rerank_call_budget", 100),
+        client_factory=client_factory,
+        **rank_kwargs,
+    )
+    return out.limit(k)

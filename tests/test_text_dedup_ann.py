@@ -305,6 +305,67 @@ def test_minhash_dedup_edge_cases():
     assert sorted(_collect(out2)["doc_id"].to_pylist()) == [1]
 
 
+def test_minhash_dedup_distributed_matches_driver():
+    """distributed=True (shuffle verify + min-label-propagation CC +
+    anti-join keep) must keep exactly the same representatives as the
+    driver union-find path."""
+    from docetl_ray.stages.dedup import minhash_dedup
+
+    docs = _read("documents", columns=["doc_id", "text"])
+    kept_driver, cmap = minhash_dedup(docs, "text", "doc_id", threshold=0.7)
+    kept_dist, labels = minhash_dedup(
+        docs, "text", "doc_id", threshold=0.7, distributed=True
+    )
+    a = sorted(_collect(kept_driver)["doc_id"].to_pylist())
+    b = sorted(_collect(kept_dist)["doc_id"].to_pylist())
+    assert a == b and len(a) < docs.count()  # corpus has near-dups
+    # labels Dataset agrees with the driver canonical map on non-trivial ids
+    lab = {
+        r["id"]: r["label"] for r in _collect(labels).to_pylist()
+    }
+    for k, v in cmap.items():
+        assert lab.get(k, k) == v
+
+
+def test_connected_components_distributed_chain():
+    """A long path graph needs multiple propagation rounds — the label
+    must still converge to the global min of the component."""
+    import ray.data as rd
+    from docetl_ray.stages.dedup import connected_components_distributed
+
+    # path 0-1-2-...-9 plus an isolated edge 100-101
+    edges = pa.table(
+        {
+            "id_a": list(range(9)) + [100],
+            "id_b": list(range(1, 10)) + [101],
+        }
+    )
+    labels = connected_components_distributed(rd.from_arrow(edges))
+    lab = {r["id"]: r["label"] for r in _collect(labels).to_pylist()}
+    assert all(lab[i] == 0 for i in range(10))
+    assert lab[100] == 100 and lab[101] == 100
+
+
+def test_embedding_dedup_distributed():
+    import ray.data as rd
+    from docetl_ray.stages.dedup import embedding_dedup
+
+    rng = np.random.RandomState(3)
+    v1 = rng.randn(64)
+    v2 = v1 + rng.randn(64) * 0.01
+    v3 = rng.randn(64)
+    t = pa.table(
+        {
+            "vec_id": [10, 11, 12],
+            "embedding": pa.array([v.tolist() for v in (v1, v2, v3)], pa.list_(pa.float64())),
+        }
+    )
+    deduped, labels = embedding_dedup(
+        rd.from_arrow(t), "embedding", "vec_id", threshold=0.98, distributed=True
+    )
+    assert sorted(_collect(deduped)["vec_id"].to_pylist()) == [10, 12]
+
+
 def test_multimodal_video_keyframes():
     import ray.data as rd
     from docetl_ray.stages.multimodal import VideoKeyframeStage
