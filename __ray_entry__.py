@@ -471,6 +471,25 @@ def _q_resolve_fuzzy(sf_dir):
     return out.select_columns(["doc_id", "canonical_id"])
 
 
+def _q_sample_outliers_embedding(sf_dir):
+    from docetl_ray.stages.sample import sample_outliers_embedding
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = sample_outliers_embedding(emb, "embedding", std_cutoff=1.0, keep="inliers")
+    return out.select_columns(["vec_id"])
+
+
+def _q_resolve_embedding_blocked(sf_dir):
+    from docetl_ray.stages.resolve import resolve_embedding_blocked
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = resolve_embedding_blocked(
+        emb, emb_col="embedding", id_col="vec_id",
+        blocking_threshold=0.7, match_threshold=0.85,
+    )
+    return out.select_columns(["vec_id", "canonical_id"])
+
+
 def _q_ann_lsh(sf_dir):
     import numpy as np
     import pyarrow.parquet as pq
@@ -568,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parallel_map_lineitem": _q_parallel_map,
         "top_embedding_vectors": _q_top_embedding,
         "cdc_flagship_delta": _q_cdc_flagship_delta,
+        "sample_outliers_embedding": _q_sample_outliers_embedding,
+        "resolve_embedding_blocked": _q_resolve_embedding_blocked,
         # non-SQL-expressible (rows-only)
         "top_fts_documents": _q_top_fts,
         "fuzzy_join_documents": _q_fuzzy_join,
@@ -851,6 +872,46 @@ def oracle_sql() -> dict[str, str]:
               FROM qn CROSS JOIN embeddings e)
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY score DESC, vec_id) <= 5
+        """,
+        # embedding-centroid outliers, std mode: centroid + population
+        # variance per dim, cutoff = sqrt(sum var) * std (sample.py:390-432)
+        "sample_outliers_embedding": """
+            WITH dims AS (
+              SELECT vec_id, g.i AS i, CAST(embedding[g.i] AS DOUBLE) AS v
+              FROM embeddings, (SELECT unnest(range(1, 65)) AS i) g
+            ),
+            nrows AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM embeddings),
+            ctr AS (
+              SELECT i, sum(v) / (SELECT n FROM nrows) AS c,
+                     sum(v*v) / (SELECT n FROM nrows)
+                       - (sum(v) / (SELECT n FROM nrows)) * (sum(v) / (SELECT n FROM nrows)) AS var
+              FROM dims GROUP BY i
+            ),
+            cut AS (SELECT sqrt(sum(var)) * 1.0 AS cutoff FROM ctr),
+            dist AS (
+              SELECT vec_id, sqrt(sum((v - c) * (v - c))) AS d
+              FROM dims JOIN ctr USING (i) GROUP BY vec_id
+            )
+            SELECT vec_id FROM dist, cut WHERE d <= cutoff
+        """,
+        # cosine-blocked resolve: edges = pairs with cosine >= 0.85 (the
+        # confirm threshold; blocking 0.7 is a superset, full recall via
+        # exact all-pairs), recursive-CTE connected components
+        "resolve_embedding_blocked": """
+            WITH RECURSIVE e0 AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.85
+            ),
+            edges AS (SELECT ia AS a, ib AS b FROM e0
+                      UNION ALL SELECT ib AS a, ia AS b FROM e0),
+            reach AS (
+              SELECT vec_id AS id, vec_id AS r FROM embeddings
+              UNION
+              SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id
+            )
+            SELECT id AS vec_id, min(r) AS canonical_id FROM reach GROUP BY id
         """,
         # multimodal image stage, sql_parity fake decode: payload = first
         # 256 utf-8 bytes of text (ASCII corpus, so SQL substr matches);

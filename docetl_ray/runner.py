@@ -63,9 +63,46 @@ def _exec_code(code: str):
     return ns["transform"]
 
 
+#: user-registered operation types: type -> fn(ds, op_config) -> ds
+_OP_PLUGINS: dict[str, Any] = {}
+
+
+def register_operation(type_name: str, fn):
+    """Register a custom operation type for ``_apply_op`` dispatch —
+    the in-process analogue of the reference's ``docetl.operation``
+    entry-point group (``operations/__init__.py:43-62``).  ``fn`` takes
+    ``(ds, op_config)`` and returns a Dataset."""
+    _OP_PLUGINS[type_name] = fn
+
+
+def get_operation(type_name: str):
+    """Resolve an operation implementation: explicit registrations first,
+    then ``importlib.metadata`` entry points in the
+    ``docetl_ray.operation`` group (installed plugin packages), mirroring
+    the reference's lookup order (``operations/__init__.py:43-53``)."""
+    if type_name in _OP_PLUGINS:
+        return _OP_PLUGINS[type_name]
+    import importlib.metadata
+
+    try:
+        eps = importlib.metadata.entry_points(group="docetl_ray.operation")
+        for ep in eps:
+            if ep.name == type_name:
+                fn = ep.load()
+                _OP_PLUGINS[type_name] = fn  # cache
+                return fn
+    except Exception:
+        pass
+    return None
+
+
 def _apply_op(ds, op: dict):
     t = op["type"]
     name = op.get("name", t)
+
+    plugin = get_operation(t)
+    if plugin is not None:
+        return plugin(ds, op)
 
     if t in ("map", "llm_map"):
         if "code" in op:
@@ -84,7 +121,9 @@ def _apply_op(ds, op: dict):
         from .stages.llm import llm_map
 
         return llm_map(ds, op["prompt"], op["output"]["schema"],
-                       drop_keys=op.get("drop_keys"))
+                       drop_keys=op.get("drop_keys"),
+                       validate=op.get("validate"),
+                       gleaning=op.get("gleaning"))
     if t in ("code_map",):
         fn = _exec_code(op["code"])
         skip = op.get("on_error") == "skip"  # reference skip_on_error, map.py:490-511
@@ -142,8 +181,28 @@ def _apply_op(ds, op: dict):
         from .stages.llm import llm_reduce
 
         return llm_reduce(ds, keys, op["prompt"], op["output"]["schema"],
-                          pass_through=op.get("pass_through", False))
+                          pass_through=op.get("pass_through", False),
+                          fold_prompt=op.get("fold_prompt"),
+                          fold_batch_size=op.get("fold_batch_size"),
+                          merge_prompt=op.get("merge_prompt"),
+                          merge_batch_size=op.get("merge_batch_size"),
+                          scratchpad=bool(op.get("scratchpad")),
+                          value_sampling=op.get("value_sampling"),
+                          associative=op.get("associative", True))
     if t == "resolve":
+        if op.get("blocking_threshold") is not None:
+            from .stages.resolve import resolve_embedding_blocked
+
+            return resolve_embedding_blocked(
+                ds,
+                emb_col=op["embedding_key"],
+                id_col=op["id_key"],
+                blocking_threshold=op["blocking_threshold"],
+                match_threshold=op.get("match_threshold"),
+                text_col=op.get("comparison_key"),
+                jaccard_threshold=op.get("threshold"),
+                output_col=op.get("output_key", "canonical_id"),
+            )
         from .stages.resolve import resolve_fuzzy
 
         return resolve_fuzzy(
@@ -194,11 +253,41 @@ def _apply_op(ds, op: dict):
                                        op["samples_per_group"], op["order_by"])
         if method == "outliers":
             kw = op.get("method_kwargs", {})
+            if op.get("embedding_key"):
+                # the reference's outliers method IS embedding-distance
+                # based (sample.py:390-432); `key` keeps the scalar variant
+                return S.sample_outliers_embedding(
+                    ds, op["embedding_key"],
+                    std_cutoff=kw.get("std"),
+                    samples=kw.get("samples"),
+                    keep="outliers" if kw.get("keep_outliers") or kw.get("keep") else "inliers",
+                    center=kw.get("center"),
+                )
             return S.sample_outliers(ds, op["key"],
                                      std_cutoff=kw.get("std", 2.0),
                                      keep="outliers" if kw.get("keep_outliers") else "inliers")
         raise ValueError(f"unknown sample method {method}")
     if t in ("topk", "order", "rank"):
+        if op.get("method") == "llm_compare":
+            from .stages.rank import topk_llm_compare
+
+            return topk_llm_compare(ds, query=op["query"], keys=op["keys"],
+                                    k=op["k"], id_col=op.get("id_key"))
+        if op.get("rerank_call_budget") or op.get("initial_ordering_method"):
+            from .stages.rank import rank as rank_refine
+
+            return rank_refine(
+                ds,
+                criteria=op["prompt"],
+                input_keys=op.get("input_keys", []),
+                direction=op.get("direction", "desc"),
+                k=op.get("k"),
+                id_col=op.get("id_key"),
+                initial_ordering_method=op.get("initial_ordering_method", "likert"),
+                rerank_call_budget=op.get("rerank_call_budget", 10),
+                num_top_items_per_window=op.get("num_top_items_per_window", 3),
+                overlap_fraction=op.get("overlap_fraction", 0.5),
+            )
         from .stages.sample import rank_topk, topk, topk_stratified
 
         if op.get("stratify_key"):
@@ -210,6 +299,16 @@ def _apply_op(ds, op: dict):
         return topk(ds, op["sort_key"], op["k"],
                     descending=op.get("direction", "desc") == "desc")
     if t == "extract":
+        if op.get("extraction_method", "regex" if "patterns" in op else "line_number") \
+                == "line_number":
+            from .stages.extract import extract_line_number
+
+            return extract_line_number(
+                ds, op["document_keys"], op["prompt"],
+                suffix=op.get("extraction_key_suffix", "_extracted"),
+                format_extraction=op.get("format_extraction", True),
+                skip_on_error=op.get("skip_on_error", True),
+            )
         from .stages.extract import extract_regex
 
         return extract_regex(ds, op["document_keys"], op["patterns"],

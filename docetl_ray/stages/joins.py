@@ -61,7 +61,18 @@ def _ds_arrow_schema(ds) -> pa.schema:
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
-    return pa.schema([pa.field(n, t) for n, t in zip(s.names, s.types)])
+    fields = []
+    for n, t in zip(s.names, s.types):
+        if not isinstance(t, pa.DataType):
+            # pandas-backed blocks report numpy dtypes; object -> string
+            import numpy as np
+
+            try:
+                t = pa.from_numpy_dtype(np.dtype(t))
+            except (pa.ArrowNotImplementedError, TypeError):
+                t = pa.string()
+        fields.append(pa.field(n, t))
+    return pa.schema(fields)
 
 
 def _drop_null_keys(df: pd.DataFrame, keys) -> pd.DataFrame:

@@ -46,28 +46,57 @@ def link_resolve(
         def __init__(self):
             self.ids = None
             self.idset = None
+            self.index: dict | None = None  # 3-gram -> sorted candidate ids
             self.cache: dict = {}
+
+        @staticmethod
+        def _grams(s: str, n: int = 3) -> set:
+            s = s.lower()
+            return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
+
+        def _build(self):
+            self.ids = ray.get(ref)
+            self.idset = set(self.ids)
+            # n-gram inverted index, built ONCE per actor: a dangling link
+            # only needs Jaccard against ids sharing >=1 gram (any id with
+            # Jaccard >= threshold > 0 must share a gram), so lookup is
+            # O(|link grams| x bucket) instead of O(|ids|) linear scan
+            self.index = {}
+            for cand in self.ids:  # sorted -> bucket lists stay sorted
+                for g in self._grams(str(cand)):
+                    self.index.setdefault(g, []).append(cand)
+
+        def _best_match(self, v):
+            if threshold <= 0:
+                cands = self.ids  # gram pruning unsound at threshold 0
+            else:
+                seen = set()
+                cands = []
+                for g in self._grams(str(v)):
+                    for cand in self.index.get(g, ()):
+                        if cand not in seen:
+                            seen.add(cand)
+                            cands.append(cand)
+                cands.sort()  # deterministic ties: smallest id wins
+            best, best_s = v, threshold
+            for cand in cands:
+                s = char_ngram_jaccard(str(v), str(cand))
+                if s > best_s:
+                    best, best_s = cand, s
+            return best
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             if self.ids is None:
-                self.ids = ray.get(ref)
-                self.idset = set(self.ids)
+                self._build()
             links = batch[link_col].to_pylist()
             out = []
             for v in links:
                 if v is None or v in self.idset:
                     out.append(v)
                     continue
-                if v in self.cache:
-                    out.append(self.cache[v])
-                    continue
-                best, best_s = v, threshold
-                for cand in self.ids:  # ids sorted -> deterministic ties
-                    s = char_ngram_jaccard(str(v), str(cand))
-                    if s > best_s:
-                        best, best_s = cand, s
-                self.cache[v] = best
-                out.append(best)
+                if v not in self.cache:
+                    self.cache[v] = self._best_match(v)
+                out.append(self.cache[v])
             col = pa.array(out, batch[link_col].type)
             target = out_col or link_col
             if target in batch.column_names:

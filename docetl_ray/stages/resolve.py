@@ -152,3 +152,125 @@ def resolve_fuzzy(
     from .grouped import grouped_map
 
     return grouped_map(ds, blocking_col, per_block)
+
+
+def resolve_embedding_blocked(
+    ds,
+    *,
+    emb_col: str,
+    id_col: str,
+    blocking_threshold: float,
+    match_threshold: float | None = None,
+    text_col: str | None = None,
+    jaccard_threshold: float | None = None,
+    output_col: str = "canonical_id",
+    distributed_cc: bool = False,
+):
+    """Entity resolution with EMBEDDING-COSINE BLOCKING — the reference's
+    ``blocking_threshold`` path (``resolve.py:296-340``): candidate pairs
+    are rows whose embedding cosine >= ``blocking_threshold``; each
+    candidate is then confirmed (the reference's LLM compare) by either
+
+    - ``match_threshold``: cosine >= match_threshold (pure-embedding
+      confirm), or
+    - ``text_col`` + ``jaccard_threshold``: token-Jaccard on the texts,
+      routed to the pairs by a keyed-shuffle hash join (never a
+      whole-corpus broadcast of text).
+
+    Confirmed pairs -> connected components -> ``output_col`` = the
+    min-id representative for EVERY input row (self for singletons).
+
+    Blocking here is brute-force cosine per batch against the broadcast
+    normalized matrix (exact recall — the oracle-grade path, same shape
+    as ``ann_topk_bruteforce``); swap in ``embedding_dedup``'s LSH
+    bucketing when the corpus outgrows a broadcastable matrix.
+    """
+    import numpy as np
+    import ray
+    import pyarrow.compute as pc
+
+    from .dedup import (
+        connected_components,
+        connected_components_distributed,
+    )
+    from .util_ray import collect_small
+
+    base = collect_small(ds.select_columns([id_col, emb_col]))
+    ids = np.asarray(base[id_col].to_pylist())
+    m = np.asarray(base[emb_col].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mat_ref = ray.put((ids, m / norms[:, None]))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        all_ids, mn = ray.get(mat_ref)
+        b = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        bn = np.linalg.norm(b, axis=1)
+        bn[bn == 0] = 1.0
+        sim = (b / bn[:, None]) @ mn.T
+        my_ids = np.asarray(batch[id_col].to_pylist())
+        xs, ys = np.where(sim >= blocking_threshold)
+        keep = my_ids[xs] < all_ids[ys]  # dedupe: emit each pair once
+        xs, ys = xs[keep], ys[keep]
+        return pa.table(
+            {
+                "id_a": pa.array(my_ids[xs]),
+                "id_b": pa.array(all_ids[ys]),
+                "cosine": pa.array(sim[xs, ys], pa.float64()),
+            }
+        )
+
+    cand = ds.map_batches(pairs, batch_format="pyarrow")
+
+    if match_threshold is not None:
+        edges_ds = cand.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cosine"], match_threshold)),
+            batch_format="pyarrow",
+        )
+    elif text_col is not None and jaccard_threshold is not None:
+        from .joins import hash_join
+
+        def proj(suffix):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {f"_rid{suffix}": batch[id_col], f"_rt{suffix}": batch[text_col]}
+                )
+
+            fn.__name__ = f"texts{suffix}"
+            return fn
+
+        t_ds = ds.select_columns([id_col, text_col])
+        with_a = hash_join(cand, t_ds.map_batches(proj("a"), batch_format="pyarrow"),
+                           on="id_a", right_on="_rida")
+        with_ab = hash_join(with_a, t_ds.map_batches(proj("b"), batch_format="pyarrow"),
+                            on="id_b", right_on="_ridb")
+
+        def confirm(batch: pa.Table) -> pa.Table:
+            ja = [
+                token_jaccard(str(a or ""), str(b or ""))
+                for a, b in zip(batch["_rta"].to_pylist(), batch["_rtb"].to_pylist())
+            ]
+            out = batch.select(["id_a", "id_b"]).append_column(
+                "jaccard", pa.array(ja, pa.float64())
+            )
+            return out.filter(pc.greater_equal(out["jaccard"], jaccard_threshold))
+
+        edges_ds = with_ab.map_batches(confirm, batch_format="pyarrow")
+    else:
+        raise ValueError("need match_threshold or (text_col + jaccard_threshold)")
+
+    if distributed_cc:
+        labels_ds = connected_components_distributed(edges_ds)
+        lab_t = collect_small(labels_ds)
+        cmap = dict(zip(lab_t["id"].to_pylist(), lab_t["label"].to_pylist())) \
+            if lab_t.num_rows else {}
+    else:
+        cmap = connected_components(collect_small(edges_ds))
+    cmap_ref = ray.put(cmap)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        mapping = ray.get(cmap_ref)
+        vals = [mapping.get(i, i) for i in batch[id_col].to_pylist()]
+        return batch.append_column(output_col, pa.array(vals, batch[id_col].type))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -190,6 +190,83 @@ def top_fts(ds, text_col: str, id_col: str, query: str, k: int, *,
     return scored.sort(["score", id_col], descending=[True, False]).limit(k)
 
 
+def sample_outliers_embedding(
+    ds,
+    emb_col: str,
+    *,
+    std_cutoff: float | None = None,
+    samples: int | float | None = None,
+    keep: str = "inliers",
+    center: list | None = None,
+):
+    """Outlier filter by EUCLIDEAN DISTANCE FROM THE EMBEDDING CENTROID —
+    the reference's actual outliers method (``sample.py:390-432``), which
+    embeds rows and cuts on distance to the mean vector:
+
+    - pass 1 (distributed): per-batch partial (count, per-dim sum, per-dim
+      sum-of-squares) -> tiny driver reduce -> centroid + per-dim variance.
+    - cutoff: ``std_cutoff`` mode: ``sqrt(sum(var)) * std_cutoff``
+      (sample.py:413-417); ``samples`` mode: the n-th smallest distance,
+      found with a distributed ``sort().limit()`` (sample.py:418-425).
+    - pass 2 (distributed): vectorized distance filter against the
+      broadcast centroid.  ``keep="outliers"`` keeps ``dist > cutoff``
+      (the reference's ``keep=True``), else ``dist <= cutoff``.
+    """
+    import ray
+
+    from .util_ray import collect_small
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        return pa.table(
+            {
+                "n": pa.array([len(m)], pa.int64()),
+                "s": pa.array([m.sum(axis=0).tolist()], pa.list_(pa.float64())),
+                "s2": pa.array([(m * m).sum(axis=0).tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    stats = collect_small(ds.map_batches(partial, batch_format="pyarrow"))
+    n = sum(stats["n"].to_pylist())
+    s = np.asarray(stats["s"].to_pylist(), dtype=np.float64).sum(axis=0)
+    s2 = np.asarray(stats["s2"].to_pylist(), dtype=np.float64).sum(axis=0)
+    ctr = np.asarray(center, dtype=np.float64) if center is not None else s / n
+    ctr_ref = ray.put(ctr)
+
+    def with_dist(batch: pa.Table) -> pa.Table:
+        c = ray.get(ctr_ref)
+        m = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+        d = np.sqrt(((m - c) ** 2).sum(axis=1))
+        return batch.append_column("_dist", pa.array(d, pa.float64()))
+
+    if std_cutoff is not None:
+        var = s2 / n - (s / n) ** 2  # population variance per dim
+        cutoff = float(np.sqrt(var.sum()) * std_cutoff)
+    elif samples is not None:
+        n_samples = int(samples * n) if isinstance(samples, float) else samples
+        idx = min(n_samples, n - 1)
+        dists = (
+            ds.map_batches(with_dist, batch_format="pyarrow")
+            .select_columns(["_dist"])
+            .sort("_dist")
+            .limit(idx + 1)
+        )
+        cutoff = float(collect_small(dists)["_dist"][idx].as_py())
+    else:
+        raise ValueError("need std_cutoff or samples")
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = with_dist(batch)
+        mask = (
+            pc.greater(t["_dist"], cutoff)
+            if keep == "outliers"
+            else pc.less_equal(t["_dist"], cutoff)
+        )
+        return batch.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
 def sample_outliers(
     ds, value_col: str, *, std_cutoff: float | None = None, keep: str = "inliers"
 ):

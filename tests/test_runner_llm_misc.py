@@ -227,3 +227,67 @@ def test_llm_map_validation_retry():
 
     res = collect(out)
     assert res.num_rows == 2 and "score" in res.column_names
+
+
+def test_register_custom_operation_plugin():
+    """Custom op types dispatch through register_operation without
+    editing _apply_op (entry-point parity, operations/__init__.py:43-62)."""
+    import ray.data as rd
+    from docetl_ray.runner import _OP_PLUGINS, _apply_op, register_operation
+
+    def double_op(ds, op):
+        col = op["column"]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.append_column(
+                f"{col}_x2", pc.multiply(batch[col], 2)
+            )
+
+        return ds.map_batches(fn, batch_format="pyarrow")
+
+    register_operation("double", double_op)
+    try:
+        ds = rd.from_arrow(pa.table({"v": [1, 2, 3]}))
+        out = _collect(_apply_op(ds, {"type": "double", "column": "v"}))
+        assert out["v_x2"].to_pylist() == [2, 4, 6]
+    finally:
+        _OP_PLUGINS.pop("double", None)
+
+
+def test_runner_dispatch_new_surfaces():
+    """_apply_op routes gleaning/fold/line_number/embedding configs to the
+    new implementations (smoke: structure, not model quality)."""
+    import ray.data as rd
+    from docetl_ray.runner import _apply_op
+
+    docs = rd.from_arrow(pa.table({"k": ["a"] * 6, "text": ["one two three"] * 6}))
+    # fold-plan reduce through the YAML surface
+    out = _collect(
+        _apply_op(
+            docs,
+            {
+                "type": "reduce",
+                "reduce_key": "k",
+                "prompt": "summarize {{ inputs | length }}",
+                "output": {"schema": {"summary": "str"}},
+                "fold_prompt": "fold {{ inputs | length }} into {{ output.summary }}",
+                "fold_batch_size": 2,
+            },
+        )
+    )
+    assert out.num_rows == 1 and out["_counts_prereduce"].to_pylist() == [6]
+    # line_number extract through the YAML surface
+    out2 = _collect(
+        _apply_op(
+            docs,
+            {
+                "type": "extract",
+                "extraction_method": "line_number",
+                "document_keys": ["text"],
+                "prompt": "find stuff",
+            },
+        )
+    )
+    assert "text_extracted" in out2.column_names
