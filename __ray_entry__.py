@@ -20,9 +20,21 @@ SAMPLE_FRAC = 0.25
 
 
 def _rp(sf_dir: str, name: str, columns=None):
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    import pyarrow as pa
+
+    path = f"{sf_dir}/{name}.parquet"
+    # strip pandas metadata from the file schema: metadata-bearing
+    # pa.Schema is unhashable, which defeats Ray's schema-dedup fast path
+    # and floods a warning per block.  With column pruning the schema
+    # passed must be the PRUNED one (Ray validates block schemas against
+    # it post-projection).
+    schema = pq.read_schema(path).remove_metadata()
+    if columns is not None:
+        schema = pa.schema([schema.field(c) for c in columns])
+    return rd.read_parquet(path, schema=schema, columns=columns)
 
 
 def _typed_table(ds):
@@ -471,6 +483,14 @@ def _q_resolve_fuzzy(sf_dir):
     return out.select_columns(["doc_id", "canonical_id"])
 
 
+def _q_simhash_near_dedup(sf_dir):
+    from docetl_ray.stages.dedup import simhash_near_dedup
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out, _ = simhash_near_dedup(docs, "text", "doc_id", max_hamming=3)
+    return out.select_columns(["doc_id", "canonical_id"])
+
+
 def _q_sample_outliers_embedding(sf_dir):
     from docetl_ray.stages.sample import sample_outliers_embedding
 
@@ -588,6 +608,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_embedding_vectors": _q_top_embedding,
         "cdc_flagship_delta": _q_cdc_flagship_delta,
         "sample_outliers_embedding": _q_sample_outliers_embedding,
+        "simhash_near_dedup_documents": _q_simhash_near_dedup,
         "resolve_embedding_blocked": _q_resolve_embedding_blocked,
         # non-SQL-expressible (rows-only)
         "top_fts_documents": _q_top_fts,
@@ -872,6 +893,45 @@ def oracle_sql() -> dict[str, str]:
               FROM qn CROSS JOIN embeddings e)
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY score DESC, vec_id) <= 5
+        """,
+        # simhash near-dup: banding over max_hamming+1 disjoint chunks has
+        # FULL recall by pigeonhole, so the engine equals the all-pairs
+        # hamming<=3 SQL answer exactly; components via recursive CTE
+        "simhash_near_dedup_documents": r"""
+            WITH RECURSIVE toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS w
+              FROM documents),
+            th AS (
+              SELECT doc_id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h
+              FROM toks),
+            bits AS (
+              SELECT doc_id, b.b AS b,
+                     sum(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+              FROM th, range(0, 64) AS b(b)
+              GROUP BY doc_id, b.b),
+            acc AS (
+              SELECT doc_id,
+                     sum(CASE WHEN v > 0
+                              THEN CAST(1::UBIGINT << b AS HUGEINT) ELSE 0 END) AS s
+              FROM bits GROUP BY doc_id),
+            sh AS (
+              SELECT d.doc_id,
+                     CAST(CASE WHEN coalesce(a.s, 0) >= 9223372036854775808
+                               THEN coalesce(a.s, 0) - 18446744073709551616
+                               ELSE coalesce(a.s, 0) END AS BIGINT) AS simhash
+              FROM documents d LEFT JOIN acc a ON a.doc_id = d.doc_id),
+            e0 AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib
+              FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+              WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+            edges AS (SELECT ia AS a, ib AS b FROM e0
+                      UNION ALL SELECT ib AS a, ia AS b FROM e0),
+            reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM documents
+              UNION
+              SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id
+            )
+            SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
         """,
         # embedding-centroid outliers, std mode: centroid + population
         # variance per dim, cutoff = sqrt(sum var) * std (sample.py:390-432)

@@ -78,6 +78,17 @@ def run_bench() -> dict:
     ctx = DataContext.get_current()
     ctx.enable_progress_bars = False
 
+    # The driver-generated testdata parquet carries pandas schema
+    # metadata, which makes pa.Schema unhashable and Ray's schema-dedup
+    # early-exit log a cosmetic warning PER BLOCK inside ReadParquet
+    # (stage outputs are already metadata-stripped).  Silence just that
+    # logger so real warnings stay visible.
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+
     import ray.data as rd
 
     wal = _wal_dir()
@@ -108,7 +119,10 @@ def run_bench() -> dict:
 
     qfns = entrymod.queries()
     qtimes = {}
-    for name in BENCH_QUERIES:
+    bench_queries = (
+        [] if os.environ.get("GRAFT_BENCH_SKIP_QUERIES") else BENCH_QUERIES
+    )
+    for name in bench_queries:
         t0 = time.perf_counter()
         res = qfns[name](SF_DIR)
         if hasattr(res, "iter_batches"):
@@ -144,14 +158,25 @@ def run_scaling():
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     prepare_wal_in_subprocess(hi)  # generate once, at full parallelism
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
     res = {}
     for n in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
-            env=env, capture_output=True, text=True, check=True,
-        ).stdout
-        res[n] = json.loads(out.strip().splitlines()[-1])
+        # the scaling criterion is the headline apply; skip the query
+        # suite in the sub-runs (the plain bench run reports those).
+        # Best-of-N per level: each leg is a fresh process on a shared
+        # machine, so min wall time is the standard low-noise estimator.
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
+                   GRAFT_BENCH_SKIP_QUERIES="1")
+        best = None
+        for _ in range(repeats):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, capture_output=True, text=True, check=True,
+            ).stdout
+            r = json.loads(out.strip().splitlines()[-1])
+            if best is None or r["value"] < best["value"]:
+                best = r
+        res[n] = best
     t_lo, t_hi = res[lo]["value"], res[hi]["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(

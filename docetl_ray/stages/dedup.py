@@ -481,12 +481,104 @@ def add_simhash(ds, text_col: str, *, out_col: str = "simhash"):
 
 def simhash_dedup(ds, text_col: str, id_col: str):
     """Exact-SimHash dedup: identical 64-bit fingerprints collapse to the
-    min-id representative (hamming-radius search = band the 64 bits into
-    4×16 and group per band; exact match is the pinned default)."""
+    min-id representative (``simhash_near_dedup`` below is the
+    hamming-radius variant; exact match is the pinned default)."""
     from .resolve import dedup_exact
 
     withsim = add_simhash(ds, text_col)
     return dedup_exact(withsim, "simhash", tiebreak_col=id_col, keep="min")
+
+
+def _popcount64(v: np.ndarray) -> np.ndarray:
+    """Vectorized popcount of a uint64 array."""
+    return np.unpackbits(v.view(np.uint8)).reshape(len(v), 8 * 8).sum(axis=1)
+
+
+def simhash_near_dedup(
+    ds,
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    output_col: str = "canonical_id",
+):
+    """SimHash near-dup clustering within a hamming radius.
+
+    Bands the 64 fingerprint bits into ``max_hamming + 1`` DISJOINT
+    chunks that cover all 64 bits; by pigeonhole, any pair within the
+    radius agrees on at least one full chunk — so the band-bucket
+    candidate generation has FULL recall (deterministic, unlike
+    MinHash banding), and the SQL oracle (all pairs with
+    ``bit_count(xor) <= r``) is exact.  One groupby shuffle on the band
+    key; in-bucket verification is a vectorized XOR-popcount; components
+    -> ``output_col`` = min-id representative per row."""
+    from .grouped import grouped_map
+    from .reduces import grouped_aggregate
+    from .util_ray import collect_small
+
+    bands = max_hamming + 1
+    base_w, extra = divmod(64, bands)
+    offsets, widths = [], []
+    pos = 0
+    for bi in range(bands):
+        w = base_w + (1 if bi < extra else 0)
+        offsets.append(pos)
+        widths.append(w)
+        pos += w
+
+    withsim = add_simhash(ds, text_col)
+
+    def band_rows(batch: pa.Table) -> pa.Table:
+        h = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        parts = []
+        for bi in range(bands):
+            chunk = (h >> np.uint64(offsets[bi])) & np.uint64((1 << widths[bi]) - 1)
+            key = (np.uint64(bi) << np.uint64(58)) | chunk  # band-tagged bucket
+            parts.append(
+                pa.table(
+                    {
+                        "bkey": pa.array(key.astype(np.int64), pa.int64()),
+                        id_col: batch[id_col],
+                        "sim": batch["simhash"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts).combine_chunks()
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        g = g.sort_values(id_col, kind="mergesort")
+        ids = g[id_col].to_numpy()
+        sims = g["sim"].to_numpy().astype(np.uint64)
+        xs, ys = np.triu_indices(len(ids), 1)
+        ham = _popcount64(sims[xs] ^ sims[ys])
+        keep = ham <= max_hamming
+        return pd.DataFrame({"id_a": ids[xs[keep]], "id_b": ids[ys[keep]]})
+
+    banded = withsim.map_batches(band_rows, batch_format="pyarrow")
+    cand = grouped_map(banded, "bkey", pairs)
+    # same pair can surface from several bands: dedup with a grouped count
+    uniq = grouped_aggregate(
+        cand.map_batches(
+            lambda t: t.append_column("_one", pa.array([1] * t.num_rows, pa.int8())),
+            batch_format="pyarrow",
+        ),
+        ["id_a", "id_b"],
+        [("_one", "count", "_n")],
+    )
+    cmap = connected_components(collect_small(uniq))
+
+    import ray
+
+    cmap_ref = ray.put(cmap)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        mapping = ray.get(cmap_ref)
+        vals = [mapping.get(i, i) for i in batch[id_col].to_pylist()]
+        return batch.append_column(output_col, pa.array(vals, batch[id_col].type))
+
+    return ds.map_batches(attach, batch_format="pyarrow"), cmap
 
 
 # ---------------------------------------------------------------------------

@@ -148,7 +148,7 @@ def broadcast_join(
             )
         return pa.Table.from_pandas(
             out[out_schema.names], schema=out_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     probe.__name__ = "broadcast_probe"
     return ds.map_batches(probe, batch_format="pyarrow")
@@ -240,7 +240,7 @@ def hash_join(
             out = l.merge(r, left_on=on, right_on=right_on_u, how=how, sort=False)
         return pa.Table.from_pandas(
             out[out_schema.names], schema=out_schema, preserve_index=False
-        )
+        ).replace_schema_metadata(None)
 
     join_bucket.__name__ = "join_bucket"
     return (

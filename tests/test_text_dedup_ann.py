@@ -380,3 +380,31 @@ def test_multimodal_video_keyframes():
     assert all(len(f) == 8 for f in out["keyframe_features"].to_pylist())
     ts = out["keyframe_ts"].to_pylist()
     assert ts == sorted(ts) and all(v > 0 for v in ts)
+
+
+def test_simhash_near_dedup_hamming_radius():
+    """Banding over r+1 disjoint chunks must find EVERY pair within the
+    radius (pigeonhole full recall), none beyond it."""
+    import ray.data as rd
+    from docetl_ray.stages.dedup import simhash64, simhash_near_dedup
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog again and again",
+        2: "the quick brown fox jumps over the lazy dog again and again!",  # near
+        3: "completely different content about database shuffle partitions",
+        4: "the quick brown fox jumps over the lazy dog again and again",  # exact dup of 1
+    }
+    ds = rd.from_arrow(
+        pa.table({"doc_id": list(texts), "text": list(texts.values())})
+    )
+    out, cmap = simhash_near_dedup(ds, "text", "doc_id", max_hamming=3)
+    res = {r["doc_id"]: r["canonical_id"] for r in _collect(out).to_pylist()}
+    # exact dup always collapses
+    assert res[4] == 1
+    # doc 3 stays its own cluster
+    assert res[3] == 3
+    # near-dup collapses iff its fingerprint is within the radius — check
+    # consistency against the direct hamming distance
+    h1, h2 = simhash64(texts[1]), simhash64(texts[2])
+    within = bin(h1 ^ h2).count("1") <= 3
+    assert (res[2] == 1) == within
