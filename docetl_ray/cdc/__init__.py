@@ -2,6 +2,6 @@
 exactly-once partitioned Parquet lake table with manifest checkpoints."""
 
 from .table import LakeTable  # noqa: F401
-from .apply import apply_events, read_state  # noqa: F401
+from .apply import apply_events, compact, read_state, resplit  # noqa: F401
 from .replay import replay_oracle  # noqa: F401
 from .tail import tail, tail_once, write_segment, discover_segments  # noqa: F401

@@ -452,6 +452,75 @@ def apply_events(
     return m
 
 
+class _ResplitPartition:
+    """Reduce side of a table repartition: merge a new partition's rows,
+    write its file, emit a lineage row (same contract as
+    ``_ApplyPartition`` so ``_exchange_and_apply`` can drive it)."""
+
+    __name__ = "resplit_partition"
+
+    def __init__(self, table_root: str, tag: str):
+        self.root = table_root
+        self.tag = tag
+
+    def __call__(self, group: pa.Table) -> pa.Table:
+        pid = int(group["part"][0].as_py())
+        merged = lww_last_per_url(group.drop_columns(["part"])).sort_by(
+            STATE_SORT_KEYS
+        )
+        out_dir = os.path.join(self.root, "resplits", self.tag)
+        os.makedirs(out_dir, exist_ok=True)
+        fname = f"part-{pid:05d}.parquet"
+        _atomic_write_parquet(merged, os.path.join(out_dir, fname))
+        live = int(pc.sum(pc.cast(pc.invert(merged["_deleted"]), pa.int64())).as_py() or 0)
+        return pa.Table.from_pylist(
+            [
+                {
+                    "pid": pid,
+                    "path": os.path.join("resplits", self.tag, fname),
+                    "rows": merged.num_rows,
+                    "live_rows": live,
+                    "lsn_min": pc.min(merged["lsn"]).as_py(),
+                    "lsn_max": pc.max(merged["lsn"]).as_py(),
+                    "checksum": _state_checksum(merged),
+                    "append": False,
+                }
+            ],
+            schema=_LINEAGE_SCHEMA,
+        )
+
+
+def resplit(table: LakeTable, new_num_partitions: int, *, tag: str) -> dict:
+    """Repartition the table to ``new_num_partitions`` — the explicit
+    partition-splitting lever for when per-partition states outgrow a
+    worker (or merging when they shrink).
+
+    One exchange: current state (tombstones INCLUDED — delete suppression
+    must survive the move) re-routes by ``crc32(url) % M`` through the
+    same compact two-phase task exchange as the apply path, each new
+    partition writes one file under ``resplits/<tag>/``, and
+    ``commit_resplit`` swaps the whole partition map + partition count in
+    one atomic manifest write.  Subsequent ``apply_events`` calls pick up
+    the new count from the manifest (``LakeTable.manifest`` syncs
+    ``num_partitions``).  Idempotent per ``tag``; a crash before commit
+    leaves the old layout live."""
+    if tag in table.manifest().get("resplits", []):
+        return table.manifest()
+
+    ds = read_state(table, include_tombstones=True)
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = url_partition(
+            batch["url"].to_numpy(zero_copy_only=False), new_num_partitions
+        )
+        return batch.append_column("part", pa.array(part, pa.int32()))
+
+    partial = ds.map_batches(add_part, batch_format="pyarrow")
+    writer = _ResplitPartition(table.root, tag)
+    recs = _exchange_and_apply(partial, new_num_partitions, writer)
+    return table.commit_resplit(tag, new_num_partitions, recs)
+
+
 def compact(
     table: LakeTable, *, tag: str, pids: list[int] | None = None,
     drop_tombstones_below_lsn: int | None = None,

@@ -174,6 +174,42 @@ class LakeTable:
         done.append(tag)
         return self._write_manifest(m)
 
+    def commit_resplit(
+        self, tag: str, new_num_partitions: int,
+        partition_records: list[dict[str, Any]],
+    ) -> dict[str, Any]:
+        """Atomically publish a REPARTITION of the whole table (partition
+        splitting/merging when states grow or shrink).
+
+        Replaces the entire partition map and ``num_partitions`` in one
+        manifest swap — readers and subsequent ``apply_events`` route by
+        the manifest's partition count, so the switch is atomic with the
+        data.  Lineage LSN ranges coarsen to one [min, max] per new
+        partition (recomputed from the data — the old per-epoch ranges
+        described partitions that no longer exist).  Idempotent per
+        ``tag``; epoch replay-detection (``epochs``) is preserved."""
+        m = json.loads(json.dumps(self.manifest()))
+        done = m.setdefault("resplits", [])
+        if tag in done:
+            return m  # idempotent
+        parts: dict[str, Any] = {}
+        for rec in partition_records:
+            ranges = []
+            if rec.get("lsn_min") is not None:
+                ranges.append([rec["lsn_min"], rec["lsn_max"]])
+            parts[str(rec["pid"])] = {
+                "paths": [rec["path"]],
+                "rows": rec["rows"],
+                "live_rows": rec.get("live_rows", rec["rows"]),
+                "checksum": rec.get("checksum"),
+                "applied_lsn_ranges": ranges,
+            }
+        m["partitions"] = parts
+        m["num_partitions"] = new_num_partitions
+        self.num_partitions = new_num_partitions
+        done.append(tag)
+        return self._write_manifest(m)
+
     def _write_manifest(self, m: dict[str, Any]) -> dict[str, Any]:
         tmp = self.manifest_path + ".tmp"
         os.makedirs(self.root, exist_ok=True)

@@ -82,6 +82,20 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_resplit(args) -> int:
+    _init_ray()
+    import ray
+
+    from .cdc import LakeTable
+    from .cdc.apply import resplit
+
+    m = resplit(LakeTable(args.table), args.num_partitions, tag=args.tag)
+    print(json.dumps({"num_partitions": m["num_partitions"],
+                      "resplits": m.get("resplits", [])}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_run(args) -> int:
     _init_ray()
     import ray
@@ -135,6 +149,12 @@ def main(argv=None) -> int:
     cp.add_argument("--table", required=True)
     cp.add_argument("--tag", required=True)
     cp.set_defaults(fn=cmd_compact)
+
+    rsp = sub.add_parser("resplit", help="repartition the table (split/merge partitions)")
+    rsp.add_argument("--table", required=True)
+    rsp.add_argument("--num-partitions", type=int, required=True)
+    rsp.add_argument("--tag", required=True)
+    rsp.set_defaults(fn=cmd_resplit)
 
     rp = sub.add_parser("run", help="run a YAML pipeline")
     rp.add_argument("pipeline")

@@ -86,11 +86,31 @@ def register_parser(name: str, fn: Callable[[str], list[str]]):
     PARSERS[name] = fn
 
 
+def get_parser(name: str) -> Callable[[str], list[str]]:
+    """Resolve a parser: explicit registrations / built-ins first, then
+    ``importlib.metadata`` entry points in the ``docetl_ray.parser``
+    group (installed plugin packages) — the reference's discovery order
+    for its ``docetl.parser`` group."""
+    if name in PARSERS:
+        return PARSERS[name]
+    import importlib.metadata
+
+    try:
+        for ep in importlib.metadata.entry_points(group="docetl_ray.parser"):
+            if ep.name == name:
+                fn = ep.load()
+                PARSERS[name] = fn  # cache
+                return fn
+    except Exception:
+        pass
+    raise KeyError(f"unknown parser {name!r} (registered: {sorted(PARSERS)})")
+
+
 def parse_files(ds, *, path_col: str, parser: str, output_col: str = "content"):
     """Fan-out parse stage: one input row per file path -> one output row
     per parsed document (reference parsing fan-out, dataset.py:241-315).
     Other columns are copied onto every fan-out row."""
-    fn = PARSERS[parser]
+    fn = get_parser(parser)
 
     def fan_out(batch: pa.Table) -> pa.Table:
         idx, docs = [], []

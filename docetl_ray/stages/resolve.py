@@ -44,6 +44,21 @@ def dedup_exact(ds, key_cols, *, tiebreak_col: str, keep: str = "min"):
     return pre.groupby(key_cols).map_groups(local, batch_format="pandas")
 
 
+def auto_compare_batch_size(n_items: int, n_pairs: int, *, cap: int = 500) -> int:
+    """The reference's adaptive comparison batch size
+    (``resolve.py:491-516``): solve ``k(k-1)/2 + (n-k)(k-1) = m`` for k
+    (the largest prefix of items whose pairwise comparisons fill one
+    batch) and cap at 500.  Used here to size the ``map_batches``
+    batch for pair-confirmation stages; the reference uses it to bound
+    LLM comparison batches."""
+    discriminant = (1 - 2 * n_items) ** 2 - 8 * n_pairs
+    if discriminant < 0:
+        return cap
+    sqrt_d = discriminant ** 0.5
+    k = max(-0.5 * sqrt_d + n_items + 0.5, 0.5 * (sqrt_d + 2 * n_items + 1))
+    return cap if k < 0 else min(int(k), cap)
+
+
 class _UnionFind:
     """Deterministic union-find keyed by local row position."""
 

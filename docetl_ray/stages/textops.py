@@ -30,15 +30,16 @@ _LANG_MARKERS = {
 
 
 def token_count(ds, text_col: str, *, out_col: str = "n_tokens"):
-    """Whitespace token count.  Oracle SQL:
+    """Whitespace token count — vectorized ``pc.count_substring_regex``
+    (RE2, no per-row Python; matches ``re.findall(r"\\S+")`` counts).
+    Oracle SQL:
     ``length(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''))``."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        counts = [
-            len(_TOKEN_RE.findall(t)) if t is not None else 0
-            for t in batch[text_col].to_pylist()
-        ]
-        return batch.append_column(out_col, pa.array(counts, pa.int64()))
+        counts = pc.fill_null(
+            pc.count_substring_regex(batch[text_col], r"\S+"), 0
+        )
+        return batch.append_column(out_col, pc.cast(counts, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -55,11 +56,10 @@ def bpe_token_count(ds, text_col: str, *, out_col: str = "n_bpe_tokens"):
     ``len(regexp_extract_all(text, '<pattern>'))``."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        counts = [
-            len(_BPE_RE.findall(t)) if t is not None else 0
-            for t in batch[text_col].to_pylist()
-        ]
-        return batch.append_column(out_col, pa.array(counts, pa.int64()))
+        counts = pc.fill_null(
+            pc.count_substring_regex(batch[text_col], _BPE_RE.pattern), 0
+        )
+        return batch.append_column(out_col, pc.cast(counts, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -70,23 +70,37 @@ def quality_score(ds, text_col: str):
     ``n_chars``, ``n_tokens``, ``punct_ratio``, ``stopword_ratio``,
     ``mean_token_len``, and ``quality`` in [0, 1]."""
 
+    stop_set = pa.array(sorted(_LANG_MARKERS["en"]))
+
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        n = len(texts)
-        n_chars = np.zeros(n, np.int64)
-        n_tok = np.zeros(n, np.int64)
-        punct = np.zeros(n, np.float64)
-        stopr = np.zeros(n, np.float64)
-        mtl = np.zeros(n, np.float64)
-        for i, t in enumerate(texts):
-            t = t or ""
-            toks = _TOKEN_RE.findall(t)
-            n_chars[i] = len(t)
-            n_tok[i] = len(toks)
-            punct[i] = len(_PUNCT_RE.findall(t)) / max(1, len(t))
-            low = [w.lower() for w in toks]
-            stopr[i] = sum(w in _LANG_MARKERS["en"] for w in low) / max(1, len(toks))
-            mtl[i] = (sum(len(w) for w in toks) / len(toks)) if toks else 0.0
+        # fully vectorized: RE2 match counts for chars/tokens/punct, and
+        # split->flatten->is_in with a parent-index scatter-add for the
+        # stopword counts — no per-row Python.  Identical arithmetic to
+        # the per-row formulation (sum of \S+ token lengths == non-ws
+        # char count, since \S+ tokens partition the non-ws chars).
+        col = pc.fill_null(batch[text_col], "")
+        n = batch.num_rows
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok = (
+            pc.count_substring_regex(col, r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        n_punct = pc.count_substring_regex(col, r"[.!?,;:]").to_numpy(
+            zero_copy_only=False
+        )
+        n_ws = pc.count_substring_regex(col, r"\s").to_numpy(zero_copy_only=False)
+        punct = n_punct / np.maximum(1, n_chars)
+        mtl = np.where(n_tok > 0, (n_chars - n_ws) / np.maximum(1, n_tok), 0.0)
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), r"\s+").combine_chunks()
+        flat = pc.list_flatten(toks)
+        hit = pc.cast(pc.is_in(flat, value_set=stop_set), pa.int8()).to_numpy(
+            zero_copy_only=False
+        )
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        n_stop = np.zeros(n, np.int64)
+        np.add.at(n_stop, parents, hit)
+        stopr = n_stop / np.maximum(1, n_tok)
         # pinned score: length band + punctuation sanity + vocabulary shape
         len_ok = np.clip(n_tok / 50.0, 0, 1) * np.clip((5000 - n_tok) / 5000.0, 0, 1)
         punct_ok = 1.0 - np.clip(np.abs(punct - 0.02) * 20, 0, 1)

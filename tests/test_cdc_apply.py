@@ -213,3 +213,56 @@ def test_epoch_metrics_recorded(tmp_path):
     assert met["mode"] == "merge" and met["partitions_touched"] == 4
     assert met["rows_written"] >= met["live_rows_written"] > 0
     assert met["wall_sec"] > 0
+
+
+def test_resplit_preserves_state_and_reroutes(tmp_path):
+    """Partition splitting: resplit 8 -> 16 keeps the exact state
+    (tombstones included), updates the manifest atomically, and later
+    epochs route by the new partition count."""
+    from docetl_ray.cdc import resplit
+
+    t = LakeTable(str(tmp_path / "lake"), num_partitions=8)
+    apply_events(t, synth.events_dataset(8_000, parallelism=4), epoch=0)
+    before = _engine_state(t, include_tombstones=True)
+
+    m = resplit(t, 16, tag="grow-16")
+    assert m["num_partitions"] == 16 and t.num_partitions == 16
+    assert "grow-16" in m["resplits"]
+    after = _engine_state(t, include_tombstones=True)
+    assert before.num_rows == after.num_rows
+    for c in ("url", "lsn", "text", "_deleted"):
+        assert before[c].to_pylist() == after[c].to_pylist()
+    # every new partition holds only its own urls
+    import zlib
+
+    for pid, paths in t.partition_map().items():
+        for p in paths:
+            import pyarrow.parquet as pq
+
+            urls = pq.read_table(p, columns=["url"])["url"].to_pylist()
+            assert all(zlib.crc32(u.encode()) % 16 == pid for u in urls)
+
+    # idempotent per tag
+    m2 = resplit(t, 16, tag="grow-16")
+    assert m2["resplits"].count("grow-16") == 1
+
+    # a later epoch applies against the new layout and still matches the
+    # full replay oracle
+    import ray.data as rd
+
+    apply_events(t, rd.from_arrow(synth.events_table(8_000, 4_000)), epoch=1)
+    oracle = replay_oracle(synth.events_table(0, 12_000))
+    final = _engine_state(t)
+    _assert_state_matches(final, oracle)
+
+
+def test_resplit_fresh_handle_sees_new_count(tmp_path):
+    from docetl_ray.cdc import resplit
+
+    t = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    apply_events(t, synth.events_dataset(2_000, parallelism=4), epoch=0)
+    resplit(t, 8, tag="x")
+    # a FRESH handle (constructor default differs) reads the manifest's count
+    t2 = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    assert t2.manifest()["num_partitions"] == 8
+    assert t2.num_partitions == 8

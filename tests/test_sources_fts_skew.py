@@ -108,3 +108,21 @@ def test_partial_combine_balances_hot_keys():
     counts = collections.Counter(parts)
     mean = len(parts) / len(counts)
     assert max(counts.values()) < 3 * mean
+
+
+def test_get_parser_entry_point_lookup(tmp_path):
+    """get_parser: registered first, unknown raises with the registry list."""
+    import pytest
+    from docetl_ray.sources import PARSERS, get_parser, register_parser
+
+    def my_parser(path):
+        return ["parsed"]
+
+    register_parser("my_custom", my_parser)
+    try:
+        assert get_parser("my_custom") is my_parser
+        assert get_parser("txt_to_string") is PARSERS["txt_to_string"]
+        with pytest.raises(KeyError):
+            get_parser("definitely_not_registered")
+    finally:
+        PARSERS.pop("my_custom", None)

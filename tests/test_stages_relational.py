@@ -379,3 +379,16 @@ def test_resolve_fuzzy_overwrite_and_kv_pairs():
     assert texts[0] == texts[1] == "patient takes metformin daily"  # canonical
     kv = out["_kv_pairs_preresolve_resolve"].to_pylist()
     assert kv[1]["text"] == "patient takes metformin every day"  # original saved
+
+
+def test_auto_compare_batch_size_matches_reference_formula():
+    from docetl_ray.stages.resolve import auto_compare_batch_size
+
+    # m = all pairs of n: discriminant 1, k2 = n+1 (reference takes the
+    # larger root, resolve.py:502-511)
+    assert auto_compare_batch_size(10, 45) == 11
+    # huge pair count -> capped at 500 (the reference's 4o-mini limit)
+    assert auto_compare_batch_size(10_000, 10_000 * 9_999 // 2) == 500
+    # negative discriminant (inconsistent m) -> cap
+    assert auto_compare_batch_size(10, 10**9) == 500
+    assert auto_compare_batch_size(2, 1) == 3
