@@ -80,21 +80,39 @@ def fuzzy_join(
     rb = right.map_batches(bander(right_text, right_id, "r"), batch_format="pyarrow")
 
     def cross_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ls = sorted(set(group.loc[group["side"] == "l", "rid"]))
-        rs = sorted(set(group.loc[group["side"] == "r", "rid"]))
-        if not ls or not rs:
+        # vectorized per-bucket cross product (hot LSH buckets on
+        # template-heavy corpora produce big blocks — no Python loops)
+        outs = []
+        for _, g in group.groupby("bucket", sort=False):
+            ls = np.unique(g.loc[g["side"] == "l", "rid"].to_numpy())
+            rs = np.unique(g.loc[g["side"] == "r", "rid"].to_numpy())
+            if len(ls) == 0 or len(rs) == 0:
+                continue
+            outs.append(
+                pd.DataFrame(
+                    {
+                        "lid": np.repeat(ls, len(rs)),
+                        "rid_": np.tile(rs, len(ls)),
+                    }
+                )
+            )
+        if not outs:
             return pd.DataFrame({"lid": [], "rid_": []})
-        la, ra = [], []
-        for x in ls:
-            for y in rs:
-                la.append(x)
-                ra.append(y)
-        return pd.DataFrame({"lid": la, "rid_": ra})
+        return pd.concat(outs, ignore_index=True)
+
+    # group by a PARTITION of buckets (bucket % P), not per distinct
+    # bucket: per-bucket map_groups pays ~ms task/pandas overhead per LSH
+    # bucket and there are ~docs x bands buckets; whole buckets stay
+    # co-located and cross_pairs iterates them with pandas' C groupby
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = (batch["bucket"].to_numpy(zero_copy_only=False) % 32).astype(np.int32)
+        return batch.append_column("part", pa.array(part, pa.int32()))
 
     cand = (
         lb.union(rb)
+        .map_batches(add_part, batch_format="pyarrow")
         .repartition(32)
-        .groupby("bucket", num_partitions=32)
+        .groupby("part", num_partitions=32)
         .map_groups(cross_pairs, batch_format="pandas")
     )
     uniq = grouped_aggregate(
@@ -125,11 +143,31 @@ def fuzzy_join(
 
     rid_out = right_id if right_id != left_id else f"{right_id}_right"
 
+    from .dedup import shingles
+
     def verify(batch: pa.Table) -> pa.Table:
-        jac = [
-            jaccard_ngram(a or "", b or "", shingle_k)
-            for a, b in zip(batch["_jl_text"].to_pylist(), batch["_jr_text"].to_pylist())
-        ]
+        # shingle each distinct doc ONCE per batch (hot docs appear in
+        # many candidate pairs; re-shingling per pair dominated)
+        cache: dict[int, set] = {}
+
+        def sh(rid, text):
+            s = cache.get(rid)
+            if s is None:
+                s = set(shingles(text or "", shingle_k).tolist())
+                cache[rid] = s
+            return s
+
+        jac = []
+        for lid_v, rid_v, a, b in zip(
+            batch["lid"].to_pylist(), batch["rid_"].to_pylist(),
+            batch["_jl_text"].to_pylist(), batch["_jr_text"].to_pylist(),
+        ):
+            sa, sb = sh(("l", lid_v), a), sh(("r", rid_v), b)
+            if not sa and not sb:
+                jac.append(1.0)
+                continue
+            inter = len(sa & sb)
+            jac.append(inter / (len(sa) + len(sb) - inter))
         out = pa.table(
             {
                 left_id: batch["lid"],

@@ -162,20 +162,36 @@ def hash_join(
     right_on=None,
     how: str = "inner",
     num_buckets: int = 32,
+    exchange: str = "tasks",
 ):
     """Partitioned hash join of two large Datasets.
 
     Adds ``__bucket = hash(key) % B`` (vectorized, no per-row Python) to
     both sides, tags them, unions, and joins each bucket inside one
-    ``map_groups`` task — a single all-to-all exchange.  Skewed keys:
-    raise ``num_buckets`` (splits partitions); a single hot *key* must
-    still colocate, so extreme heads should be broadcast instead.
+    all-to-all exchange.  Skewed keys: raise ``num_buckets`` (splits
+    partitions); a single hot *key* must still colocate, so extreme
+    heads should be broadcast instead.
+
+    ``exchange="tasks"`` (default) routes the bucket exchange through the
+    compact take()-based task exchange (``util_ray.exchange_map_groups``)
+    — Ray's sort shuffle slices map blocks, and sliced Arrow tables
+    pickle their FULL parent buffers, so payload-bearing joins (text /
+    binary columns) ship ~num_buckets× through a sort.  ``"sort"`` keeps
+    the pure-Dataset ``groupby`` path (lazy, fine for narrow rows).
     """
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
 
+    if exchange == "tasks":
+        # the tasks exchange consumes block refs eagerly anyway; pin the
+        # blocks FIRST so the schema() call below doesn't trigger a
+        # separate full execution of a lazy upstream (measured: a chained
+        # join re-ran its whole candidate pipeline once for schema
+        # inference and again for the exchange)
+        left = left.materialize()
+        right = right.materialize()
     l_arrow = _ds_arrow_schema(left)
     r_arrow = _ds_arrow_schema(right)
     left_cols = list(l_arrow.names)
@@ -243,8 +259,19 @@ def hash_join(
         ).replace_schema_metadata(None)
 
     join_bucket.__name__ = "join_bucket"
+    unioned = lb.union(rb)
+    if exchange == "tasks":
+        from .util_ray import exchange_map_groups
+
+        def join_group(group: pa.Table) -> pa.Table:
+            return join_bucket(group)
+
+        return exchange_map_groups(unioned, "__bucket", num_buckets, join_group)
+    # sort path: bound the reduce side — Ray's sort shuffle cost grows
+    # with map_blocks x reduce_partitions, and a chain of upstream stages
+    # can leave hundreds of near-empty map blocks
     return (
-        lb.union(rb)
-        .groupby("__bucket")
+        unioned
+        .groupby("__bucket", num_partitions=num_buckets)
         .map_groups(join_bucket, batch_format="pyarrow")
     )

@@ -140,14 +140,24 @@ def resolve_fuzzy(
         # null text never matches anything but must not crash the block
         texts = ["" if t is None or t is pd.NA or (isinstance(t, float) and pd.isna(t))
                  else str(t) for t in df[text_col]]
+        # tokenize ONCE per row (token_jaccard per pair would re-run the
+        # regex O(block²) times — the dominant cost on big blocks)
+        tsets = [set(_WORD_RE.findall(t.lower())) for t in texts]
         budget = limit_comparisons if limit_comparisons is not None else n * n
         done = 0
         for i in range(n):
+            si = tsets[i]
             for j in range(i + 1, n):
                 if done >= budget:
                     break
                 done += 1
-                if token_jaccard(texts[i], texts[j]) >= threshold:
+                sj = tsets[j]
+                if not si and not sj:
+                    jac = 1.0
+                else:
+                    inter = len(si & sj)
+                    jac = inter / (len(si) + len(sj) - inter)
+                if jac >= threshold:
                     uf.union(i, j)
             if done >= budget:
                 break

@@ -52,6 +52,91 @@ def bucket_codes(batch: pa.Table, key_cols, num_buckets: int) -> "np.ndarray":
     return (hash_codes(batch, key_cols) % np.uint64(num_buckets)).astype(np.int32)
 
 
+def _split_by_part(nparts: int, part_col: str, *blocks):
+    """Map side of the task exchange: split blocks into nparts COMPACT
+    per-partition tables (``take`` copies fresh buffers — a sliced Arrow
+    table would pickle its FULL parent buffers, shipping payload blocks
+    ~nparts times through a sort shuffle)."""
+    import pandas as pd
+
+    tabs = [
+        pa.Table.from_pandas(b, preserve_index=False) if isinstance(b, pd.DataFrame)
+        else b
+        for b in blocks
+    ]
+    block = pa.concat_tables(tabs, promote_options="permissive") if len(tabs) > 1 else tabs[0]
+    empty = block.slice(0, 0).combine_chunks()
+    if block.num_rows == 0:
+        return [empty] * nparts if nparts > 1 else empty
+    import pyarrow.compute as pc
+
+    idx = pc.sort_indices(block, sort_keys=[(part_col, "ascending")])
+    s = block.take(idx)
+    parts = s[part_col].to_numpy(zero_copy_only=False)
+    out = []
+    lo = 0
+    for pid in range(nparts):
+        hi = int(np.searchsorted(parts, pid, side="right"))
+        out.append(s.take(pa.array(np.arange(lo, hi))) if hi > lo else empty)
+        lo = hi
+    return out if nparts > 1 else out[0]
+
+
+def _reduce_group(fn, part_col: str, *shards):
+    tabs = [t for t in shards if t.num_rows > 0]
+    group = (
+        pa.concat_tables(tabs, promote_options="permissive") if tabs else shards[0]
+    )
+    if part_col in group.column_names:
+        group = group.drop_columns([part_col])
+    return fn(group)
+
+
+def exchange_map_groups(ds, part_col: str, nparts: int, fn):
+    """Payload-safe keyed exchange: ``groupby(part).map_groups(fn)``
+    expressed as a manual two-phase task exchange.
+
+    Why not ``ds.groupby(...)``: Ray Data's sort-based shuffle slices
+    map blocks per partition, and a sliced Arrow table serializes its
+    FULL parent buffers — payload-heavy rows (text/binary columns) ship
+    ~nparts times.  Here map tasks split each block bundle into compact
+    per-partition tables (one copy), reduce tasks concat + run ``fn``
+    per partition, and the results come back as a Dataset via
+    ``from_arrow_refs`` (data never leaves the object store).
+
+    ``fn`` must emit a consistent schema (including for empty input).
+    ``part_col`` must be an int column in [0, nparts) and is dropped
+    before ``fn`` sees the group.
+    """
+    import ray
+    import ray.data as rd
+
+    block_refs = list(ds.to_arrow_refs())
+    if not block_refs:
+        # no blocks at all (fully-empty upstream): nothing to exchange
+        return rd.from_arrow(pa.table({}))
+    ncpus = int(ray.cluster_resources().get("CPU", 8))
+    nbundles = max(1, min(len(block_refs), ncpus * 2))
+    bundles = [block_refs[i::nbundles] for i in range(nbundles)]
+    bundles = [b for b in bundles if b]
+    split = ray.remote(num_returns=nparts, max_retries=3, retry_exceptions=True)(
+        _split_by_part
+    )
+    split_rows = [split.remote(nparts, part_col, *bundle) for bundle in bundles]
+    if nparts == 1:
+        split_rows = [[r] for r in split_rows]
+    flat = [r for row in split_rows for r in row]
+    ray.wait(flat, num_returns=len(flat), fetch_local=False)
+    del block_refs, ds
+
+    reduce = ray.remote(max_retries=3, retry_exceptions=True)(_reduce_group)
+    out_refs = [
+        reduce.remote(fn, part_col, *[row[pid] for row in split_rows])
+        for pid in range(nparts)
+    ]
+    return rd.from_arrow_refs(out_refs)
+
+
 def collect_small(ds) -> pa.Table:
     """Materialize a small result Dataset into one Arrow table (skips
     Ray's occasional zero-column empty blocks)."""
