@@ -68,8 +68,31 @@ def shingles(text: str, k: int = 5) -> np.ndarray:
 def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, k: int = 5) -> np.ndarray:
     sh = shingles(text, k)
     # (num_perm, n_shingles) universal hash, min over shingles
-    vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
+    with np.errstate(over="ignore"):
+        vals = (a[:, None] * sh[None, :] + b[:, None]) % _MERSENNE
     return vals.min(axis=1).astype(np.uint64)
+
+
+def minhash_signatures_batch(
+    texts: list, a: np.ndarray, b: np.ndarray, k: int = 5
+) -> np.ndarray:
+    """Signatures for a whole batch in one vectorized pass: concatenate
+    every doc's shingle hashes, apply each permutation to the flat vector
+    once, and segment-min back per doc with ``np.minimum.reduceat`` —
+    identical uint64 wrap-around arithmetic to ``minhash_signature``,
+    without the per-doc Python dispatch.  Returns ``(len(texts), num_perm)``.
+    """
+    shs = [shingles(t, k) for t in texts]
+    lens = np.fromiter((len(s) for s in shs), dtype=np.int64, count=len(shs))
+    flat = np.concatenate(shs) if shs else np.empty(0, np.uint64)
+    offsets = np.zeros(len(shs), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offsets[1:])
+    out = np.empty((len(texts), len(a)), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for pi in range(len(a)):
+            vals = (a[pi] * flat + b[pi]) % _MERSENNE
+            out[:, pi] = np.minimum.reduceat(vals, offsets)
+    return out
 
 
 def jaccard_ngram(a: str, b: str, k: int = 5) -> float:
@@ -112,16 +135,13 @@ def minhash_candidates(
     # map stays broadcastable up to ~10M docs.  Beyond that, switch the
     # verify join to a second keyed shuffle).
     def sig_table(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col].to_pylist()
         texts = batch[text_col].to_pylist()
-        sigs = [minhash_signature(t, a, b, shingle_k) for t in texts]
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "_sig": pa.array([s.astype(np.int64).tolist() for s in sigs],
-                                 pa.list_(pa.int64())),
-            }
+        sigs = minhash_signatures_batch(texts, a, b, shingle_k).astype(np.int64)
+        flat = pa.array(sigs.reshape(-1), pa.int64())
+        col = pa.FixedSizeListArray.from_arrays(flat, num_perm).cast(
+            pa.list_(pa.int64())
         )
+        return pa.table({id_col: batch[id_col], "_sig": col})
 
     sig_ds = ds.map_batches(sig_table, batch_format="pyarrow").materialize()
 

@@ -28,7 +28,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .dedup import _perm_params, jaccard_ngram, minhash_signature
+from .dedup import _perm_params, jaccard_ngram, minhash_signatures_batch
 
 
 def fuzzy_join(
@@ -57,12 +57,14 @@ def fuzzy_join(
     def bander(text_col, id_col, side):
         def fn(batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_pylist()
+            sigs = minhash_signatures_batch(
+                batch[text_col].to_pylist(), a, b, shingle_k
+            ).astype(np.int64)
             out_bucket, out_id = [], []
-            for i, t in zip(ids, batch[text_col].to_pylist()):
-                sig = minhash_signature(t, a, b, shingle_k)
+            for i, sig in zip(ids, sigs):
                 for bi in range(bands):
                     chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                    out_bucket.append((bi << 32) | zlib.crc32(chunk.astype(np.int64).tobytes()))
+                    out_bucket.append((bi << 32) | zlib.crc32(chunk.tobytes()))
                     out_id.append(i)
             n = len(out_id)
             return pa.table(

@@ -125,24 +125,42 @@ def lang_id(ds, text_col: str, *, out_col: str = "lang_pred"):
     """n-gram/marker-word language heuristic over {en,de,fr,es,zh}.
 
     CJK characters force ``zh``; otherwise the language whose marker-word
-    profile overlaps the document most wins (ties -> lexicographic, so the
-    result is deterministic)."""
+    profile overlaps the first 2000 words most wins (ties ->
+    lexicographic, so the result is deterministic).  Vectorized:
+    lower + split, flatten, ``is_in`` per language profile, parent-index
+    scatter-add — the word cap is applied by ranking NON-EMPTY tokens
+    within each row (split emits empty strings at boundaries, which must
+    not consume cap slots)."""
+    langs = sorted(_LANG_MARKERS)
+    marker_sets = {lang: pa.array(sorted(_LANG_MARKERS[lang])) for lang in langs}
 
     def fn(batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch[text_col].to_pylist():
-            t = t or ""
-            if _CJK_RE.search(t):
-                preds.append("zh")
-                continue
-            words = [w.lower() for w in _WORD_RE.findall(t)]
-            ws = words[:2000]
-            best_lang, best = "en", -1.0
-            for lang in sorted(_LANG_MARKERS):
-                score = sum(w in _LANG_MARKERS[lang] for w in ws)
-                if score > best:
-                    best_lang, best = lang, score
-            preds.append(best_lang)
+        n = batch.num_rows
+        col = pc.fill_null(batch[text_col], "")
+        toks = pc.split_pattern_regex(pc.utf8_lower(col), "[^a-z]+").combine_chunks()
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:] if n > 1 else np.empty(0, np.int64))
+        nonempty = (
+            pc.greater(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+        )
+        # rank among non-empty words within each row, then cap at 2000
+        cum = np.cumsum(nonempty)
+        row_base = np.where(offs > 0, cum[offs - 1], 0) if len(cum) else offs
+        rank = (cum - 1) - row_base[parents] if len(cum) else np.empty(0, np.int64)
+        in_cap = nonempty & (rank < 2000)
+        scores = np.zeros((n, len(langs)), dtype=np.int64)
+        for li, lang in enumerate(langs):
+            hit = pc.is_in(flat, value_set=marker_sets[lang]).to_numpy(
+                zero_copy_only=False
+            )
+            np.add.at(scores[:, li], parents, (hit & in_cap).astype(np.int64))
+        best = np.argmax(scores, axis=1)  # first max == lexicographic winner
+        preds = np.asarray(langs, dtype=object)[best]
+        cjk = pc.match_substring_regex(col, "[一-鿿]").to_numpy(zero_copy_only=False)
+        preds[cjk] = "zh"
         return batch.append_column(out_col, pa.array(preds, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow")
