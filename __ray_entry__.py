@@ -573,6 +573,30 @@ def _q_multimodal_image(sf_dir):
     return feats.map_batches(digest, batch_format="pyarrow")
 
 
+def _q_multimodal_audio(sf_dir):
+    import pyarrow as pa
+
+    from docetl_ray.stages.multimodal import AudioFrameSampleStage
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fake_payload(t: pa.Table) -> pa.Table:
+        payloads = [(s or "").encode("utf-8")[:128] for s in t["text"].to_pylist()]
+        return t.drop_columns(["text"]).append_column(
+            "audio", pa.array(payloads, pa.binary())
+        )
+
+    with_bytes = docs.map_batches(fake_payload, batch_format="pyarrow")
+    return with_bytes.map_batches(
+        AudioFrameSampleStage,
+        fn_constructor_kwargs={"bytes_col": "audio", "sql_parity": True},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "map_filter_revenue": _q_map_filter_revenue,
@@ -624,6 +648,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resolve_fuzzy_documents": _q_resolve_fuzzy,
         "ann_topk_lsh": _q_ann_lsh,
         "multimodal_image_features": _q_multimodal_image,
+        "multimodal_audio_frames": _q_multimodal_audio,
     }
 
 
@@ -893,6 +918,14 @@ def oracle_sql() -> dict[str, str]:
               FROM qn CROSS JOIN embeddings e)
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY score DESC, vec_id) <= 5
+        """,
+        # multimodal audio stage, sql_parity fake decode: 4 frames per doc,
+        # energy f = (md5(first-128-bytes || ':' || f) prefix % 10000)/10000
+        "multimodal_audio_frames": """
+            SELECT doc_id, CAST(f.f AS INTEGER) AS frame_no,
+                   CAST((('0x' || substr(md5(substr(text, 1, 128) || ':' || f.f), 1, 16))::UBIGINT
+                         % 10000) AS DOUBLE) / 10000.0 AS frame_energy
+            FROM documents, range(0, 4) AS f(f)
         """,
         # simhash near-dup: banding over max_hamming+1 disjoint chunks has
         # FULL recall by pigeonhole, so the engine equals the all-pairs

@@ -38,6 +38,11 @@ BENCH_QUERIES = [
     "minhash_dedup_documents",
     "ann_topk_bruteforce",
     "cdc_lww_latest_events",
+    # round-2 additions (keys above stay stable for cross-round compare)
+    "fuzzy_join_documents",
+    "simhash_near_dedup_documents",
+    "resolve_fuzzy_documents",
+    "top_fts_documents",
 ]
 
 

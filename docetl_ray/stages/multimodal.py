@@ -92,10 +92,24 @@ class AudioFrameSampleStage:
 
     __name__ = "audio_frames"
 
-    def __init__(self, *, num_frames: int = 4, fake: bool = True, bytes_col: str = "audio"):
+    def __init__(self, *, num_frames: int = 4, fake: bool = True, bytes_col: str = "audio",
+                 sql_parity: bool = False):
         self.num_frames = num_frames
         self.fake = fake
         self.bytes_col = bytes_col
+        # sql_parity: md5-derived frame energies, exactly replicable in
+        # DuckDB (md5(payload || ':' || frame) prefix % 10000 / 10000)
+        self.sql_parity = sql_parity
+
+    def _energy(self, payload: bytes, f: int) -> float:
+        if self.sql_parity:
+            import hashlib
+
+            h = int.from_bytes(
+                hashlib.md5(payload + b":" + str(f).encode()).digest()[:8], "big"
+            )
+            return (h % 10_000) / 10_000.0
+        return (zlib.crc32(payload, f) % 10_000) / 10_000.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
@@ -107,8 +121,7 @@ class AudioFrameSampleStage:
             for f in range(n):
                 idx.append(i)
                 frame_no.append(f)
-                # deterministic fake frame energy
-                energy.append((zlib.crc32(b, f) % 10_000) / 10_000.0)
+                energy.append(self._energy(b, f))
         out = batch.drop_columns([self.bytes_col]).take(pa.array(idx, pa.int64()))
         out = out.append_column("frame_no", pa.array(frame_no, pa.int32()))
         return out.append_column("frame_energy", pa.array(energy, pa.float64()))
