@@ -173,17 +173,16 @@ def minhash_candidates(
     # vectorized inside the task.
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         g = group.drop_duplicates(subset=["bucket", id_col])
-        sizes = g.groupby("bucket")[id_col].agg(list)
-        ia, ib = [], []
-        for ids in sizes:
-            if len(ids) < 2:
+        outs = []
+        for _, ids_s in g.groupby("bucket", sort=False)[id_col]:
+            if len(ids_s) < 2:
                 continue
-            ids = sorted(ids)
-            for x in range(len(ids)):
-                for y in range(x + 1, len(ids)):
-                    ia.append(ids[x])
-                    ib.append(ids[y])
-        return pd.DataFrame({"id_a": ia, "id_b": ib})
+            ids = np.sort(ids_s.to_numpy())
+            xs, ys = np.triu_indices(len(ids), 1)  # vectorized pair gen
+            outs.append(pd.DataFrame({"id_a": ids[xs], "id_b": ids[ys]}))
+        if not outs:
+            return pd.DataFrame({"id_a": [], "id_b": []})
+        return pd.concat(outs, ignore_index=True)
 
     cand = (
         banded.repartition(32)

@@ -291,3 +291,45 @@ def test_runner_dispatch_new_surfaces():
         )
     )
     assert "text_extracted" in out2.column_names
+
+
+def test_typed_python_api_pipeline(tmp_path):
+    """docetl.api parity: typed models -> config dict -> runner
+    (reference api.py:84-259)."""
+    import pyarrow.parquet as pq
+    from docetl_ray.api import (
+        Dataset,
+        MapOp,
+        Pipeline,
+        PipelineOutput,
+        PipelineStep,
+        ReduceOp,
+    )
+
+    src = tmp_path / "docs.parquet"
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "lang": ["en", "en", "de"],
+                  "text": ["aaaa", "bb", "cccccc"]}),
+        src,
+    )
+    out_dir = tmp_path / "out"
+    p = Pipeline(
+        datasets={"docs": Dataset(type="file", path=str(src))},
+        operations=[
+            MapOp(name="score", type="code_map",
+                  code="def transform(doc):\n    return {'n': len(doc['text'])}"),
+            ReduceOp(name="stats", type="code_reduce", reduce_key="lang",
+                     code="def transform(rows):\n    return {'total': sum(r['n'] for r in rows)}"),
+        ],
+        steps=[PipelineStep(name="s1", input="docs", operations=["score", "stats"])],
+        output=PipelineOutput(type="file", path=str(out_dir), format="parquet"),
+    )
+    cfg = p.to_config()
+    assert cfg["operations"][0]["type"] == "code_map"
+    result = p.run()
+    got = {r["lang"]: r["total"] for r in _collect(result).to_pylist()}
+    assert got == {"en": 6, "de": 6}
+    assert pq.read_table(str(out_dir)).num_rows == 2
+    # round-trip
+    p2 = Pipeline.from_dict(cfg)
+    assert p2.to_config()["pipeline"] == cfg["pipeline"]
