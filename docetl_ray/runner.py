@@ -396,7 +396,32 @@ class PipelineRunner:
                     )
                 op = self.ops[op_name]
                 chain.append(op)
-                ds = _apply_op(ds, op)
+                if op["type"] == "equijoin":
+                    # two-input op: the right side is another dataset/step
+                    # result by name (reference equijoin configs name both
+                    # sides, operations/equijoin.py)
+                    right_name = op["right"]
+                    if right_name not in self.datasets:
+                        raise ValueError(
+                            f"equijoin {op_name!r}: unknown right dataset "
+                            f"{right_name!r} (datasets: {sorted(self.datasets)})"
+                        )
+                    from .stages.joins import broadcast_join, hash_join
+
+                    join = (
+                        broadcast_join
+                        if op.get("strategy", "broadcast") == "broadcast"
+                        else hash_join
+                    )
+                    ds = join(
+                        ds,
+                        self.datasets[right_name],
+                        on=op["on"],
+                        right_on=op.get("right_on"),
+                        how=op.get("how", "inner"),
+                    )
+                else:
+                    ds = _apply_op(ds, op)
                 if ckpt_dir:
                     ds = self._checkpoint(ds, step["name"], op_name, chain)
             self.datasets[step["name"]] = ds

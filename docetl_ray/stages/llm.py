@@ -350,4 +350,50 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
         return pa.Table.from_pylist([row])
 
     fn.__name__ = "llm_reduce"
-    return ds.groupby(keys).map_groups(fn, batch_format="pyarrow")
+    return _groupby_normalized(ds, keys, fn)
+
+
+def _groupby_normalized(ds, keys: list[str], fn):
+    """``groupby(keys).map_groups(fn)`` that tolerates LIST-valued key
+    columns: the reference normalizes list keys to sorted tuples
+    (``reduce.py:266-270``); here list-typed key columns group on a
+    companion ``__norm_<k>`` json string of the sorted elements (dropped
+    before ``fn`` sees the group, so the original list value is echoed
+    into the output from the first group row as usual)."""
+    import pyarrow.types as pat
+
+    schema = None
+    try:
+        s = ds.schema()
+        schema = {n: t for n, t in zip(s.names, s.types)}
+    except Exception:
+        pass
+    list_keys = [
+        k for k in keys
+        if schema is not None and isinstance(schema.get(k), pa.DataType)
+        and (pat.is_list(schema[k]) or pat.is_large_list(schema[k]))
+    ]
+    if not list_keys:
+        return ds.groupby(keys).map_groups(fn, batch_format="pyarrow")
+
+    norm_cols = {k: f"__norm_{k}" for k in list_keys}
+    group_cols = [norm_cols.get(k, k) for k in keys]
+
+    def add_norm(batch: pa.Table) -> pa.Table:
+        for k, nk in norm_cols.items():
+            vals = [
+                json.dumps(sorted(v, key=repr), default=str) if v is not None else None
+                for v in batch[k].to_pylist()
+            ]
+            batch = batch.append_column(nk, pa.array(vals, pa.string()))
+        return batch
+
+    def fn_drop(group: pa.Table) -> pa.Table:
+        return fn(group.drop_columns(list(norm_cols.values())))
+
+    fn_drop.__name__ = getattr(fn, "__name__", "llm_reduce")
+    return (
+        ds.map_batches(add_norm, batch_format="pyarrow")
+        .groupby(group_cols)
+        .map_groups(fn_drop, batch_format="pyarrow")
+    )

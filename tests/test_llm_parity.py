@@ -454,3 +454,26 @@ def test_topk_llm_compare_rejects_jinja_and_returns_k():
         )
     )
     assert out.num_rows == 3
+
+
+def test_reduce_list_valued_group_key():
+    """List-valued reduce keys group by their SORTED-tuple normalization
+    (reference reduce.py:266-270): [b, a] and [a, b] are one group."""
+    from docetl_ray.stages.llm import llm_reduce
+
+    rows = [
+        {"tags": ["b", "a"], "v": 1},
+        {"tags": ["a", "b"], "v": 2},
+        {"tags": ["c"], "v": 3},
+    ]
+    out = _collect(
+        llm_reduce(
+            _ds(rows),
+            "tags",
+            '{"kind": "batch", "items": [{% for i in inputs %}1{% if not loop.last %},{% endif %}{% endfor %}]}',
+            REDUCE_SCHEMA,
+            client_factory=_plan_client(),
+        )
+    )
+    got = {tuple(sorted(r["tags"])): r["n"] for r in out.to_pylist()}
+    assert got == {("a", "b"): 2, ("c",): 1}

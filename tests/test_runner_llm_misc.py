@@ -333,3 +333,30 @@ def test_typed_python_api_pipeline(tmp_path):
     # round-trip
     p2 = Pipeline.from_dict(cfg)
     assert p2.to_config()["pipeline"] == cfg["pipeline"]
+
+
+def test_runner_equijoin_op(tmp_path):
+    """Two-input equijoin op in the YAML/typed pipeline surface."""
+    import pyarrow.parquet as pq
+    from docetl_ray.runner import PipelineRunner
+
+    pq.write_table(pa.table({"k": [1, 2, 3], "v": ["a", "b", "c"]}), tmp_path / "l.parquet")
+    pq.write_table(pa.table({"k": [2, 3, 4], "w": [20, 30, 40]}), tmp_path / "r.parquet")
+    cfg = {
+        "datasets": {
+            "left": {"type": "file", "path": str(tmp_path / "l.parquet")},
+            "right": {"type": "file", "path": str(tmp_path / "r.parquet")},
+        },
+        "operations": [
+            {"name": "j", "type": "equijoin", "right": "right", "on": "k",
+             "strategy": "broadcast", "how": "inner"},
+        ],
+        "pipeline": {"steps": [{"name": "s1", "input": "left", "operations": ["j"]}]},
+    }
+    out = _collect(PipelineRunner(cfg).run()).sort_by([("k", "ascending")])
+    assert out["k"].to_pylist() == [2, 3]
+    assert out["w"].to_pylist() == [20, 30]
+
+    cfg["operations"][0]["strategy"] = "hash"
+    out2 = _collect(PipelineRunner(cfg).run()).sort_by([("k", "ascending")])
+    assert out2["k"].to_pylist() == [2, 3] and out2["w"].to_pylist() == [20, 30]
