@@ -123,7 +123,10 @@ def _apply_op(ds, op: dict):
         return llm_map(ds, op["prompt"], op["output"]["schema"],
                        drop_keys=op.get("drop_keys"),
                        validate=op.get("validate"),
-                       gleaning=op.get("gleaning"))
+                       gleaning=op.get("gleaning"),
+                       batch_prompt=op.get("batch_prompt"),
+                       calibrate=op.get("calibrate", False),
+                       num_calibration_docs=op.get("num_calibration_docs", 10))
     if t in ("code_map",):
         fn = _exec_code(op["code"])
         skip = op.get("on_error") == "skip"  # reference skip_on_error, map.py:490-511

@@ -98,7 +98,8 @@ class LLMMapStage:
                  validate: list[str] | None = None,
                  num_retries_on_validate_failure: int = 2,
                  observability: bool = False, op_name: str = "map",
-                 gleaning: dict | None = None):
+                 gleaning: dict | None = None,
+                 batch_prompt: str | None = None):
         self.prompt = prompt
         self.schema = output_schema
         self.client = (client_factory or FakeDeterministicClient)()
@@ -111,6 +112,10 @@ class LLMMapStage:
         #            "if": optional python expr on `output`} — the
         # validator-driven refinement loop, api.py:307-462
         self.gleaning = gleaning
+        # batch_prompt: one call for the whole batch (rendered with
+        # `inputs`); items missing from its `results` fall back to the
+        # per-item prompt — map.py:425-470
+        self.batch_prompt = batch_prompt
 
     def _valid(self, output: dict) -> bool:
         try:
@@ -167,12 +172,31 @@ class LLMMapStage:
             self.cache[key] = out
         return self.cache[key]
 
+    def _batch_outputs(self, rows: list[dict]) -> list[dict | None]:
+        """Batch-prompt path (map.py:425-470): one call rendered with the
+        whole batch; per-item fallback for items the batch response
+        missed or that fail the schema-key check."""
+        if not self.batch_prompt or len(rows) <= 1:
+            return [None] * len(rows)
+        rendered = render_prompt(self.batch_prompt, {"inputs": rows})
+        out = self.client.complete(rendered, {"results": "list[dict]"})
+        parsed = out.get("results", []) or []
+        res: list[dict | None] = []
+        for idx in range(len(rows)):
+            item = parsed[idx] if idx < len(parsed) else None
+            if isinstance(item, dict) and all(k in item for k in self.schema):
+                res.append(item)
+            else:
+                res.append(None)  # fall back to the per-item prompt
+        return res
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
         outputs = []
-        for r in rows:
+        batched = self._batch_outputs(rows)
+        for r, pre in zip(rows, batched):
             rendered = render_prompt(self.prompt, {"input": r})
-            out = self._complete_cached(rendered)
+            out = pre if pre is not None else self._complete_cached(rendered)
             if self.observability:
                 out = dict(out)
                 out[f"_observability_{self.op_name}"] = json.dumps(
@@ -194,17 +218,57 @@ class LLMMapStage:
         return batch
 
 
+_CALIBRATION_HEADER = (
+    "\nThe following prompt was applied to sample documents to generate "
+    "these input-output pairs:\n"
+)
+
+
+def calibration_context(sample_rows: list[dict], sample_outputs: list[dict],
+                        prompt: str, client) -> str:
+    """Build the calibration prompt from sample input/output pairs and ask
+    the client for reference anchors (map.py:155-253).  Deterministic
+    recast: the sample is the FIRST ``num_calibration_docs`` rows rather
+    than ``random.sample``."""
+    parts = [_CALIBRATION_HEADER, f'"{prompt}"', "\nSample inputs and their outputs:\n"]
+    for i, (inp, out) in enumerate(zip(sample_rows, sample_outputs)):
+        parts.append(f"\n--- Example {i + 1} ---\nInput: {inp}\nOutput: {out}\n")
+    parts.append("\nReference anchors:")
+    res = client.complete("".join(parts), {"calibration_context": "str"})
+    return str(res.get("calibration_context", ""))
+
+
 def llm_map(ds, prompt: str, output_schema: dict, *, drop_keys=None,
             client_factory=None, concurrency=(1, 8), batch_size: int = 256,
             validate: list[str] | None = None,
             num_retries_on_validate_failure: int = 2,
             observability: bool = False, op_name: str = "map",
-            gleaning: dict | None = None):
+            gleaning: dict | None = None,
+            batch_prompt: str | None = None,
+            calibrate: bool = False, num_calibration_docs: int = 10):
+    if calibrate:
+        # two-pass calibration (map.py:155-253,288-295): run the map on a
+        # deterministic head sample, derive reference anchors from the
+        # client, and append them to the prompt for the full pass
+        sample = ds.limit(num_calibration_docs)
+        sample_out = llm_map(
+            sample, prompt, output_schema, client_factory=client_factory,
+            concurrency=1, batch_size=batch_size, op_name=op_name,
+        )
+        from .util_ray import collect_small
+
+        in_rows = collect_small(sample).to_pylist()
+        out_rows = collect_small(sample_out).to_pylist()
+        client = (client_factory or FakeDeterministicClient)()
+        ctx = calibration_context(in_rows, out_rows, prompt, client)
+        if ctx:
+            prompt = f"{prompt}\n\n{ctx}"
+
     out = ds.map_batches(
         LLMMapStage,
         fn_constructor_args=(prompt, output_schema, client_factory,
                              validate, num_retries_on_validate_failure,
-                             observability, op_name, gleaning),
+                             observability, op_name, gleaning, batch_prompt),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

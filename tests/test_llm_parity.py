@@ -477,3 +477,67 @@ def test_reduce_list_valued_group_key():
     )
     got = {tuple(sorted(r["tags"])): r["n"] for r in out.to_pylist()}
     assert got == {("a", "b"): 2, ("c",): 1}
+
+
+def test_map_batch_prompt_with_fallback():
+    """batch_prompt answers some items in one call; the rest fall back to
+    the per-item prompt (map.py:425-470)."""
+    from docetl_ray.stages.llm import llm_map
+
+    class BatchClient:
+        model = "batch-script"
+
+        def __init__(self):
+            pass
+
+        def complete(self, prompt, schema):
+            if "results" in schema:
+                # answer only the first two items; third missing
+                return {"results": [{"label": "b0"}, {"label": "b1"}]}
+            return {"label": "solo"}
+
+    out = _collect(
+        llm_map(
+            _ds([{"id": i} for i in range(3)]),
+            "item {{ input.id }}",
+            {"label": "str"},
+            client_factory=BatchClient,
+            batch_prompt="batch of {{ inputs | length }}",
+            concurrency=1,
+        )
+    ).sort_by([("id", "ascending")])
+    assert out["label"].to_pylist() == ["b0", "b1", "solo"]
+
+
+def test_map_calibration_appends_context():
+    """calibrate=True runs a head sample, derives anchors, and appends
+    them to every subsequent prompt (map.py:155-253,288-295)."""
+    from docetl_ray.stages.llm import llm_map
+
+    class CalClient:
+        model = "cal-script"
+
+        def __init__(self):
+            pass
+
+        def complete(self, prompt, schema):
+            if "calibration_context" in schema:
+                assert "Reference anchors:" in prompt
+                return {"calibration_context": "ANCHOR-XYZ"}
+            if "ANCHOR-XYZ" in prompt:
+                return {"label": "calibrated"}
+            return {"label": "raw"}
+
+    out = _collect(
+        llm_map(
+            _ds([{"id": i} for i in range(6)]),
+            "label {{ input.id }}",
+            {"label": "str"},
+            client_factory=CalClient,
+            calibrate=True,
+            num_calibration_docs=2,
+            concurrency=1,
+        )
+    )
+    # the main pass sees the anchors; the sample pass (raw) is discarded
+    assert set(out["label"].to_pylist()) == {"calibrated"}
