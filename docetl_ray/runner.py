@@ -435,7 +435,12 @@ class PipelineRunner:
             fmt = out_cfg.get("format", "parquet")
             path = out_cfg["path"]
             if fmt == "parquet":
-                last.write_parquet(path)
+                # partition_by: hive-partitioned directories (one per key
+                # value) so a re-run can skip finished partitions — the
+                # resumable-output layout for large sinks
+                last.write_parquet(
+                    path, partition_cols=out_cfg.get("partition_by")
+                )
             elif fmt == "json":
                 last.write_json(path)
             elif fmt == "csv":

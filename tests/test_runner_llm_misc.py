@@ -360,3 +360,34 @@ def test_runner_equijoin_op(tmp_path):
     cfg["operations"][0]["strategy"] = "hash"
     out2 = _collect(PipelineRunner(cfg).run()).sort_by([("k", "ascending")])
     assert out2["k"].to_pylist() == [2, 3] and out2["w"].to_pylist() == [20, 30]
+
+
+def test_runner_partitioned_output(tmp_path):
+    """output.partition_by writes hive-partitioned parquet (resumable
+    layout: one directory per key value)."""
+    import os
+
+    import pyarrow.parquet as pq
+    from docetl_ray.runner import PipelineRunner
+
+    pq.write_table(
+        pa.table({"k": [1, 2, 3, 4], "lang": ["en", "de", "en", "de"]}),
+        tmp_path / "in.parquet",
+    )
+    out_dir = tmp_path / "out"
+    cfg = {
+        "datasets": {"d": {"type": "file", "path": str(tmp_path / "in.parquet")}},
+        "operations": [
+            {"name": "noop", "type": "code_map", "code": "def transform(doc):\n    return {}"},
+        ],
+        "pipeline": {
+            "steps": [{"name": "s", "input": "d", "operations": ["noop"]}],
+            "output": {"type": "file", "path": str(out_dir), "format": "parquet",
+                       "partition_by": ["lang"]},
+        },
+    }
+    PipelineRunner(cfg).run()
+    subdirs = sorted(p for p in os.listdir(out_dir))
+    assert any("lang=en" in p for p in subdirs) and any("lang=de" in p for p in subdirs)
+    back = pq.read_table(str(out_dir))
+    assert back.num_rows == 4
