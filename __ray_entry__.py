@@ -597,6 +597,43 @@ def _q_multimodal_audio(sf_dir):
     )
 
 
+def _q_multimodal_video(sf_dir):
+    import pyarrow as pa
+
+    from docetl_ray.stages.multimodal import VideoKeyframeStage
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def fake_payload(t: pa.Table) -> pa.Table:
+        payloads = [(s or "").encode("utf-8")[:64] for s in t["text"].to_pylist()]
+        return t.drop_columns(["text"]).append_column(
+            "video", pa.array(payloads, pa.binary())
+        )
+
+    frames = docs.map_batches(fake_payload, batch_format="pyarrow").map_batches(
+        VideoKeyframeStage,
+        fn_constructor_kwargs={"bytes_col": "video", "sql_parity": True},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    # scalar digest of the list column for the driver's value-hash
+    def digest(t: pa.Table) -> pa.Table:
+        vals = t["keyframe_features"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "keyframe_ts": t["keyframe_ts"],
+                "feat0": pa.array([v[0] for v in vals], pa.float64()),
+                "feat_sum": pa.array([float(sum(v)) for v in vals], pa.float64()),
+            }
+        )
+
+    return frames.map_batches(digest, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "map_filter_revenue": _q_map_filter_revenue,
@@ -649,6 +686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_lsh": _q_ann_lsh,
         "multimodal_image_features": _q_multimodal_image,
         "multimodal_audio_frames": _q_multimodal_audio,
+        "multimodal_video_keyframes": _q_multimodal_video,
     }
 
 
@@ -918,6 +956,27 @@ def oracle_sql() -> dict[str, str]:
               FROM qn CROSS JOIN embeddings e)
             QUALIFY row_number() OVER (PARTITION BY query_id
                                        ORDER BY score DESC, vec_id) <= 5
+        """,
+        # multimodal video stage, sql_parity fake decode: 3 keyframes per
+        # doc; duration = 1 + md5(payload)%600, ts = dur*(f+0.5)/3,
+        # feature d = (md5(payload:f:d) % 4096)/4096, payload = first 64
+        # utf-8 bytes of text
+        "multimodal_video_keyframes": """
+            WITH base AS (
+              SELECT doc_id, substr(text, 1, 64) AS p,
+                     1.0 + (('0x' || substr(md5(substr(text, 1, 64)), 1, 16))::UBIGINT % 600) AS dur
+              FROM documents),
+            frames AS (
+              SELECT doc_id, p, dur, f.f AS f, dur * (f.f + 0.5) / 3 AS keyframe_ts
+              FROM base, range(0, 3) AS f(f)),
+            feats AS (
+              SELECT doc_id, keyframe_ts, f,
+                     list_transform(range(0, 8), d ->
+                       CAST((('0x' || substr(md5(p || ':' || f || ':' || d), 1, 16))::UBIGINT
+                             % 4096) AS DOUBLE) / 4096.0) AS v
+              FROM frames)
+            SELECT doc_id, keyframe_ts, v[1] AS feat0, list_sum(v) AS feat_sum
+            FROM feats
         """,
         # multimodal audio stage, sql_parity fake decode: 4 frames per doc,
         # energy f = (md5(first-128-bytes || ':' || f) prefix % 10000)/10000

@@ -9,3 +9,5 @@ as actor pools via ``map_batches(Cls, concurrency=...)``.
 from .maps import code_map, code_filter, parallel_map, drop_keys, add_hash_id  # noqa: F401
 from .reduces import code_reduce, grouped_aggregate, global_aggregate  # noqa: F401
 from .joins import broadcast_join, hash_join  # noqa: F401
+from .grouped import grouped_map  # noqa: F401
+from .util_ray import exchange_map_groups  # noqa: F401

@@ -141,11 +141,38 @@ class VideoKeyframeStage:
     __name__ = "video_keyframes"
 
     def __init__(self, *, num_keyframes: int = 3, dim: int = 8, fake: bool = True,
-                 bytes_col: str = "video"):
+                 bytes_col: str = "video", sql_parity: bool = False):
         self.num_keyframes = num_keyframes
         self.dim = dim
         self.fake = fake
         self.bytes_col = bytes_col
+        # sql_parity: md5-derived duration/features with small-integer
+        # mantissas, exactly replicable in DuckDB for the oracle
+        self.sql_parity = sql_parity
+
+    def _fake_frame(self, payload: bytes, f: int):
+        if self.sql_parity:
+            import hashlib
+
+            hd = int.from_bytes(hashlib.md5(payload).digest()[:8], "big")
+            dur = 1.0 + (hd % 600)
+            ts = dur * (f + 0.5) / self.num_keyframes
+            v = []
+            for d in range(self.dim):
+                hf = int.from_bytes(
+                    hashlib.md5(payload + f":{f}:{d}".encode()).digest()[:8], "big"
+                )
+                v.append((hf % 4096) / 4096.0)
+            return ts, v
+        h = zlib.crc32(payload)
+        dur = 1.0 + (h % 600)  # fake duration seconds
+        ts = dur * (f + 0.5) / self.num_keyframes
+        x = np.uint64((h + f * 2654435761) or 1)
+        v32 = np.empty(self.dim, dtype=np.float32)
+        for d in range(self.dim):
+            x = np.uint64((int(x) * 6364136223846793005 + 1442695040888963407) & (2**64 - 1))
+            v32[d] = (int(x) >> 33) / 2**31 - 1.0
+        return ts, v32.tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         if not self.fake:
@@ -154,20 +181,15 @@ class VideoKeyframeStage:
         for i, b in enumerate(batch[self.bytes_col].to_pylist()):
             if not b:
                 continue
-            h = zlib.crc32(b)
-            dur = 1.0 + (h % 600)  # fake duration seconds
             for f in range(self.num_keyframes):
+                ts, v = self._fake_frame(b, f)
                 idx.append(i)
-                frame_ts.append(dur * (f + 0.5) / self.num_keyframes)
-                x = np.uint64((h + f * 2654435761) or 1)
-                v = np.empty(self.dim, dtype=np.float32)
-                for d in range(self.dim):
-                    x = np.uint64((int(x) * 6364136223846793005 + 1442695040888963407) & (2**64 - 1))
-                    v[d] = (int(x) >> 33) / 2**31 - 1.0
-                feats.append(v.tolist())
+                frame_ts.append(ts)
+                feats.append(v)
+        ftype = pa.list_(pa.float64() if self.sql_parity else pa.float32())
         out = batch.drop_columns([self.bytes_col]).take(pa.array(idx, pa.int64()))
         out = out.append_column("keyframe_ts", pa.array(frame_ts, pa.float64()))
-        return out.append_column("keyframe_features", pa.array(feats, pa.list_(pa.float32())))
+        return out.append_column("keyframe_features", pa.array(feats, ftype))
 
 
 def image_pipeline(ds, *, bytes_col: str = "image", concurrency=(1, 4),
