@@ -58,6 +58,9 @@ def _as_arrow(obj) -> pa.Table:
 
 def _ds_arrow_schema(ds) -> pa.schema:
     s = ds.schema()
+    if s is None:
+        # Ray reports no schema at all for some fully-empty pipelines
+        return pa.schema([])
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
@@ -266,7 +269,13 @@ def hash_join(
         def join_group(group: pa.Table) -> pa.Table:
             return join_bucket(group)
 
-        return exchange_map_groups(unioned, "__bucket", num_buckets, join_group)
+        wire_schema = pa.schema(
+            list(unified_schema)
+            + [pa.field("__bucket", pa.int32()), pa.field("__side", pa.string())]
+        )
+        return exchange_map_groups(
+            unioned, "__bucket", num_buckets, join_group, schema=wire_schema
+        )
     # sort path: bound the reduce side — Ray's sort shuffle cost grows
     # with map_blocks x reduce_partitions, and a chain of upstream stages
     # can leave hundreds of near-empty map blocks

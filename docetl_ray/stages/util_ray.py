@@ -100,11 +100,15 @@ def bucket_codes(batch: pa.Table, key_cols, num_buckets: int) -> "np.ndarray":
     return (hash_codes(batch, key_cols) % np.uint64(num_buckets)).astype(np.int32)
 
 
-def _split_by_part(nparts: int, part_col: str, *blocks):
+def _split_by_part(nparts: int, part_col: str, schema, *blocks):
     """Map side of the task exchange: split blocks into nparts COMPACT
     per-partition tables (``take`` copies fresh buffers — a sliced Arrow
     table would pickle its FULL parent buffers, shipping payload blocks
-    ~nparts times through a sort shuffle)."""
+    ~nparts times through a sort shuffle).
+
+    ``schema``: wire schema used for empty outputs — Ray emits
+    ZERO-COLUMN blocks for fully-filtered upstreams, which would
+    otherwise strip the reduce fn's expected columns."""
     import pandas as pd
 
     tabs = [
@@ -112,6 +116,12 @@ def _split_by_part(nparts: int, part_col: str, *blocks):
         else b
         for b in blocks
     ]
+    tabs = [t for t in tabs if t.num_columns > 0]
+    if not tabs:
+        if schema is None:
+            raise ValueError("all blocks empty and no wire schema provided")
+        empty = schema.empty_table()
+        return [empty] * nparts if nparts > 1 else empty
     block = pa.concat_tables(tabs, promote_options="permissive") if len(tabs) > 1 else tabs[0]
     empty = block.slice(0, 0).combine_chunks()
     if block.num_rows == 0:
@@ -140,7 +150,7 @@ def _reduce_group(fn, part_col: str, *shards):
     return fn(group)
 
 
-def exchange_map_groups(ds, part_col: str, nparts: int, fn):
+def exchange_map_groups(ds, part_col: str, nparts: int, fn, *, schema=None):
     """Payload-safe keyed exchange: ``groupby(part).map_groups(fn)``
     expressed as a manual two-phase task exchange.
 
@@ -162,7 +172,7 @@ def exchange_map_groups(ds, part_col: str, nparts: int, fn):
     block_refs = list(ds.to_arrow_refs())
     if not block_refs:
         # no blocks at all (fully-empty upstream): nothing to exchange
-        return rd.from_arrow(pa.table({}))
+        return rd.from_arrow(schema.empty_table() if schema is not None else pa.table({}))
     ncpus = int(ray.cluster_resources().get("CPU", 8))
     nbundles = max(1, min(len(block_refs), ncpus * 2))
     bundles = [block_refs[i::nbundles] for i in range(nbundles)]
@@ -170,7 +180,7 @@ def exchange_map_groups(ds, part_col: str, nparts: int, fn):
     split = ray.remote(num_returns=nparts, max_retries=3, retry_exceptions=True)(
         _split_by_part
     )
-    split_rows = [split.remote(nparts, part_col, *bundle) for bundle in bundles]
+    split_rows = [split.remote(nparts, part_col, schema, *bundle) for bundle in bundles]
     if nparts == 1:
         split_rows = [[r] for r in split_rows]
     flat = [r for row in split_rows for r in row]
