@@ -163,7 +163,7 @@ def run_scaling():
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     prepare_wal_in_subprocess(hi)  # generate once, at full parallelism
-    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "2"))
+    repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
     res = {}
     for n in (lo, hi):
         # the scaling criterion is the headline apply; skip the query

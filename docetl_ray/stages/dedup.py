@@ -407,7 +407,8 @@ def minhash_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.7,
-    distributed: bool = False,
+    distributed: bool | str = False,
+    auto_edge_threshold: int = 2_000_000,
 ):
     """End-to-end near-dup removal: keep one representative (min id) per
     near-duplicate cluster.  Returns (deduped_ds, canonical_map).
@@ -415,14 +416,20 @@ def minhash_dedup(
     ``distributed=True`` runs connected components as distributed
     min-label propagation and the keep-filter as an anti join — no
     driver-side edge materialization; ``canonical_map`` is then returned
-    as a Dataset ``(id, label)`` instead of a dict."""
+    as a Dataset ``(id, label)`` instead of a dict.  ``"auto"`` counts
+    the candidate edges once (the candidate Dataset is pinned, so the
+    count is not recomputed) and picks the driver path below
+    ``auto_edge_threshold`` edges, the distributed path above."""
     from .util_ray import collect_small
 
     cand = minhash_candidates(
         ds, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k, threshold=threshold,
-        verify="shuffle" if distributed else "broadcast",
+        verify="shuffle" if distributed is True else "broadcast",
     )
+    if distributed == "auto":
+        cand = cand.materialize()
+        distributed = cand.count() > auto_edge_threshold
     if distributed:
         labels = connected_components_distributed(cand)
         import pyarrow.compute as pc

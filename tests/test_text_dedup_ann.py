@@ -408,3 +408,20 @@ def test_simhash_near_dedup_hamming_radius():
     h1, h2 = simhash64(texts[1]), simhash64(texts[2])
     within = bin(h1 ^ h2).count("1") <= 3
     assert (res[2] == 1) == within
+
+
+def test_minhash_dedup_auto_switches_on_edge_volume():
+    import ray.data as rd
+    from docetl_ray.stages.dedup import minhash_dedup
+
+    ds = rd.from_arrow(_near_dup_corpus())
+    # tiny edge set -> auto picks the driver path (dict canonical map)
+    out_a, cmap_a = minhash_dedup(ds, "text", "doc_id", threshold=0.6,
+                                  distributed="auto")
+    assert isinstance(cmap_a, dict)
+    # force the threshold to 0 -> auto picks the distributed path
+    out_b, labels_b = minhash_dedup(ds, "text", "doc_id", threshold=0.6,
+                                    distributed="auto", auto_edge_threshold=0)
+    assert not isinstance(labels_b, dict)
+    assert sorted(_collect(out_a)["doc_id"].to_pylist()) == \
+        sorted(_collect(out_b)["doc_id"].to_pylist()) == [0, 3, 4]
