@@ -177,7 +177,11 @@ def minhash_candidates(
         # keep the strict upper triangle (id_a < id_b).  The 2x transient
         # overgeneration beats a pandas-groupby iteration over ~docs x
         # bands buckets (~ms each) by a wide margin.
-        empty = pd.DataFrame({"id_a": [], "id_b": []})
+        id_dtype = group[id_col].dtype
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype=id_dtype),
+             "id_b": pd.Series([], dtype=id_dtype)}
+        )
         g = group.drop_duplicates(subset=["bucket", id_col]).sort_values(
             ["bucket", id_col], kind="mergesort"
         )
@@ -591,7 +595,11 @@ def simhash_near_dedup(
         # vectorized across ALL buckets in the partition (index-arithmetic
         # cross product per bkey run, strict upper triangle, then one
         # vectorized XOR-popcount hamming verify)
-        empty = pd.DataFrame({"id_a": [], "id_b": []})
+        id_dtype = g[id_col].dtype
+        empty = pd.DataFrame(
+            {"id_a": pd.Series([], dtype=id_dtype),
+             "id_b": pd.Series([], dtype=id_dtype)}
+        )
         g = g.drop_duplicates(subset=["bkey", id_col]).sort_values(
             ["bkey", id_col], kind="mergesort"
         )

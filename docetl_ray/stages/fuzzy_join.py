@@ -87,7 +87,11 @@ def fuzzy_join(
         # bucket, then index arithmetic generates all pairs with zero
         # per-bucket Python (a pandas-groupby iteration over ~80k LSH
         # buckets cost ~2.5 s per run before this)
-        empty = pd.DataFrame({"lid": [], "rid_": []})
+        rid_dtype = group["rid"].dtype
+        empty = pd.DataFrame(
+            {"lid": pd.Series([], dtype=rid_dtype),
+             "rid_": pd.Series([], dtype=rid_dtype)}
+        )
         g = group.drop_duplicates(subset=["bucket", "side", "rid"])
         lmask = (g["side"] == "l").to_numpy()
         l = g[lmask].sort_values(["bucket", "rid"], kind="mergesort")
