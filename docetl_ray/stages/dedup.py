@@ -146,10 +146,19 @@ def minhash_candidates(
     sig_ds = ds.map_batches(sig_table, batch_format="pyarrow").materialize()
 
     def band_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         ids = batch[id_col].to_pylist()
+        n = batch.num_rows
+        # zero-copy list<int64> -> (n, num_perm) view; the crc per
+        # (doc, band) chunk stays a C-call loop over contiguous bytes
+        sigs = (
+            pc.list_flatten(batch["_sig"].combine_chunks())
+            .to_numpy(zero_copy_only=False)
+            .reshape(n, num_perm)
+        )
         out_bucket, out_id = [], []
-        for i, s in zip(ids, batch["_sig"].to_pylist()):
-            sig = np.asarray(s, dtype=np.int64)
+        for i, sig in zip(ids, sigs):
             for bi in range(bands):
                 chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
                 out_bucket.append((bi << 32) | zlib.crc32(chunk.tobytes()))
