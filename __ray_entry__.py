@@ -405,7 +405,10 @@ def _q_ann_bruteforce(sf_dir):
     return out.select_columns(["query_id", "vec_id"])
 
 
-# -- non-SQL-expressible (rows-only checks) ---------------------------------
+# -- ops below were initially rows-only; most now have DuckDB oracles
+# (see oracle_sql()).  Still rows-only by design: minhash_dedup,
+# embedding_dedup, ann_topk_lsh (probabilistic recall — each has an
+# oracle-checked exact-path counterpart, see PARITY.md). ---------------
 
 def _q_cdc_flagship(sf_dir):
     from docetl_ray.pipelines import cdc_flagship
@@ -671,7 +674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_outliers_embedding": _q_sample_outliers_embedding,
         "simhash_near_dedup_documents": _q_simhash_near_dedup,
         "resolve_embedding_blocked": _q_resolve_embedding_blocked,
-        # non-SQL-expressible (rows-only)
+        # probabilistic-recall ops (rows-only; exact-path counterparts
+        # are oracle-checked — see PARITY.md) plus oracle-checked ops
+        # registered later in oracle_sql()
         "top_fts_documents": _q_top_fts,
         "fuzzy_join_documents": _q_fuzzy_join,
         "cdc_flagship": _q_cdc_flagship,

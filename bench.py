@@ -164,35 +164,44 @@ def run_scaling():
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     prepare_wal_in_subprocess(hi)  # generate once, at full parallelism
     repeats = int(os.environ.get("GRAFT_SCALE_REPEATS", "3"))
-    res = {}
-    for n in (lo, hi):
+
+    def run_level(n):
         # the scaling criterion is the headline apply; skip the query
-        # suite in the sub-runs (the plain bench run reports those).
-        # Best-of-N per level: each leg is a fresh process on a shared
-        # machine, so min wall time is the standard low-noise estimator.
+        # suite in the sub-runs (the plain bench run reports those)
         env = dict(os.environ, RAY_GRAFT_CPUS=str(n),
                    GRAFT_BENCH_SKIP_QUERIES="1")
-        best = None
-        for _ in range(repeats):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        res[n] = best
-    t_lo, t_hi = res[lo]["value"], res[hi]["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # PAIRED repeats, median efficiency: both legs of a pair run
+    # back-to-back so they see similar ambient load (this shared host has
+    # noisy-neighbor episodes), and the efficiency is a RATIO — taking
+    # the min wall per leg independently can pair a lucky-fast lo leg
+    # with a normal hi leg and bias the ratio down.  The median over
+    # pairs is the standard robust estimator.
+    pairs = []
+    for _ in range(repeats):
+        r_lo = run_level(lo)
+        r_hi = run_level(hi)
+        eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        pairs.append({"sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+                      "eff": round(eff, 3),
+                      "eps_lo": r_lo["events_per_sec"],
+                      "eps_hi": r_hi["events_per_sec"]})
+    best = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]  # median
     print(
         json.dumps(
             {
                 "metric": "cdc_apply_scaling",
-                f"sec_{lo}": t_lo,
-                f"sec_{hi}": t_hi,
-                f"events_per_sec_{lo}": res[lo]["events_per_sec"],
-                f"events_per_sec_{hi}": res[hi]["events_per_sec"],
-                "scaling_efficiency": round(eff, 3),
+                f"sec_{lo}": best["sec_lo"],
+                f"sec_{hi}": best["sec_hi"],
+                f"events_per_sec_{lo}": best["eps_lo"],
+                f"events_per_sec_{hi}": best["eps_hi"],
+                "scaling_efficiency": best["eff"],
+                "pair_efficiencies": [p["eff"] for p in pairs],
                 "n_events": N_EVENTS,
                 "cpus": [lo, hi],
             }
