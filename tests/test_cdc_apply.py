@@ -266,3 +266,33 @@ def test_resplit_fresh_handle_sees_new_count(tmp_path):
     t2 = LakeTable(str(tmp_path / "lake"), num_partitions=4)
     assert t2.manifest()["num_partitions"] == 8
     assert t2.num_partitions == 8
+
+
+def test_resplit_crash_before_commit_is_invisible(tmp_path):
+    """Files staged under resplits/<tag>/ without the manifest swap must
+    not change the visible state (same two-phase contract as epochs)."""
+    import os
+
+    from docetl_ray.cdc import resplit
+
+    t = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    apply_events(t, synth.events_dataset(3_000, parallelism=4), epoch=0)
+    before = _engine_state(t, include_tombstones=True)
+
+    # simulate a crashed resplit: directory full of partial files, no commit
+    crash_dir = os.path.join(t.root, "resplits", "crashed-try")
+    os.makedirs(crash_dir)
+    with open(os.path.join(crash_dir, "part-00000.parquet"), "wb") as f:
+        f.write(b"garbage not parquet")
+
+    t2 = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    assert t2.num_partitions == 4
+    assert "crashed-try" not in t2.manifest().get("resplits", [])
+    after = _engine_state(t2, include_tombstones=True)
+    assert before["url"].to_pylist() == after["url"].to_pylist()
+    assert before["lsn"].to_pylist() == after["lsn"].to_pylist()
+
+    # a retried resplit under a fresh tag succeeds regardless
+    resplit(t2, 8, tag="retry")
+    final = _engine_state(t2, include_tombstones=True)
+    assert before["url"].to_pylist() == final["url"].to_pylist()
