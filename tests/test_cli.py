@@ -1,0 +1,77 @@
+"""CLI surface smoke: apply / state / resplit / compact / tail / run via
+``python -m docetl_ray.cli`` in SUBPROCESSES (the CLI owns its own Ray
+session — ``ray.shutdown()`` inside this pytest process would kill the
+session fixture)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+def _cli(*args, timeout=240):
+    env = dict(os.environ, RAY_GRAFT_CPUS="4")
+    r = subprocess.run(
+        [sys.executable, "-m", "docetl_ray.cli", *args],
+        capture_output=True, text=True, timeout=timeout, env=env,
+        cwd="/root/repo",
+    )
+    assert r.returncode == 0, (args, r.stdout[-500:], r.stderr[-1500:])
+    return r.stdout.strip().splitlines()[-1]
+
+
+def test_cli_apply_state_resplit_compact(tmp_path):
+    from docetl_ray import synth
+    from docetl_ray.cdc.tail import write_segment
+
+    wal = tmp_path / "wal"
+    table = tmp_path / "lake"
+    os.makedirs(wal)
+    write_segment(str(wal), 0, synth.events_table(0, 2_000))
+    write_segment(str(wal), 1, synth.events_table(2_000, 1_000))
+
+    seg0 = wal / "segment-0000000" / "part-00000.parquet"
+    out = _cli("apply", "--wal", str(seg0),
+               "--table", str(table), "--epoch", "0", "--mode", "delta")
+    assert json.loads(out)["epoch"] == 0
+
+    out = _cli("tail", "--wal", str(wal), "--table", str(table),
+               "--mode", "delta", "--stop-after-idle", "1")
+    assert 1 in json.loads(out)["applied_segments"]
+
+    state1 = json.loads(_cli("state", "--table", str(table)))
+
+    out = _cli("resplit", "--table", str(table), "--num-partitions", "8",
+               "--tag", "grow")
+    assert json.loads(out)["num_partitions"] == 8
+
+    _cli("compact", "--table", str(table), "--tag", "nightly")
+
+    state2 = json.loads(_cli("state", "--table", str(table)))
+    assert state2["rows"] == state1["rows"]
+    # compaction folded the delta levels down to one file per partition
+    assert all(n == 1 for n in state2["levels"].values())
+
+
+def test_cli_run_pipeline(tmp_path):
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "text": ["aa", "bbbb", "c"]}),
+        tmp_path / "docs.parquet",
+    )
+    yml = tmp_path / "p.yaml"
+    yml.write_text(f"""
+datasets:
+  docs: {{type: file, path: {tmp_path}/docs.parquet}}
+operations:
+  - name: score
+    type: code_map
+    code: "def transform(doc):\\n    return {{'n': len(doc['text'])}}"
+pipeline:
+  steps: [{{name: s1, input: docs, operations: [score]}}]
+  output: {{type: file, path: {tmp_path}/out, format: parquet}}
+""")
+    out = _cli("run", str(yml))
+    assert json.loads(out)["output_rows"] == 3
+    assert pq.read_table(str(tmp_path / "out")).num_rows == 3
