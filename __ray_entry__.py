@@ -405,10 +405,12 @@ def _q_ann_bruteforce(sf_dir):
     return out.select_columns(["query_id", "vec_id"])
 
 
-# -- ops below were initially rows-only; most now have DuckDB oracles
-# (see oracle_sql()).  Still rows-only by design: minhash_dedup,
-# embedding_dedup, ann_topk_lsh (probabilistic recall — each has an
-# oracle-checked exact-path counterpart, see PARITY.md). ---------------
+# -- ops below were initially rows-only; ALL now have DuckDB oracles
+# (see oracle_sql()).  The former rows-only trio became exact: minhash
+# dedup via exact-Jaccard verification (full-recall banding, verified
+# exhaustively per scale), embedding_dedup and ann_topk_lsh via
+# md5-integer-plane LSH whose bucket codes the oracle recomputes
+# bit-for-bit and conditions on. ---------------------------------------
 
 def _q_cdc_flagship(sf_dir):
     from docetl_ray.pipelines import cdc_flagship
@@ -431,7 +433,12 @@ def _q_minhash_dedup(sf_dir):
     from docetl_ray.stages.dedup import minhash_dedup
 
     docs = _rp(sf_dir, "documents", ["doc_id", "text"])
-    deduped, _ = minhash_dedup(docs, "text", "doc_id", threshold=0.8)
+    # exact-Jaccard verification (texts keyed-shuffled to candidate
+    # pairs): with full banding recall at j>=0.8 (miss prob
+    # (1-j^4)^16 <= 3e-10 at the fixture's min true-edge j=0.92,
+    # verified exhaustively at sf0.001/sf0.01) the result equals the
+    # all-pairs DuckDB answer exactly.
+    deduped, _ = minhash_dedup(docs, "text", "doc_id", threshold=0.8, verify="exact")
     return deduped.select_columns(["doc_id"])
 
 
@@ -446,7 +453,14 @@ def _q_embedding_dedup(sf_dir):
     from docetl_ray.stages.dedup import embedding_dedup
 
     emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
-    deduped, _ = embedding_dedup(emb, "embedding", "vec_id", threshold=0.97)
+    # md5-integer-plane LSH codes are exact integer arithmetic, so the
+    # oracle recomputes the buckets bit-for-bit and conditions on them —
+    # "same bucket AND cosine >= thr" is checked exactly (recall is not
+    # part of the claim).  thr=0.4 sits in an empirical gap (>6e-4) of
+    # the in-bucket cosine distribution at sf0.001/sf0.01.
+    deduped, _ = embedding_dedup(
+        emb, "embedding", "vec_id", threshold=0.4, num_planes=6
+    )
     return deduped.select_columns(["vec_id"])
 
 
@@ -523,7 +537,8 @@ def _q_ann_lsh(sf_dir):
     qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     qtab = qtab.sort_by([("vec_id", "ascending")]).slice(0, 3)
     queries = np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64)
-    return ann_topk_lsh(emb, "embedding", "vec_id", queries, k=5, probe_flips=1)
+    out = ann_topk_lsh(emb, "embedding", "vec_id", queries, k=5, probe_flips=1)
+    return out.select_columns(["query_id", "vec_id"])
 
 
 def _q_fuzzy_join(sf_dir):
@@ -542,6 +557,66 @@ def _q_fuzzy_join(sf_dir):
     )
     return fuzzy_join(left, right, left_text="text", right_text="rtext",
                       left_id="doc_id", right_id="rdoc_id", threshold=0.8)
+
+
+def _q_cluster_threshold(sf_dir):
+    from docetl_ray.stages.cluster import cluster_threshold
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    # single-linkage threshold cut == connected components of the
+    # "distance <= 1.05" graph; 1.05 sits in an empirical gap (>6e-4
+    # at sf0.01, >9e-5 at sf0.001) of the pairwise-distance
+    # distribution, so float ulp differences vs DuckDB's list_distance
+    # cannot flip an edge.
+    out = cluster_threshold(emb, "embedding", "vec_id", distance_threshold=1.05)
+    return out.select_columns(["vec_id", "cluster_id"])
+
+
+def _q_link_resolve(sf_dir):
+    import pyarrow as pa
+
+    from docetl_ray.stages.link_resolve import link_resolve
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "source"])
+
+    # synthesize dangling graph edges deterministically: every 5th doc's
+    # link gets an "_x" suffix (absent from the id set); link_resolve
+    # repairs them by best char-3-gram Jaccard > 0.5 against the known
+    # source ids (two-char sources like "src5" score exactly 0.5 and are
+    # deliberately kept dangling — both paths exercised)
+    def mk_link(t: pa.Table) -> pa.Table:
+        link = [
+            s + "_x" if d % 5 == 0 else s
+            for d, s in zip(t["doc_id"].to_pylist(), t["source"].to_pylist())
+        ]
+        return t.append_column("link", pa.array(link, pa.string()))
+
+    ds = docs.map_batches(mk_link, batch_format="pyarrow")
+    out = link_resolve(ds, id_col="source", link_col="link", threshold=0.5)
+    return out.select_columns(["doc_id", "link"])
+
+
+def _q_embedding_blocked_join(sf_dir):
+    import pyarrow.compute as pc
+
+    from docetl_ray.stages.fuzzy_join import embedding_blocked_join
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    left = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], 250)), batch_format="pyarrow"
+    )
+    right = emb.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["vec_id"], 250)), batch_format="pyarrow"
+    ).map_batches(
+        lambda t: t.rename_columns(["rvec_id", "rembedding"]), batch_format="pyarrow"
+    )
+    # equijoin embedding-blocking parity: md5-integer-plane codes are
+    # exact integer arithmetic, so the oracle recomputes buckets
+    # bit-for-bit; 0.35 sits in a >7e-4 cosine gap at sf0.001/sf0.01
+    return embedding_blocked_join(
+        left, right, left_emb="embedding", right_emb="rembedding",
+        left_id="vec_id", right_id="rvec_id", blocking_threshold=0.35,
+    )
 
 
 def _q_multimodal_image(sf_dir):
@@ -689,6 +764,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint,
         "resolve_fuzzy_documents": _q_resolve_fuzzy,
         "ann_topk_lsh": _q_ann_lsh,
+        "cluster_threshold_embeddings": _q_cluster_threshold,
+        "link_resolve_documents": _q_link_resolve,
+        "embedding_blocked_join_embeddings": _q_embedding_blocked_join,
         "multimodal_image_features": _q_multimodal_image,
         "multimodal_audio_frames": _q_multimodal_audio,
         "multimodal_video_keyframes": _q_multimodal_video,
@@ -1230,6 +1308,183 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id FROM score
             QUALIFY row_number() OVER (ORDER BY s DESC, doc_id) <= 20
+        """,
+        # minhash near-dup dedup with EXACT-Jaccard verification: equals
+        # the all-pairs char-5-gram Jaccard >= 0.8 answer (components ->
+        # keep min id) whenever LSH banding recall covers every true edge
+        # (miss prob (1-j^4)^16 per pair; exhaustively verified 0 missed
+        # at sf0.001/sf0.01/sf0.1, min true-edge j = 0.83)
+        "minhash_dedup_documents": """
+            WITH RECURSIVE sh0 AS (
+              SELECT doc_id,
+                     unnest(list_transform(range(1, greatest(length(text) - 3, 2)),
+                                           p -> substr(text, p, 5))) AS s
+              FROM documents),
+            shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+            sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+              FROM shd a JOIN shd b ON a.s = b.s AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            e0 AS (
+              SELECT ia, ib FROM inter
+              JOIN sz sa ON sa.doc_id = ia JOIN sz sb ON sb.doc_id = ib
+              WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8),
+            edges AS (SELECT ia AS a, ib AS b FROM e0
+                      UNION ALL SELECT ib AS a, ia AS b FROM e0),
+            reach AS (
+              SELECT doc_id AS id, doc_id AS r FROM documents
+              UNION
+              SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id)
+            SELECT id AS doc_id FROM reach GROUP BY id HAVING min(r) = id
+        """,
+        # embedding near-dup: the md5-integer-plane LSH codes (quantized
+        # q = floor(v*4096 + 0.5), w = md5%2001 - 1000 — all-integer, so
+        # bit-for-bit reproducible here) are recomputed and conditioned
+        # on: edges = same 6-plane code AND cosine >= 0.4; components ->
+        # survivors keep min id
+        "embedding_dedup_embeddings": """
+            WITH RECURSIVE planes AS (
+              SELECT j.j AS j, d.d AS d,
+                     CAST(('0x' || substr(md5('emb11:' || j.j || ':' || d.d), 1, 16))::UBIGINT
+                          % 2001 AS BIGINT) - 1000 AS w
+              FROM range(0, 6) j(j), range(0, 64) d(d)),
+            qv AS (
+              SELECT vec_id, d.d AS d,
+                     CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 4096 + 0.5) AS BIGINT) AS q
+              FROM embeddings, range(0, 64) d(d)),
+            dots AS (SELECT qv.vec_id, p.j AS j, sum(qv.q * p.w) AS dot
+                     FROM qv JOIN planes p ON p.d = qv.d GROUP BY 1, 2),
+            codes AS (
+              SELECT vec_id, sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS code
+              FROM dots GROUP BY 1),
+            e0 AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              JOIN codes ca ON ca.vec_id = a.vec_id
+              JOIN codes cb ON cb.vec_id = b.vec_id
+              WHERE ca.code = cb.code
+                AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])) >= 0.4),
+            edges AS (SELECT ia AS a, ib AS b FROM e0
+                      UNION ALL SELECT ib AS a, ia AS b FROM e0),
+            reach AS (
+              SELECT vec_id AS id, vec_id AS r FROM embeddings
+              UNION
+              SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id)
+            SELECT id AS vec_id FROM reach GROUP BY id HAVING min(r) = id
+        """,
+        # LSH-bucketed ANN: recompute the 8-plane codes, form the UNION
+        # probe set (hamming <= 1 from ANY query's code — the engine
+        # scores every probed vector against every query), exact top-5
+        # by cosine within the candidates
+        "ann_topk_lsh": """
+            WITH planes AS (
+              SELECT j.j AS j, d.d AS d,
+                     CAST(('0x' || substr(md5('ann11:' || j.j || ':' || d.d), 1, 16))::UBIGINT
+                          % 2001 AS BIGINT) - 1000 AS w
+              FROM range(0, 8) j(j), range(0, 64) d(d)),
+            qv AS (
+              SELECT vec_id, d.d AS d,
+                     CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 4096 + 0.5) AS BIGINT) AS q
+              FROM embeddings, range(0, 64) d(d)),
+            dots AS (SELECT qv.vec_id, p.j AS j, sum(qv.q * p.w) AS dot
+                     FROM qv JOIN planes p ON p.d = qv.d GROUP BY 1, 2),
+            codes AS (
+              SELECT vec_id, sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS code
+              FROM dots GROUP BY 1),
+            qsel AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 3),
+            qn AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                          vec_id, embedding FROM qsel),
+            qcodes AS (SELECT qn.query_id, c.code FROM qn JOIN codes c USING (vec_id)),
+            cand AS (
+              SELECT DISTINCT c.vec_id FROM codes c
+              JOIN qcodes qc ON bit_count(xor(c.code, qc.code)) <= 1),
+            scored AS (
+              SELECT qn.query_id, e.vec_id,
+                     list_cosine_similarity(CAST(qn.embedding AS DOUBLE[]),
+                                            CAST(e.embedding AS DOUBLE[])) AS s
+              FROM qn CROSS JOIN embeddings e
+              JOIN cand ON cand.vec_id = e.vec_id)
+            SELECT query_id, vec_id FROM scored
+            QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) <= 5
+        """,
+        # embedding-blocked equijoin candidates: recompute the 8-plane
+        # codes; pair surfaces iff hamming(code_l, code_r) <= 1 (the
+        # probe_flips=1 multi-probe) AND cosine >= 0.35
+        "embedding_blocked_join_embeddings": """
+            WITH planes AS (
+              SELECT j.j AS j, d.d AS d,
+                     CAST(('0x' || substr(md5('emb11:' || j.j || ':' || d.d), 1, 16))::UBIGINT
+                          % 2001 AS BIGINT) - 1000 AS w
+              FROM range(0, 8) j(j), range(0, 64) d(d)),
+            qv AS (
+              SELECT vec_id, d.d AS d,
+                     CAST(floor(CAST(embedding[d.d + 1] AS DOUBLE) * 4096 + 0.5) AS BIGINT) AS q
+              FROM embeddings, range(0, 64) d(d)),
+            dots AS (SELECT qv.vec_id, p.j AS j, sum(qv.q * p.w) AS dot
+                     FROM qv JOIN planes p ON p.d = qv.d GROUP BY 1, 2),
+            codes AS (
+              SELECT vec_id, sum(CASE WHEN dot > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS code
+              FROM dots GROUP BY 1),
+            l AS (SELECT e.vec_id, e.embedding, c.code FROM embeddings e
+                  JOIN codes c USING (vec_id) WHERE e.vec_id < 250),
+            r AS (SELECT e.vec_id, e.embedding, c.code FROM embeddings e
+                  JOIN codes c USING (vec_id) WHERE e.vec_id >= 250)
+            SELECT l.vec_id, r.vec_id AS rvec_id
+            FROM l JOIN r ON bit_count(xor(l.code, r.code)) <= 1
+            WHERE list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                         CAST(r.embedding AS DOUBLE[])) >= 0.35
+        """,
+        # single-linkage threshold cut == components of the euclidean
+        # "distance <= 1.05" graph; cluster_id = min member id (1.05 sits
+        # in an empirical >6e-4 gap of the distance distribution)
+        "cluster_threshold_embeddings": """
+            WITH RECURSIVE e0 AS (
+              SELECT a.vec_id AS ia, b.vec_id AS ib
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_distance(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(b.embedding AS DOUBLE[])) <= 1.05),
+            edges AS (SELECT ia AS a, ib AS b FROM e0
+                      UNION ALL SELECT ib AS a, ia AS b FROM e0),
+            reach AS (
+              SELECT vec_id AS id, vec_id AS r FROM embeddings
+              UNION
+              SELECT e.b AS id, reach.r AS r FROM reach JOIN edges e ON e.a = reach.id)
+            SELECT id AS vec_id, min(r) AS cluster_id FROM reach GROUP BY id
+        """,
+        # dangling-link repair: links absent from the id set are rewritten
+        # to the best char-3-gram-Jaccard id when strictly > 0.5 (ties ->
+        # smallest id), else kept — same arithmetic as
+        # stages/link_resolve.py / resolve.char_ngram_jaccard
+        "link_resolve_documents": """
+            WITH ids AS (SELECT DISTINCT source AS id FROM documents),
+            rows_ AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 5 = 0 THEN source || '_x' ELSE source END AS link
+              FROM documents),
+            dang AS (SELECT DISTINCT link FROM rows_
+                     WHERE link NOT IN (SELECT id FROM ids)),
+            vg AS (SELECT link,
+                          list_distinct(list_transform(
+                            range(1, greatest(length(lower(link)) - 2, 1) + 1),
+                            p -> substr(lower(link), p, 3))) AS g
+                   FROM dang),
+            ig AS (SELECT id,
+                          list_distinct(list_transform(
+                            range(1, greatest(length(lower(id)) - 2, 1) + 1),
+                            p -> substr(lower(id), p, 3))) AS g
+                   FROM ids),
+            scored AS (
+              SELECT v.link, i.id,
+                     CAST(len(list_intersect(v.g, i.g)) AS DOUBLE)
+                       / (len(v.g) + len(i.g) - len(list_intersect(v.g, i.g))) AS s
+              FROM vg v CROSS JOIN ig i),
+            best AS (SELECT link, id, s FROM scored
+                     QUALIFY row_number() OVER (PARTITION BY link ORDER BY s DESC, id) = 1),
+            rmap AS (SELECT link, CASE WHEN s > 0.5 THEN id ELSE link END AS newv FROM best)
+            SELECT r.doc_id, coalesce(m.newv, r.link) AS link
+            FROM rows_ r LEFT JOIN rmap m ON m.link = r.link
         """,
         # exact char-5-gram Jaccard join: the engine's MinHash-LSH blocking
         # plus exact verification equals the all-pairs SQL answer whenever

@@ -43,23 +43,31 @@ BENCH_QUERIES = [
     "simhash_near_dedup_documents",
     "resolve_fuzzy_documents",
     "top_fts_documents",
+    # round-3 additions (keys above stay stable for cross-round compare)
+    "cluster_threshold_embeddings",
+    "link_resolve_documents",
+    "embedding_dedup_embeddings",
+    "ann_topk_lsh",
 ]
 
-
-def _wal_dir() -> str:
-    return f"/tmp/docetl_ray_bench_wal_{N_EVENTS}"
+N10M_EVENTS = int(os.environ.get("GRAFT_BENCH_N10M_EVENTS", "10000000"))
 
 
-def prepare_wal():
+def _wal_dir(n_events: int | None = None) -> str:
+    return f"/tmp/docetl_ray_bench_wal_{n_events or N_EVENTS}"
+
+
+def prepare_wal(n_events: int | None = None):
     """Generate the deterministic WAL parquet once (untimed, cached)."""
-    wal = _wal_dir()
+    n = n_events or N_EVENTS
+    wal = _wal_dir(n)
     marker = os.path.join(wal, "_SUCCESS")
     if os.path.exists(marker):
         return wal
     shutil.rmtree(wal, ignore_errors=True)
     from docetl_ray import synth
 
-    synth.events_dataset(N_EVENTS, parallelism=max(NCPU * 4, 64)).write_parquet(wal)
+    synth.events_dataset(n, parallelism=max(NCPU * 4, 64)).write_parquet(wal)
     open(marker, "w").close()
     return wal
 
@@ -127,16 +135,51 @@ def run_bench() -> dict:
     bench_queries = (
         [] if os.environ.get("GRAFT_BENCH_SKIP_QUERIES") else BENCH_QUERIES
     )
+    # median of N repeats per query: single-shot timings on this shared
+    # host swing 30-70% during hypervisor noisy-neighbor episodes; the
+    # per-query median makes the recorded artifact ambient-load-resistant
+    reps = int(os.environ.get("GRAFT_BENCH_QUERY_REPEATS", "3"))
     for name in bench_queries:
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            res = qfns[name](SF_DIR)
+            if hasattr(res, "iter_batches"):
+                # stream-consume: forces full execution (count() would let
+                # the optimizer prune work) without pinning results in the
+                # object store (materialize() starves later queries)
+                for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
+                    pass
+            times.append(time.perf_counter() - t0)
+        qtimes[name] = round(sorted(times)[len(times) // 2], 3)
+
+    # 10x-scale apply block (structured, replaces BASELINE.md prose):
+    # fixed costs amortize and the O(state)-vs-O(epoch) modes separate
+    n10m = None
+    if not os.environ.get("GRAFT_BENCH_SKIP_N10M") and not os.environ.get(
+        "GRAFT_BENCH_SKIP_QUERIES"
+    ):
+        wal10 = prepare_wal(N10M_EVENTS)
+        rd.read_parquet(wal10).map_batches(
+            lambda t: pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
+        ).count()  # page-cache warm (untimed; first pass of 13 GB is disk-bound)
+        lake10 = f"/tmp/docetl_ray_bench_lake10m_{NCPU}"
+        shutil.rmtree(lake10, ignore_errors=True)
         t0 = time.perf_counter()
-        res = qfns[name](SF_DIR)
-        if hasattr(res, "iter_batches"):
-            # stream-consume: forces full execution (count() would let the
-            # optimizer prune work) without pinning results in the object
-            # store (materialize() starves later queries)
-            for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
-                pass
-        qtimes[name] = round(time.perf_counter() - t0, 3)
+        table10 = LakeTable(lake10, num_partitions=max(64, NCPU * 2))
+        apply_events(table10, rd.read_parquet(wal10), epoch=0)
+        merge10 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        apply_events(table10, rd.read_parquet(wal10), epoch=1, mode="delta")
+        delta10 = time.perf_counter() - t0
+        n10m = {
+            "n_events": N10M_EVENTS,
+            "merge_sec": round(merge10, 3),
+            "merge_events_per_sec": round(N10M_EVENTS / merge10),
+            "delta_sec": round(delta10, 3),
+            "delta_events_per_sec": round(N10M_EVENTS / delta10),
+        }
+        shutil.rmtree(lake10, ignore_errors=True)
 
     result = {
         "metric": "cdc_apply_wal_to_committed_parquet",
@@ -147,6 +190,8 @@ def run_bench() -> dict:
         "delta_epoch_sec": round(delta_sec, 3),
         "delta_events_per_sec": round(N_EVENTS / delta_sec),
         "queries": qtimes,
+        "query_repeats": reps,
+        "n10m": n10m,
         "sf": SF_DIR,
         "num_cpus": NCPU,
     }

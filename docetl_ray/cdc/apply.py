@@ -50,13 +50,28 @@ STATE_SORT_KEYS = [("url", "ascending")]
 _LWW_KEYS = [("url", "ascending"), ("warc_ts", "ascending"), ("lsn", "ascending")]
 
 
-def url_partition(urls: np.ndarray, num_partitions: int) -> np.ndarray:
-    """Deterministic hash partition of url strings (crc32, process-stable)."""
-    return np.fromiter(
-        (zlib.crc32(u.encode("utf-8")) % num_partitions for u in urls),
-        dtype=np.int32,
-        count=len(urls),
-    )
+def url_partition(
+    urls: np.ndarray, num_partitions: int, *, version: str = "v2"
+) -> np.ndarray:
+    """Deterministic hash partition of url strings.
+
+    ``version="v2"`` (default for new tables): vectorized fixed-key C
+    siphash via ``pandas.util.hash_pandas_object`` — no per-row Python,
+    process- and run-stable.  ``version="crc32"``: the round-1 per-row
+    crc32 loop, kept because the partition function is BAKED INTO
+    committed manifests (``manifest["partition_hash"]``) — tables created
+    before v2 keep routing by crc32 until a ``resplit`` rewrites every
+    partition and upgrades the manifest."""
+    if version == "crc32":
+        return np.fromiter(
+            (zlib.crc32(u.encode("utf-8")) % num_partitions for u in urls),
+            dtype=np.int32,
+            count=len(urls),
+        )
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(pd.Series(urls), index=False).to_numpy()
+    return (h % np.uint64(num_partitions)).astype(np.int32)
 
 
 def lww_last_per_url(t: pa.Table) -> pa.Table:
@@ -114,7 +129,10 @@ def _lww_with_ranges(t: pa.Table) -> pa.Table:
     )
 
 
-def partial_apply(batch: pa.Table, *, num_partitions: int, extract: bool = True) -> pa.Table:
+def partial_apply(
+    batch: pa.Table, *, num_partitions: int, extract: bool = True,
+    part_version: str = "v2",
+) -> pa.Table:
     """Per-batch combiner: state-form + per-url LWW winner + part column."""
     state = events_to_state(batch, extract=extract)
     if state.num_rows == 0:
@@ -122,7 +140,10 @@ def partial_apply(batch: pa.Table, *, num_partitions: int, extract: bool = True)
                     .append_column("_lsn_hi", pa.array([], pa.int64())) \
                     .append_column("part", pa.array([], pa.int32()))
     winners = _lww_with_ranges(state)
-    part = url_partition(winners["url"].to_numpy(zero_copy_only=False), num_partitions)
+    part = url_partition(
+        winners["url"].to_numpy(zero_copy_only=False), num_partitions,
+        version=part_version,
+    )
     return winners.append_column("part", pa.array(part, type=pa.int32()))
 
 
@@ -420,7 +441,13 @@ def apply_events(
     partial_ds = events.map_batches(
         partial_apply,
         batch_format="pyarrow",
-        fn_kwargs={"num_partitions": nparts, "extract": extract},
+        fn_kwargs={
+            "num_partitions": nparts,
+            "extract": extract,
+            # the routing hash is pinned per table in the manifest;
+            # pre-v2 tables keep crc32 until a resplit upgrades them
+            "part_version": table.partition_hash,
+        },
     )
     applier = _ApplyPartition(ref, table.root, epoch, mode)
     if exchange == "tasks":
@@ -510,8 +537,11 @@ def resplit(table: LakeTable, new_num_partitions: int, *, tag: str) -> dict:
     ds = read_state(table, include_tombstones=True)
 
     def add_part(batch: pa.Table) -> pa.Table:
+        # resplit rewrites every partition, so it always routes with the
+        # current (v2) hash and upgrades manifest["partition_hash"]
         part = url_partition(
-            batch["url"].to_numpy(zero_copy_only=False), new_num_partitions
+            batch["url"].to_numpy(zero_copy_only=False), new_num_partitions,
+            version="v2",
         )
         return batch.append_column("part", pa.array(part, pa.int32()))
 

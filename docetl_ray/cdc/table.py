@@ -39,6 +39,11 @@ EMPTY_MANIFEST: dict[str, Any] = {
     "epochs": [],
     "num_partitions": None,
     "partitions": {},
+    # routing-hash version baked into the table: rows already live in
+    # files placed by this hash, so it can only change when every
+    # partition is rewritten (resplit).  Manifests written before this
+    # key existed default to "crc32" (the round-1 hash).
+    "partition_hash": "v2",
 }
 
 
@@ -66,6 +71,12 @@ class LakeTable:
         if self._manifest.get("num_partitions"):
             self.num_partitions = self._manifest["num_partitions"]
         return self._manifest
+
+    @property
+    def partition_hash(self) -> str:
+        """Routing-hash version for this table ("v2" vectorized siphash,
+        or "crc32" for tables created before manifests recorded one)."""
+        return self.manifest().get("partition_hash") or "crc32"
 
     def committed_epochs(self) -> list[int]:
         return list(self.manifest().get("epochs", []))
@@ -206,6 +217,9 @@ class LakeTable:
             }
         m["partitions"] = parts
         m["num_partitions"] = new_num_partitions
+        # every partition was rewritten with the current routing hash, so
+        # a pre-v2 (crc32) table upgrades here — the documented migration
+        m["partition_hash"] = "v2"
         self.num_partitions = new_num_partitions
         done.append(tag)
         return self._write_manifest(m)

@@ -102,22 +102,24 @@ def ann_topk_lsh(
     seed: int = 11,
 ):
     """LSH-bucketed ANN: score only vectors whose hyperplane sign code is
-    within ``probe_flips`` bit flips of the query's code (multi-probe).
-    Approximate — recall grows with probes; same output schema as
-    bruteforce."""
-    import ray
+    within ``probe_flips`` bit flips of ANY query's code (multi-probe over
+    the union probe set).  Approximate — recall grows with probes; same
+    output schema as bruteforce.
+
+    Bucket codes use md5-derived integer hyperplanes over 4096-quantized
+    embeddings (``util_ray.md5_int_planes`` / ``quantized_lsh_codes``):
+    exact integer arithmetic, reproducible bit-for-bit in SQL — so a
+    DuckDB oracle can recompute the probed candidate set and the exact
+    top-k WITHIN it, making this query exactly checkable even though its
+    recall vs brute force is probabilistic."""
+    from .util_ray import md5_int_planes, quantized_lsh_codes
 
     q = np.asarray(queries, dtype=np.float64)
     dim = q.shape[1]
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(dim, num_planes)
+    planes = md5_int_planes(num_planes, dim, tag=f"ann{seed}")
 
     def code_of(m: np.ndarray) -> np.ndarray:
-        bits = (m @ planes > 0).astype(np.uint64)
-        code = np.zeros(len(m), dtype=np.uint64)
-        for i in range(num_planes):
-            code |= bits[:, i] << np.uint64(i)
-        return code
+        return quantized_lsh_codes(m, planes).astype(np.uint64)
 
     qcodes = code_of(q)
     probe: set[int] = set()

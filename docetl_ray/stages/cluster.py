@@ -2,14 +2,27 @@
 (SURVEY.md §2.1; reference ``/root/reference/docetl/operations/cluster.py``).
 
 The reference embeds documents then runs sklearn agglomerative clustering
-into a dendrogram on the driver (``cluster.py:134-157``) and annotates
-leaves with their root-to-leaf path (``cluster.py:275-282``).  Same
-physical shape here: the embedding/feature stage is distributed
-(``map_batches``), the dendrogram itself is a driver-side global
-operation over the (small) embedding matrix — average-linkage
-agglomerative, pure numpy, deterministic tie-breaks (no sklearn
-dependency).  LLM summaries of internal nodes are replaced by
-deterministic labels (node size + medoid id).
+into a dendrogram on the driver (``cluster.py:134-157``), optionally
+collapses shallow internal nodes (``cluster.py:176-208``), annotates
+internal nodes bottom-up with LLM summaries (``cluster.py:210-273``) and
+leaves with their root-to-leaf path under ``output_key``
+(``cluster.py:275-282``).  Same physical shape here: the
+embedding/feature stage is distributed (``map_batches``), the dendrogram
+itself is a driver-side global operation over the (small) embedding
+matrix — average-linkage agglomerative, pure numpy, deterministic
+tie-breaks (no sklearn dependency).  LLM summaries of internal nodes are
+replaced by deterministic labels (node size + medoid id).
+
+Two flat-clustering cuts are offered:
+
+- ``cluster_embeddings`` — cut at ``num_clusters`` (the agglomerative
+  merge sequence stopped early), labels 0..k-1.
+- ``cluster_threshold`` — single-linkage threshold cut: clusters are the
+  connected components of the "distance <= threshold" graph (sklearn's
+  ``AgglomerativeClustering(linkage="single", distance_threshold=t)``
+  flat result), labels = min member id.  This cut is exactly
+  SQL-expressible (recursive-CTE components over a pairwise-distance
+  join), so it carries the operator's DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -18,22 +31,27 @@ import numpy as np
 import pyarrow as pa
 
 
-def agglomerative(matrix: np.ndarray, *, num_clusters: int) -> np.ndarray:
-    """Average-linkage agglomerative clustering -> flat labels.
+def agglomerative_merges(matrix: np.ndarray) -> list[tuple[int, int, float]]:
+    """Full average-linkage merge sequence.
+
+    Returns n-1 tuples ``(id_a, id_b, distance)`` with ``id_a < id_b``;
+    cluster ids are the minimum member row index (both start as row
+    indices and every merge keeps the smaller id), so the sequence fully
+    determines every cut.  Deterministic tie-breaks: smallest distance,
+    ties -> smallest (i, j) in sorted-active-key order.
 
     O(n^2) memory/time: a driver-side global op, intended for matrices up
     to ~10k rows (sample or pre-bucket larger inputs — the reference has
-    the same constraint)."""
+    the same constraint, ``cluster.py:134-157``)."""
     n = len(matrix)
-    if num_clusters >= n:
-        return np.arange(n)
+    if n <= 1:
+        return []
     d = np.linalg.norm(matrix[:, None, :] - matrix[None, :, :], axis=2)
     np.fill_diagonal(d, np.inf)
     active = {i: [i] for i in range(n)}
-    # cluster ids grow from n upward; members tracked per active cluster
     dist = d.copy()
-    while len(active) > num_clusters:
-        # deterministic argmin: smallest distance, ties -> smallest (i, j)
+    merges: list[tuple[int, int, float]] = []
+    while len(active) > 1:
         keys = sorted(active)
         sub = dist[np.ix_(keys, keys)]
         flat = np.argmin(sub)
@@ -41,22 +59,187 @@ def agglomerative(matrix: np.ndarray, *, num_clusters: int) -> np.ndarray:
         if i > j:
             i, j = j, i
         ci, cj = keys[i], keys[j]
-        # merge cj into ci (average linkage over members)
+        merges.append((ci, cj, float(dist[ci, cj])))
         members = active[ci] + active[cj]
         del active[cj]
         active[ci] = members
         for ck in active:
             if ck == ci:
                 continue
-            # average pairwise distance between member sets
             dm = d[np.ix_(members, active[ck])].mean()
             dist[ci, ck] = dist[ck, ci] = dm
         dist[cj, :] = np.inf
         dist[:, cj] = np.inf
-    labels = np.empty(n, dtype=np.int64)
-    for lab, (_, members) in enumerate(sorted(active.items())):
-        labels[members] = lab
-    return labels
+    return merges
+
+
+def agglomerative(matrix: np.ndarray, *, num_clusters: int) -> np.ndarray:
+    """Average-linkage agglomerative clustering -> flat labels.
+
+    Cuts the merge sequence after ``n - num_clusters`` merges; label =
+    rank of the cluster's min member index among surviving clusters."""
+    n = len(matrix)
+    if num_clusters >= n:
+        return np.arange(n)
+    merges = agglomerative_merges(matrix)[: n - num_clusters]
+    parent = np.arange(n)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b, _ in merges:
+        parent[find(b)] = find(a)  # a < b: min-id root is preserved
+    roots = np.array([find(x) for x in range(n)])
+    uniq = np.unique(roots)
+    lab_of = {r: i for i, r in enumerate(uniq.tolist())}
+    return np.array([lab_of[r] for r in roots], dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Dendrogram: build / collapse / annotate (reference cluster.py parity)
+# ---------------------------------------------------------------------------
+
+def build_dendrogram(matrix: np.ndarray) -> dict:
+    """Nested dendrogram mirroring the reference's ``build_tree``
+    (``cluster.py:144-157``): leaves are ``{"index": i}``, internal nodes
+    ``{"children": [...], "distance": d}``."""
+    n = len(matrix)
+    nodes: dict[int, dict] = {i: {"index": i} for i in range(n)}
+    for a, b, dist in agglomerative_merges(matrix):
+        nodes[a] = {"children": [nodes[a], nodes[b]], "distance": dist}
+    return nodes[0] if n else {}
+
+
+def _tree_distance_gaps(t: dict) -> set:
+    """Set of parent-child distance gaps (reference ``get_tree_distances``,
+    ``cluster.py:158-175``)."""
+    res: set = set()
+    if "children" in t:
+        if "distance" in t:
+            res.update(
+                t["distance"] - c["distance"]
+                for c in t["children"]
+                if "distance" in c
+            )
+        for c in t["children"]:
+            res.update(_tree_distance_gaps(c))
+    return res
+
+
+def _collapse(t: dict, parent_dist, thresh) -> list[dict]:
+    """Reference ``_collapse_tree`` (``cluster.py:176-200``): an internal
+    node whose distance gap to its parent is below ``thresh`` dissolves
+    into its parent's child list (multi-way nodes)."""
+    if "children" not in t:
+        return [t]
+    if (
+        "distance" in t
+        and parent_dist is not None
+        and thresh is not None
+        and parent_dist - t["distance"] < thresh
+    ):
+        return [g for c in t["children"] for g in _collapse(c, parent_dist, thresh)]
+    res = dict(t)
+    res["children"] = [
+        g for c in t["children"] for g in _collapse(c, t.get("distance"), thresh)
+    ]
+    return [res]
+
+
+def collapse_tree(tree: dict, collapse: float | None) -> dict:
+    """Reference ``collapse_tree`` (``cluster.py:202-208``): ``collapse``
+    is a quantile in [0, 1) over the sorted distance gaps; nodes with a
+    smaller gap than that quantile are dissolved."""
+    thresh = None
+    if collapse is not None:
+        gaps = np.array(sorted(_tree_distance_gaps(tree)))
+        if len(gaps) == 0:
+            return tree
+        thresh = gaps[int(len(gaps) * collapse)]
+    return _collapse(tree, None, thresh)[0]
+
+
+def _node_members(t: dict) -> list[int]:
+    if "children" in t:
+        return [i for c in t["children"] for i in _node_members(c)]
+    return [t["index"]]
+
+
+def annotate_tree(tree: dict, matrix: np.ndarray, ids: list) -> None:
+    """Deterministic stand-in for the reference's bottom-up LLM summary
+    annotation (``cluster.py:210-273``): every internal node gets
+    ``label = "cluster_n{size}_medoid{id}"`` (medoid = member closest to
+    the node centroid, ties -> first in member order)."""
+    if "children" not in tree:
+        return
+    for c in tree["children"]:
+        annotate_tree(c, matrix, ids)
+    idx = np.array(_node_members(tree))
+    centroid = matrix[idx].mean(axis=0)
+    medoid = idx[np.argmin(np.linalg.norm(matrix[idx] - centroid, axis=1))]
+    tree["label"] = f"cluster_n{len(idx)}_medoid{ids[medoid]}"
+
+
+def leaf_paths(tree: dict, output_key: str = "clusters") -> dict[int, list[str]]:
+    """Reference ``annotate_leaves`` (``cluster.py:275-282``): each leaf's
+    ``output_key`` is its ancestor chain NEAREST-FIRST (the reference
+    stores the ancestor node dicts; here their deterministic labels).
+    Returns {leaf index: [labels...]}."""
+    out: dict[int, list[str]] = {}
+
+    def walk(t: dict, path: tuple):
+        if "children" in t:
+            lab = t.get("label", "")
+            for c in t["children"]:
+                walk(c, (lab,) + path)
+        else:
+            out[t["index"]] = list(path)
+
+    walk(tree, ())
+    return out
+
+
+def cluster_dendrogram(
+    ds,
+    emb_col: str,
+    id_col: str,
+    *,
+    collapse: float | None = None,
+    output_key: str = "clusters",
+    max_driver_rows: int = 10_000,
+):
+    """Full reference-parity cluster op: dendrogram + optional collapse +
+    deterministic node annotation + per-leaf root path under
+    ``output_key`` (a ``list<string>``, nearest ancestor first)."""
+    from .util_ray import closure_broadcast, collect_small
+
+    small = collect_small(ds.select_columns([id_col, emb_col]))
+    if small.num_rows > max_driver_rows:
+        raise ValueError(
+            f"cluster_dendrogram: {small.num_rows} rows > max_driver_rows="
+            f"{max_driver_rows}; sample or pre-bucket first"
+        )
+    small = small.sort_by([(id_col, "ascending")])
+    ids = small[id_col].to_pylist()
+    m = np.asarray(small[emb_col].to_pylist(), dtype=np.float64)
+    tree = build_dendrogram(m)
+    if collapse is not None:
+        tree = collapse_tree(tree, collapse)
+    annotate_tree(tree, m, ids)
+    paths = leaf_paths(tree, output_key)
+    by_id = {ids[i]: p for i, p in paths.items()}
+    get_map = closure_broadcast(by_id)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        mp = get_map()
+        vals = [mp.get(i, []) for i in batch[id_col].to_pylist()]
+        return batch.append_column(output_key, pa.array(vals, pa.list_(pa.string())))
+
+    attach.__name__ = "attach_cluster_paths"
+    return ds.map_batches(attach, batch_format="pyarrow")
 
 
 def cluster_embeddings(
@@ -74,9 +257,7 @@ def cluster_embeddings(
     The matrix is pulled to the driver (bounded by ``max_driver_rows``);
     label assignment is then broadcast back through a ``map_batches``
     lookup — no shuffle."""
-    import ray
-
-    from .util_ray import collect_small
+    from .util_ray import closure_broadcast, collect_small
 
     small = collect_small(ds.select_columns([id_col, emb_col]))
     if small.num_rows > max_driver_rows:
@@ -97,10 +278,10 @@ def cluster_embeddings(
         medoid = idx[np.argmin(np.linalg.norm(m[idx] - centroid, axis=1))]
         ann[int(lab)] = f"cluster_{lab}_n{len(idx)}_medoid{ids[medoid]}"
     assign = {i: int(l) for i, l in zip(ids, labels)}
-    ref = ray.put((assign, ann))
+    get_maps = closure_broadcast((assign, ann))
 
     def fn(batch: pa.Table) -> pa.Table:
-        a, an = ray.get(ref)
+        a, an = get_maps()
         ls = [a[i] for i in batch[id_col].to_pylist()]
         batch = batch.append_column(output_col, pa.array(ls, pa.int64()))
         return batch.append_column(
@@ -108,3 +289,42 @@ def cluster_embeddings(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def cluster_threshold(
+    ds,
+    emb_col: str,
+    id_col: str,
+    *,
+    distance_threshold: float,
+    output_col: str = "cluster_id",
+    max_driver_rows: int = 10_000,
+):
+    """Single-linkage threshold cut: adds ``output_col`` = the minimum
+    ``id_col`` of the row's connected component in the euclidean
+    "distance <= threshold" graph.
+
+    Equivalent to sklearn ``AgglomerativeClustering(linkage="single",
+    distance_threshold=t)`` flat labels (relabeled to min member id) —
+    and exactly expressible as a recursive-CTE components query over a
+    pairwise ``list_distance`` join, which is this operator's DuckDB
+    oracle."""
+    from .dedup import _attach_labels_broadcast, connected_components
+    from .util_ray import collect_small
+
+    small = collect_small(ds.select_columns([id_col, emb_col]))
+    if small.num_rows > max_driver_rows:
+        raise ValueError(
+            f"cluster_threshold: {small.num_rows} rows > max_driver_rows="
+            f"{max_driver_rows}; sample or pre-bucket first"
+        )
+    small = small.sort_by([(id_col, "ascending")])
+    ids = np.asarray(small[id_col].to_pylist())
+    m = np.asarray(small[emb_col].to_pylist(), dtype=np.float64)
+    # gram-trick pairwise distances: O(n^2) memory, not O(n^2 * dim)
+    n2 = (m * m).sum(axis=1)
+    d = np.sqrt(np.maximum(n2[:, None] + n2[None, :] - 2.0 * (m @ m.T), 0.0))
+    xs, ys = np.where(np.triu(d <= distance_threshold, 1))
+    edges = pa.table({"id_a": pa.array(ids[xs]), "id_b": pa.array(ids[ys])})
+    cmap = connected_components(edges)
+    return _attach_labels_broadcast(ds, id_col, cmap, output_col)

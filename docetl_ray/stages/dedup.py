@@ -95,6 +95,66 @@ def minhash_signatures_batch(
     return out
 
 
+_BUCKET_CAP = 512  # full-cross-product ceiling per LSH bucket
+_BUCKET_CHAIN_WINDOW = 4
+
+
+def _bucket_pair_indices(
+    starts: np.ndarray,
+    counts: np.ndarray,
+    *,
+    cap: int = _BUCKET_CAP,
+    window: int = _BUCKET_CHAIN_WINDOW,
+):
+    """Per-bucket candidate pair positions with a degenerate-bucket guard.
+
+    Buckets with <= ``cap`` members emit the full n x n index cross
+    product (callers keep the strict upper triangle by id).  DEGENERATE
+    buckets (> cap members — thousands of empty/boilerplate docs sharing
+    one band hash, common in real web corpora) would emit n^2 transient
+    pairs inside one reduce task; instead each member is paired with its
+    next ``window`` id-ordered neighbors only: identical/near-identical
+    members stay transitively connected through connected components,
+    pair volume is bounded at n*window, and dissimilar band collisions
+    were going to fail verification anyway.  Mirrors the reference's
+    comparison caps (``/root/reference/docetl/operations/resolve.py:
+    491-516``, ``equijoin.py:549-603``).  Returns ``(xi, yi,
+    n_capped_buckets)`` — xi/yi are positions into the bucket-sorted
+    row order.
+    """
+    big = counts > cap
+    sm_starts, sm_counts = starts[~big], counts[~big]
+    xs: list[np.ndarray] = []
+    ys: list[np.ndarray] = []
+    if len(sm_counts):
+        per_bucket = sm_counts * sm_counts
+        total = int(per_bucket.sum())
+        pb = np.repeat(np.arange(len(sm_counts)), per_bucket)
+        offs = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
+        within = np.arange(total) - offs[pb]
+        xs.append(sm_starts[pb] + within // sm_counts[pb])
+        ys.append(sm_starts[pb] + within % sm_counts[pb])
+    n_capped = int(big.sum())
+    if n_capped:
+        import logging
+
+        logging.getLogger("docetl_ray.dedup").warning(
+            "capped %d degenerate LSH bucket(s) (>%d members) to "
+            "window-%d chain pairs", n_capped, cap, window,
+        )
+        for s, n in zip(starts[big], counts[big]):
+            i = np.arange(int(n))
+            for j in range(1, window + 1):
+                if n - j <= 0:
+                    break
+                xs.append(s + i[: n - j])
+                ys.append(s + i[j:])
+    if not xs:
+        e = np.empty(0, dtype=np.int64)
+        return e, e, n_capped
+    return np.concatenate(xs), np.concatenate(ys), n_capped
+
+
 def jaccard_ngram(a: str, b: str, k: int = 5) -> float:
     """Exact char-k-gram Jaccard (the verification metric)."""
     sa, sb = set(shingles(a, k).tolist()), set(shingles(b, k).tolist())
@@ -203,13 +263,8 @@ def minhash_candidates(
         starts, counts = starts[keep], counts[keep]
         if len(counts) == 0:
             return empty
-        per_bucket = counts * counts
-        total = int(per_bucket.sum())
-        pb = np.repeat(np.arange(len(counts)), per_bucket)
-        offs = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
-        within = np.arange(total) - offs[pb]
-        ia = ids[starts[pb] + within // counts[pb]]
-        ib = ids[starts[pb] + within % counts[pb]]
+        xi, yi, _ = _bucket_pair_indices(starts, counts)
+        ia, ib = ids[xi], ids[yi]
         m = ia < ib  # strict upper triangle (ids sorted within bucket)
         return pd.DataFrame({"id_a": ia[m], "id_b": ib[m]})
 
@@ -220,10 +275,101 @@ def minhash_candidates(
     )
 
     # stage 2: estimate Jaccard per candidate pair from the signatures.
+    if verify == "exact":
+        # exact-Jaccard verify: dedup the cross-band pairs first, then
+        # route each side's text TO its pairs with two keyed-shuffle hash
+        # joins (same shape as fuzzy_join) and compute the TRUE char
+        # k-gram Jaccard — no signature estimation error, no driver
+        # materialization.  With full banding recall at the threshold
+        # (miss prob (1 - j^rows)^bands per pair) the result equals the
+        # exact all-pairs answer, which is what makes the DuckDB oracle
+        # for minhash_dedup_documents exact.
+        from .joins import _ds_arrow_schema_lazy, hash_join
+        from .reduces import grouped_aggregate as _ga
+
+        uniq = _ga(
+            cand.map_batches(
+                lambda t: t.append_column("_one", pa.array([1] * t.num_rows, pa.int8())),
+                batch_format="pyarrow",
+            ),
+            ["id_a", "id_b"],
+            [("_one", "count", "_n")],
+        )
+
+        def proj(out_id, out_text):
+            def fn(batch: pa.Table) -> pa.Table:
+                return pa.table({out_id: batch[id_col], out_text: batch[text_col]})
+
+            fn.__name__ = f"proj_{out_id}"
+            return fn
+
+        ta = ds.map_batches(proj("_da", "_ta"), batch_format="pyarrow")
+        tb = ds.map_batches(proj("_db", "_tb"), batch_format="pyarrow")
+        # wire schemas passed explicitly so neither the candidate pipeline
+        # nor the text projections hit hash_join's materialize fallback
+        # (a full barrier that would pin the corpus in the object store);
+        # id/text types come from the (already-materialized) signature
+        # table and a metadata-only probe of the input
+        sig_schema = _ds_arrow_schema_lazy(sig_ds)  # materialized -> cheap
+        idt = sig_schema.field(id_col).type
+        in_schema = _ds_arrow_schema_lazy(ds)
+        text_t = in_schema.field(text_col).type if in_schema is not None else pa.string()
+        pair_schema = pa.schema(
+            [(c, idt) for c in ("id_a", "id_b")] + [("_n", pa.int64())]
+        )
+        with_a = hash_join(
+            uniq, ta, on="id_a", right_on="_da",
+            left_schema=pair_schema,
+            right_schema=pa.schema([("_da", idt), ("_ta", text_t)]),
+        )
+        with_ab = hash_join(
+            with_a, tb, on="id_b", right_on="_db",
+            left_schema=pa.schema(
+                list(pair_schema) + [pa.field("_da", idt), pa.field("_ta", text_t)]
+            ),
+            right_schema=pa.schema([("_db", idt), ("_tb", text_t)]),
+        )
+
+        def exact_verify(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            # shingle each distinct doc once per batch (hot docs appear
+            # in many candidate pairs)
+            cache: dict = {}
+
+            def sh(i, text):
+                s = cache.get(i)
+                if s is None:
+                    s = set(shingles(text or "", shingle_k).tolist())
+                    cache[i] = s
+                return s
+
+            jac = []
+            for ia, ib, t_a, t_b in zip(
+                batch["id_a"].to_pylist(), batch["id_b"].to_pylist(),
+                batch["_ta"].to_pylist(), batch["_tb"].to_pylist(),
+            ):
+                sa, sb = sh(ia, t_a), sh(ib, t_b)
+                if not sa and not sb:
+                    jac.append(1.0)
+                    continue
+                inter = len(sa & sb)
+                jac.append(inter / (len(sa) + len(sb) - inter))
+            out = pa.table(
+                {"id_a": batch["id_a"], "id_b": batch["id_b"],
+                 "est_jaccard": pa.array(jac, pa.float64())}
+            )
+            return out.filter(pc.greater_equal(out["est_jaccard"], threshold))
+
+        exact_verify.__name__ = "minhash_verify_exact"
+        return with_ab.map_batches(exact_verify, batch_format="pyarrow")
+
     if verify == "shuffle":
         # keyed-shuffle verify: hash-join the signature table onto the
-        # pairs (twice) — never materializes the sig map on the driver
-        from .joins import hash_join
+        # pairs (twice) — never materializes the sig map on the driver.
+        # Wire schemas passed explicitly: the lazy candidate pipeline
+        # must stream into the exchange, not hit the materialize fallback.
+        from .joins import _ds_arrow_schema_lazy, hash_join
 
         def ren(suffix):
             def fn(batch: pa.Table) -> pa.Table:
@@ -234,10 +380,21 @@ def minhash_candidates(
             fn.__name__ = f"sig{suffix}"
             return fn
 
+        sig_schema = _ds_arrow_schema_lazy(sig_ds)  # materialized -> cheap
+        idt = sig_schema.field(id_col).type
+        sigt = sig_schema.field("_sig").type
+        pair_schema = pa.schema([("id_a", idt), ("id_b", idt)])
         with_a = hash_join(cand, sig_ds.map_batches(ren("a"), batch_format="pyarrow"),
-                           on="id_a", right_on="_sida")
+                           on="id_a", right_on="_sida",
+                           left_schema=pair_schema,
+                           right_schema=pa.schema([("_sida", idt), ("_siga", sigt)]))
         with_ab = hash_join(with_a, sig_ds.map_batches(ren("b"), batch_format="pyarrow"),
-                            on="id_b", right_on="_sidb")
+                            on="id_b", right_on="_sidb",
+                            left_schema=pa.schema(
+                                list(pair_schema)
+                                + [pa.field("_sida", idt), pa.field("_siga", sigt)]
+                            ),
+                            right_schema=pa.schema([("_sidb", idt), ("_sigb", sigt)]))
 
         def est_pair(batch: pa.Table) -> pa.Table:
             if batch.num_rows == 0:
@@ -437,7 +594,8 @@ def minhash_dedup(
     shingle_k: int = 5,
     threshold: float = 0.7,
     distributed: bool | str = False,
-    auto_edge_threshold: int = 2_000_000,
+    auto_doc_threshold: int = 5_000_000,
+    verify: str | None = None,
 ):
     """End-to-end near-dup removal: keep one representative (min id) per
     near-duplicate cluster.  Returns (deduped_ds, canonical_map).
@@ -445,20 +603,26 @@ def minhash_dedup(
     ``distributed=True`` runs connected components as distributed
     min-label propagation and the keep-filter as an anti join — no
     driver-side edge materialization; ``canonical_map`` is then returned
-    as a Dataset ``(id, label)`` instead of a dict.  ``"auto"`` counts
-    the candidate edges once (the candidate Dataset is pinned, so the
-    count is not recomputed) and picks the driver path below
-    ``auto_edge_threshold`` edges, the distributed path above."""
+    as a Dataset ``(id, label)`` instead of a dict.  ``"auto"`` probes
+    the corpus size with one cheap ``ds.count()`` BEFORE the candidate
+    pass (so the broadcast-verify driver signature map is never built
+    for a corpus above ``auto_doc_threshold`` docs — the scenario auto
+    mode exists to protect).
+
+    ``verify`` overrides the verification strategy: ``"broadcast"``
+    (signature estimate, driver sig map), ``"shuffle"`` (signature
+    estimate, keyed-shuffle routing — the 100-TB path), or ``"exact"``
+    (true char-k-gram Jaccard, texts routed to pairs by keyed-shuffle
+    joins; what the DuckDB oracle checks)."""
     from .util_ray import collect_small
 
+    if distributed == "auto":
+        distributed = ds.count() > auto_doc_threshold
     cand = minhash_candidates(
         ds, text_col, id_col,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k, threshold=threshold,
-        verify="shuffle" if distributed is True else "broadcast",
+        verify=verify or ("shuffle" if distributed else "broadcast"),
     )
-    if distributed == "auto":
-        cand = cand.materialize()
-        distributed = cand.count() > auto_edge_threshold
     if distributed:
         labels = connected_components_distributed(cand)
         import pyarrow.compute as pc
@@ -556,6 +720,7 @@ def simhash_near_dedup(
     *,
     max_hamming: int = 3,
     output_col: str = "canonical_id",
+    distributed: bool = False,
 ):
     """SimHash near-dup clustering within a hamming radius.
 
@@ -566,7 +731,13 @@ def simhash_near_dedup(
     MinHash banding), and the SQL oracle (all pairs with
     ``bit_count(xor) <= r``) is exact.  One groupby shuffle on the band
     key; in-bucket verification is a vectorized XOR-popcount; components
-    -> ``output_col`` = min-id representative per row."""
+    -> ``output_col`` = min-id representative per row.
+
+    ``distributed=True`` runs components as min-label propagation and
+    attaches labels with a keyed-shuffle hash join — no driver-side edge
+    or label materialization (the 100-TB path, same surface as
+    ``minhash_dedup``).  Either way the per-row attach is vectorized
+    (Arrow join / is_in), never a per-row dict lookup."""
     from .grouped import grouped_map
     from .reduces import grouped_aggregate
     from .util_ray import collect_small
@@ -623,13 +794,7 @@ def simhash_near_dedup(
         starts, counts = starts[keep_b], counts[keep_b]
         if len(counts) == 0:
             return empty
-        per_bucket = counts * counts
-        total = int(per_bucket.sum())
-        pb = np.repeat(np.arange(len(counts)), per_bucket)
-        offs = np.concatenate(([0], np.cumsum(per_bucket)[:-1]))
-        within = np.arange(total) - offs[pb]
-        xi = starts[pb] + within // counts[pb]
-        yi = starts[pb] + within % counts[pb]
+        xi, yi, _ = _bucket_pair_indices(starts, counts)
         m = ids[xi] < ids[yi]
         xi, yi = xi[m], yi[m]
         if len(xi) == 0:
@@ -661,18 +826,60 @@ def simhash_near_dedup(
         ["id_a", "id_b"],
         [("_one", "count", "_n")],
     )
+    if distributed:
+        labels = connected_components_distributed(uniq)
+        return _attach_labels_join(ds, id_col, labels, output_col), labels
+
     cmap = connected_components(collect_small(uniq))
+    return _attach_labels_broadcast(ds, id_col, cmap, output_col), cmap
 
-    import ray
 
-    cmap_ref = ray.put(cmap)
+def _attach_labels_broadcast(ds, id_col: str, cmap: dict, output_col: str):
+    """Attach ``output_col = cmap.get(id, id)`` via a broadcast sorted-key
+    binary search (vectorized ``np.searchsorted`` per batch — no per-row
+    dict lookups).  Right when the label map fits one machine."""
+    from .util_ray import closure_broadcast
+
+    keys = np.array(sorted(cmap))
+    vals = np.array([cmap[k] for k in keys])
+    get_kv = closure_broadcast((keys, vals))
 
     def attach(batch: pa.Table) -> pa.Table:
-        mapping = ray.get(cmap_ref)
-        vals = [mapping.get(i, i) for i in batch[id_col].to_pylist()]
-        return batch.append_column(output_col, pa.array(vals, batch[id_col].type))
+        k, v = get_kv()
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if len(k) == 0 or batch.num_rows == 0:
+            return batch.append_column(output_col, batch[id_col])
+        pos = np.searchsorted(k, ids)
+        pos_c = np.minimum(pos, len(k) - 1)
+        valid = k[pos_c] == ids
+        out = ids.copy()
+        out[valid] = v[pos_c[valid]]
+        return batch.append_column(output_col, pa.array(out, batch[id_col].type))
 
-    return ds.map_batches(attach, batch_format="pyarrow"), cmap
+    attach.__name__ = "attach_labels"
+    return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def _attach_labels_join(ds, id_col: str, labels, output_col: str):
+    """Attach component labels with a keyed-shuffle LEFT hash join
+    (ids without an edge keep themselves) — no driver materialization."""
+    import pyarrow.compute as pc
+
+    from .joins import hash_join
+
+    joined = hash_join(ds, labels, on=id_col, right_on="id", how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lab = pc.coalesce(
+            pc.cast(batch["label"], batch[id_col].type), batch[id_col]
+        )
+        out = batch.drop_columns(
+            [c for c in ("label", "id") if c in batch.column_names]
+        )
+        return out.append_column(output_col, lab)
+
+    finish.__name__ = "attach_labels_join"
+    return joined.map_batches(finish, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
@@ -689,27 +896,31 @@ def embedding_dedup(
     seed: int = 11,
     distributed: bool = False,
 ):
-    """Embedding near-dup: LSH-bucket by random-hyperplane sign code, then
+    """Embedding near-dup: LSH-bucket by hyperplane sign code, then
     exact pairwise cosine within buckets -> candidate edges -> components.
     Returns (deduped_ds, canonical_map); with ``distributed=True``,
-    components run as min-label propagation and the map is a Dataset."""
-    from .util_ray import collect_small
+    components run as min-label propagation and the map is a Dataset.
+
+    Hyperplanes are md5-derived INTEGER planes applied to
+    4096-quantized embeddings (``util_ray.md5_int_planes`` /
+    ``quantized_lsh_codes``): bucket codes are exact integer arithmetic,
+    reproducible bit-for-bit by a SQL oracle — which makes the engine's
+    "same bucket AND cosine >= threshold" semantics exactly checkable
+    (the oracle conditions on the buckets, so LSH recall is not part of
+    the correctness claim)."""
+    from .util_ray import collect_small, md5_int_planes, quantized_lsh_codes
 
     dim_probe = ds.take(1)[0][emb_col]
     dim = len(dim_probe)
-    rng = np.random.RandomState(seed)
-    planes = rng.randn(dim, num_planes)
+    planes = md5_int_planes(num_planes, dim, tag=f"emb{seed}")
 
     def bucketize(batch: pa.Table) -> pa.Table:
         embs = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
-        codes = (embs @ planes > 0).astype(np.uint64)
-        code = np.zeros(len(embs), dtype=np.uint64)
-        for i in range(num_planes):
-            code |= codes[:, i] << np.uint64(i)
+        code = quantized_lsh_codes(embs, planes)
         return pa.table(
             {
                 id_col: batch[id_col],
-                "_code": pa.array(code.astype(np.int64), pa.int64()),
+                "_code": pa.array(code, pa.int64()),
                 emb_col: batch[emb_col],
             }
         )
@@ -718,19 +929,38 @@ def embedding_dedup(
         if len(group) < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
         g = group.sort_values(id_col, kind="mergesort")
-        ids = g[id_col].tolist()
+        ids = g[id_col].to_numpy()
         m = np.asarray([np.asarray(e, dtype=np.float64) for e in g[emb_col]])
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0] = 1.0
         mn = m / norms[:, None]
-        sim = mn @ mn.T
-        ia, ib, cs = [], [], []
-        xs, ys = np.where(np.triu(sim, 1) >= threshold)
-        for x, y in zip(xs, ys):
-            ia.append(ids[x])
-            ib.append(ids[y])
-            cs.append(float(sim[x, y]))
-        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": cs})
+        n = len(g)
+        if n <= _BUCKET_CAP:
+            sim = mn @ mn.T
+            xs, ys = np.where(np.triu(sim, 1) >= threshold)
+            cs = sim[xs, ys]
+        else:
+            # degenerate bucket: window-chain pairs only (bounded n*window;
+            # near-identical members stay connected through components —
+            # see _bucket_pair_indices)
+            import logging
+
+            logging.getLogger("docetl_ray.dedup").warning(
+                "capped degenerate embedding-LSH bucket (%d members) to "
+                "window-%d chain pairs", n, _BUCKET_CHAIN_WINDOW,
+            )
+            xs_l, ys_l = [], []
+            for j in range(1, _BUCKET_CHAIN_WINDOW + 1):
+                if n - j <= 0:
+                    break
+                xs_l.append(np.arange(n - j))
+                ys_l.append(np.arange(j, n))
+            xs = np.concatenate(xs_l)
+            ys = np.concatenate(ys_l)
+            cs = (mn[xs] * mn[ys]).sum(axis=1)
+            keep = cs >= threshold
+            xs, ys, cs = xs[keep], ys[keep], cs[keep]
+        return pd.DataFrame({"id_a": ids[xs], "id_b": ids[ys], "cosine": cs})
 
     # bucketed grouped exchange (NOT per-bucket map_groups): LSH codes are
     # high-cardinality, so per-code tasks would pay ~ms overhead per code;

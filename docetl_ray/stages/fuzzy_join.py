@@ -44,11 +44,17 @@ def fuzzy_join(
     bands: int = 16,
     shingle_k: int = 5,
     limits: tuple[int | None, int | None] = (None, None),
+    left_schema=None,
+    right_schema=None,
 ):
     """Similarity join; returns Dataset of
     ``(left_id, right_id, jaccard)`` pairs with exact n-gram Jaccard >=
     threshold.  Join payload columns back with ``broadcast_join`` /
-    ``hash_join`` on the id columns."""
+    ``hash_join`` on the id columns.
+
+    ``left_schema`` / ``right_schema``: optional input wire schemas; when
+    given (or lazily inferable) the internal text-routing hash joins
+    stream instead of materializing their inputs."""
     from .reduces import grouped_aggregate
 
     rows_per_band = num_perm // bands
@@ -111,6 +117,24 @@ def fuzzy_join(
             return empty
         nl, nr = l_cnt[li], r_cnt[ri]
         ls, rs = l_start[li], r_start[ri]
+        # degenerate-bucket guard: a band bucket with a huge cross product
+        # (boilerplate collisions) is clamped to the first _BUCKET_CAP
+        # id-ordered members per side — bounded pair volume, mirroring the
+        # reference's comparison caps (equijoin.py:549-603); dropped
+        # volume is logged.  Genuine matches in real corpora concentrate
+        # in small buckets; giant ones are low-information collisions.
+        from .dedup import _BUCKET_CAP
+
+        big = (nl.astype(np.int64) * nr.astype(np.int64)) > _BUCKET_CAP * _BUCKET_CAP
+        if big.any():
+            import logging
+
+            logging.getLogger("docetl_ray.dedup").warning(
+                "capped %d degenerate fuzzy-join bucket(s) (> %d^2 pairs) "
+                "to %d members per side", int(big.sum()), _BUCKET_CAP, _BUCKET_CAP,
+            )
+            nl = np.where(big, np.minimum(nl, _BUCKET_CAP), nl)
+            nr = np.where(big, np.minimum(nr, _BUCKET_CAP), nr)
         per_bucket = nl * nr
         total = int(per_bucket.sum())
         # pair index arithmetic: within-bucket pair p -> (p // nr, p % nr)
@@ -148,7 +172,7 @@ def fuzzy_join(
     # Route each side's text TO its candidate pairs with a keyed-shuffle
     # hash join (pairs are sparse; texts ship through the exchange once
     # per side — no whole-corpus driver materialization or broadcast).
-    from .joins import hash_join
+    from .joins import _ds_arrow_schema_lazy, hash_join
 
     def _proj(ds_side, id_col, text_col, id_out, text_out):
         def fn(batch: pa.Table) -> pa.Table:
@@ -159,8 +183,40 @@ def fuzzy_join(
 
     lt = _proj(left, left_id, left_text, "_jl_id", "_jl_text")
     rt = _proj(right, right_id, right_text, "_jr_id", "_jr_text")
-    with_l = hash_join(uniq, lt, on="lid", right_on="_jl_id")
-    with_lr = hash_join(with_l, rt, on="rid_", right_on="_jr_id")
+
+    # wire schemas: stream the (lazy) pair pipeline + text projections
+    # through the joins when the side schemas are known (caller-supplied
+    # or metadata-only inferable); else hash_join falls back to
+    # materialize-for-schema on that side only
+    ls = left_schema or _ds_arrow_schema_lazy(left)
+    rs = right_schema or _ds_arrow_schema_lazy(right)
+    jk = {}
+    if ls is not None and rs is not None:
+        lidt = ls.field(left_id).type
+        ridt = rs.field(right_id).type
+        pair_schema = pa.schema(
+            [("lid", lidt), ("rid_", ridt), ("_n", pa.int64())]
+        )
+        jk = {
+            "left_schema": pair_schema,
+            "right_schema": pa.schema(
+                [("_jl_id", lidt), ("_jl_text", ls.field(left_text).type)]
+            ),
+        }
+    with_l = hash_join(uniq, lt, on="lid", right_on="_jl_id", **jk)
+    jk2 = {}
+    if ls is not None and rs is not None:
+        jk2 = {
+            "left_schema": pa.schema(
+                list(pair_schema)
+                + [pa.field("_jl_id", lidt),
+                   pa.field("_jl_text", ls.field(left_text).type)]
+            ),
+            "right_schema": pa.schema(
+                [("_jr_id", ridt), ("_jr_text", rs.field(right_text).type)]
+            ),
+        }
+    with_lr = hash_join(with_l, rt, on="rid_", right_on="_jr_id", **jk2)
 
     rid_out = right_id if right_id != left_id else f"{right_id}_right"
 
@@ -224,3 +280,140 @@ def fuzzy_join(
             lambda g: cap(g, left_id, lim_r), batch_format="pandas"
         )
     return pairs
+
+
+def embedding_blocked_join(
+    left,
+    right,
+    *,
+    left_emb: str,
+    right_emb: str,
+    left_id: str,
+    right_id: str,
+    blocking_threshold: float,
+    num_planes: int = 8,
+    probe_flips: int = 1,
+    limit_comparisons: int | None = None,
+    seed: int = 11,
+    num_partitions: int = 32,
+):
+    """Embedding-blocked join candidates: the reference equijoin's
+    embedding blocking phase (``/root/reference/docetl/operations/
+    equijoin.py:300-406`` — embed both sides, keep pairs with cosine >=
+    ``blocking_threshold``) recast shuffle-consciously:
+
+    - both sides are bucketed by md5-integer-plane sign codes over
+      4096-quantized embeddings (``util_ray.md5_int_planes`` /
+      ``quantized_lsh_codes`` — exact integer arithmetic, so a SQL oracle
+      recomputes the buckets bit-for-bit); the right side also lands in
+      every code within ``probe_flips`` bit flips, so a cross-side pair
+      surfaces iff ``hamming(code_l, code_r) <= probe_flips``,
+    - exact cosine within co-bucketed cross-side pairs (vectorized
+      matmul per bucket),
+    - ``limit_comparisons``: deterministic stratified cap mirroring the
+      reference's ``stratified_length_sample`` (``equijoin.py:549-603``):
+      stratify by the smaller-cardinality side and round-robin the BEST
+      pairs per stratum (cosine here stands in for the reference's
+      token-length priority — no tokenizer dependency, same
+      stratified round-robin shape).
+
+    Returns ``(left_id, right_id)`` pairs (ids only — downstream
+    verification/LLM compare attaches payloads by id).
+    """
+    from .grouped import grouped_map
+    from .util_ray import md5_int_planes, quantized_lsh_codes
+
+    dim = len(left.take(1)[0][left_emb])
+    planes = md5_int_planes(num_planes, dim, tag=f"emb{seed}")
+
+    def bucketer(emb_col, id_col, side, probe: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            embs = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+            codes = quantized_lsh_codes(embs, planes)
+            ids = batch[id_col]
+            bks, out_idx = [], []
+            for i, c in enumerate(codes.tolist()):
+                bks.append(c)
+                out_idx.append(i)
+                if probe and probe_flips >= 1:
+                    for b in range(num_planes):
+                        bks.append(c ^ (1 << b))
+                        out_idx.append(i)
+            emb_list = batch[emb_col].take(pa.array(out_idx))
+            return pa.table(
+                {
+                    "bucket": pa.array(bks, pa.int64()),
+                    "rid": ids.take(pa.array(out_idx)),
+                    "side": pa.array([side] * len(bks), pa.string()),
+                    "emb": emb_list,
+                }
+            )
+
+        fn.__name__ = f"ebucket_{side}"
+        return fn
+
+    lb = left.map_batches(bucketer(left_emb, left_id, "l", False),
+                          batch_format="pyarrow")
+    rb = right.map_batches(bucketer(right_emb, right_id, "r", True),
+                           batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        lm = (g["side"] == "l").to_numpy()
+        lg = g[lm].drop_duplicates(subset=["rid"]).sort_values("rid", kind="mergesort")
+        rg = g[~lm].drop_duplicates(subset=["rid"]).sort_values("rid", kind="mergesort")
+        if not len(lg) or not len(rg):
+            return pd.DataFrame({"lid": [], "rid_": [], "cosine": []})
+        ml = np.asarray([np.asarray(e, dtype=np.float64) for e in lg["emb"]])
+        mr = np.asarray([np.asarray(e, dtype=np.float64) for e in rg["emb"]])
+        for m in (ml, mr):
+            n = np.linalg.norm(m, axis=1)
+            n[n == 0] = 1.0
+            m /= n[:, None]
+        sim = ml @ mr.T
+        xs, ys = np.where(sim >= blocking_threshold)
+        return pd.DataFrame(
+            {
+                "lid": lg["rid"].to_numpy()[xs],
+                "rid_": rg["rid"].to_numpy()[ys],
+                "cosine": sim[xs, ys],
+            }
+        )
+
+    pairs.__name__ = "embedding_block_pairs"
+    cand = grouped_map(lb.union(rb), "bucket", pairs,
+                       num_partitions=num_partitions)
+
+    # probe buckets overlap -> same pair can surface several times
+    from .reduces import grouped_aggregate
+
+    uniq = grouped_aggregate(cand, ["lid", "rid_"], [("cosine", "max", "cosine")])
+
+    if limit_comparisons is None:
+        def ids_only(t: pa.Table) -> pa.Table:
+            return pa.table({left_id: t["lid"], right_id: t["rid_"]})
+
+        ids_only.__name__ = "pairs_ids"
+        return uniq.map_batches(ids_only, batch_format="pyarrow")
+
+    # stratified deterministic cap (equijoin.py:549-603 recast): group by
+    # the smaller-cardinality side, order each stratum best-first, take
+    # round-robin across strata until the cap fills.  Pairs are sparse
+    # post-blocking, so the cap runs on the driver like the reference.
+    from .util_ray import collect_small
+
+    t = collect_small(uniq)
+    df = t.to_pandas()
+    n_l, n_r = df["lid"].nunique(), df["rid_"].nunique()
+    key = "lid" if n_l <= n_r else "rid_"
+    df = df.sort_values(["cosine", "lid", "rid_"],
+                        ascending=[False, True, True], kind="mergesort")
+    df["_rr"] = df.groupby(key, sort=False).cumcount()
+    capped = df.sort_values(["_rr", "cosine"], ascending=[True, False],
+                            kind="mergesort").head(limit_comparisons)
+    capped = capped.sort_values(["lid", "rid_"], kind="mergesort")
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table({left_id: pa.array(capped["lid"].to_numpy()),
+                  right_id: pa.array(capped["rid_"].to_numpy())})
+    )

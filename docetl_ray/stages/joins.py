@@ -56,11 +56,7 @@ def _as_arrow(obj) -> pa.Table:
     return pa.concat_tables(ray.get(obj.to_arrow_refs()), promote_options="permissive")
 
 
-def _ds_arrow_schema(ds) -> pa.schema:
-    s = ds.schema()
-    if s is None:
-        # Ray reports no schema at all for some fully-empty pipelines
-        return pa.schema([])
+def _convert_ray_schema(s) -> pa.Schema:
     base = getattr(s, "base_schema", None)
     if isinstance(base, pa.Schema):
         return base
@@ -76,6 +72,27 @@ def _ds_arrow_schema(ds) -> pa.schema:
                 t = pa.string()
         fields.append(pa.field(n, t))
     return pa.schema(fields)
+
+
+def _ds_arrow_schema(ds) -> pa.schema:
+    s = ds.schema()
+    if s is None:
+        # Ray reports no schema at all for some fully-empty pipelines
+        return pa.schema([])
+    return _convert_ray_schema(s)
+
+
+def _ds_arrow_schema_lazy(ds) -> pa.Schema | None:
+    """Schema WITHOUT executing the pipeline: metadata-only inference
+    (``fetch_if_missing=False``).  Returns None when Ray cannot know the
+    schema lazily (e.g. downstream of an opaque ``map_batches``)."""
+    try:
+        s = ds.schema(fetch_if_missing=False)
+    except TypeError:  # older Dataset API without the kwarg
+        return None
+    if s is None:
+        return None
+    return _convert_ray_schema(s)
 
 
 def _drop_null_keys(df: pd.DataFrame, keys) -> pd.DataFrame:
@@ -166,6 +183,8 @@ def hash_join(
     how: str = "inner",
     num_buckets: int = 32,
     exchange: str = "tasks",
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Partitioned hash join of two large Datasets.
 
@@ -181,22 +200,28 @@ def hash_join(
     pickle their FULL parent buffers, so payload-bearing joins (text /
     binary columns) ship ~num_buckets× through a sort.  ``"sort"`` keeps
     the pure-Dataset ``groupby`` path (lazy, fine for narrow rows).
+
+    ``left_schema`` / ``right_schema``: the input wire schemas.  The join
+    needs them up front to pin the output schema; when absent they are
+    inferred lazily (metadata-only) when Ray can, and ONLY as a last
+    resort by materializing the input — a full pipeline barrier that pins
+    the dataset in the object store, which at 100-TB inputs forces
+    spilling where streaming would fit.  Callers that know their schemas
+    (all internal stages do) should pass them.
     """
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
         [right_on] if isinstance(right_on, str) else list(right_on)
     )
 
-    if exchange == "tasks":
-        # the tasks exchange consumes block refs eagerly anyway; pin the
-        # blocks FIRST so the schema() call below doesn't trigger a
-        # separate full execution of a lazy upstream (measured: a chained
-        # join re-ran its whole candidate pipeline once for schema
-        # inference and again for the exchange)
+    l_arrow = left_schema or _ds_arrow_schema_lazy(left)
+    r_arrow = right_schema or _ds_arrow_schema_lazy(right)
+    if l_arrow is None:
         left = left.materialize()
+        l_arrow = _ds_arrow_schema(left)
+    if r_arrow is None:
         right = right.materialize()
-    l_arrow = _ds_arrow_schema(left)
-    r_arrow = _ds_arrow_schema(right)
+        r_arrow = _ds_arrow_schema(right)
     left_cols = list(l_arrow.names)
     out_schema, rename = _join_out_schema(l_arrow, r_arrow, on, right_on, how)
     right_cols = [rename.get(c, c) for c in r_arrow.names]

@@ -42,6 +42,21 @@ def render_prompt(template: str, context: dict) -> str:
     return template.format(**context)
 
 
+def _safe_eval(expr: str, names: dict):
+    """Evaluate a config-supplied validate/gleaning condition WITHOUT
+    builtins (bare ``eval`` auto-injects full ``__builtins__``, handing a
+    pipeline config unrestricted execution).  Mirrors the reference's
+    ``safe_eval`` intent (``operations/utils/validation.py:98-107``) —
+    expressions get the bound names plus a minimal whitelist of pure
+    helpers, nothing else."""
+    allowed = {
+        "len": len, "str": str, "int": int, "float": float, "bool": bool,
+        "abs": abs, "min": min, "max": max, "sum": sum, "all": all,
+        "any": any, "sorted": sorted, "set": set, "isinstance": isinstance,
+    }
+    return eval(expr, {"__builtins__": {}}, {**allowed, **names})
+
+
 class FakeDeterministicClient:
     """Offline stand-in for an LLM: schema-typed outputs derived from the
     prompt hash — deterministic, so pipelines are testable end-to-end."""
@@ -119,7 +134,9 @@ class LLMMapStage:
 
     def _valid(self, output: dict) -> bool:
         try:
-            return all(eval(expr, {"output": output}) for expr in self.validate)
+            return all(
+                _safe_eval(expr, {"output": output}) for expr in self.validate
+            )
         except Exception:
             return False
 
@@ -135,7 +152,7 @@ class LLMMapStage:
         for rnd in range(rounds):
             if cond:
                 try:
-                    if not eval(cond, {"output": out}):
+                    if not _safe_eval(cond, {"output": out}):
                         break  # should_glean gate, api.py:334-336
                 except Exception:
                     break
@@ -196,7 +213,20 @@ class LLMMapStage:
         batched = self._batch_outputs(rows)
         for r, pre in zip(rows, batched):
             rendered = render_prompt(self.prompt, {"input": r})
-            out = pre if pre is not None else self._complete_cached(rendered)
+            # batch-prompt outputs go through the SAME validate/gleaning
+            # gates as per-item outputs (the reference still validates
+            # parsed batch outputs); a validation failure falls back to
+            # the per-item prompt, whose path retries internally
+            out = None
+            if pre is not None:
+                if self.gleaning:
+                    out = self._glean(rendered, pre)
+                elif self.validate and not self._valid(pre):
+                    out = None
+                else:
+                    out = pre
+            if out is None:
+                out = self._complete_cached(rendered)
             if self.observability:
                 out = dict(out)
                 out[f"_observability_{self.op_name}"] = json.dumps(
@@ -322,7 +352,8 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
                fold_prompt: str | None = None, fold_batch_size: int | None = None,
                merge_prompt: str | None = None, merge_batch_size: int | None = None,
                scratchpad: bool = False, value_sampling: dict | None = None,
-               associative: bool = True):
+               associative: bool = True,
+               observability: bool = False, op_name: str = "reduce"):
     """Grouped prompt reduce with the reference's plan surface
     (reduce.py:324-699):
 
@@ -345,12 +376,16 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
     """
     keys = [reduce_key] if isinstance(reduce_key, str) else list(reduce_key)
 
-    stage = {"client": None}
+    stage = {"client": None, "last_prompt": ""}
 
     def _client():
         if stage["client"] is None:
             stage["client"] = (client_factory or FakeDeterministicClient)()
         return stage["client"]
+
+    def _complete(rendered: str, schema: dict) -> dict:
+        stage["last_prompt"] = rendered  # _observability_{op}, reduce.py:345-347
+        return _client().complete(rendered, schema)
 
     def _batch_reduce(rows, key_ctx, pad=None):
         schema = dict(output_schema)
@@ -358,7 +393,7 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
         if pad is not None:
             schema["updated_scratchpad"] = "str"
             ctx["scratchpad"] = pad
-        return _client().complete(render_prompt(prompt, ctx), schema)
+        return _complete(render_prompt(prompt, ctx), schema)
 
     def _fold(rows, current, key_ctx, pad=None):
         if current is None:
@@ -368,11 +403,11 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
         if pad is not None:
             schema["updated_scratchpad"] = "str"
             ctx["scratchpad"] = pad
-        return _client().complete(render_prompt(fold_prompt, ctx), schema)
+        return _complete(render_prompt(fold_prompt, ctx), schema)
 
     def _merge(outputs, key_ctx):
         ctx = {"outputs": outputs, "reduce_key": key_ctx}
-        return _client().complete(render_prompt(merge_prompt, ctx), output_schema)
+        return _complete(render_prompt(merge_prompt, ctx), output_schema)
 
     def _reduce_group(rows, key_ctx) -> dict:
         sampled = _value_sample(rows, value_sampling, keys)
@@ -411,6 +446,12 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
                 row.setdefault(c, v)
         row.update({k: v for k, v in out.items() if k != "updated_scratchpad"})
         row["_counts_prereduce"] = group.num_rows
+        if observability:
+            # reference emits _observability_{op} for reduce too
+            # (reduce.py:345-347); record the final rendered prompt
+            row[f"_observability_{op_name}"] = json.dumps(
+                {"prompt": stage["last_prompt"], "model": _client().model}
+            )
         return pa.Table.from_pylist([row])
 
     fn.__name__ = "llm_reduce"

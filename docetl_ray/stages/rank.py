@@ -101,8 +101,10 @@ def refine_topk_window(
             other = current[tgt]
             current[cur], current[tgt] = other, doc
             pos[id(doc)], pos[id(other)] = tgt, cur
-        if start_idx == 0:
-            break
+        # no early exit at start_idx == 0: the reference keeps issuing
+        # the remaining budgeted windows (rank.py:778-793 re-runs the
+        # 0-anchored window), and with a non-idempotent client those
+        # extra calls are behaviorally significant
     return current
 
 
@@ -229,3 +231,96 @@ def topk_llm_compare(
         **rank_kwargs,
     )
     return out.limit(k)
+
+
+def rank_comparison_qurk(
+    ds,
+    *,
+    criteria: str,
+    input_keys: list[str],
+    batch_size: int = 10,
+    num_batches: int | None = None,
+    client_factory=None,
+    max_driver_rows: int = 100_000,
+):
+    """Head-to-head comparison ranking — the reference's comparison-QuRK
+    mode (``/root/reference/docetl/operations/rank.py:170-283``, the
+    human-powered-sorts batched-comparison estimator):
+
+    - ``num_batches`` (default ``N(N-1) / (S(S-1))`` like rank.py:197-201)
+      batches of ``batch_size`` documents are drawn; the reference uses
+      ``random.seed(42)`` + ``random.sample`` — recast deterministically
+      as an md5-keyed index order per batch (stable across runs and
+      machines, no RNG state).
+    - the client ranks each batch (``{"ranking": "list[int]"}``); every
+      doc earns one win per doc ranked below it in its batch
+      (rank.py:233-238).  Malformed rankings skip the batch, like the
+      reference's ``ranking is not None`` guard.
+    - final order: win count desc, ties -> original position (Python's
+      stable sort on the reference side); 1-based ``_rank`` attached.
+
+    Ranking is a global op over the input (the reference materializes the
+    list); bounded by ``max_driver_rows`` — sample upstream for more.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from .llm import FakeDeterministicClient, render_prompt  # noqa: F401
+    from .util_ray import collect_small
+
+    t = collect_small(ds)
+    if t.num_rows > max_driver_rows:
+        raise ValueError(
+            f"rank_comparison_qurk: {t.num_rows} rows > max_driver_rows="
+            f"{max_driver_rows}; sample/filter upstream first"
+        )
+    rows = t.to_pylist()
+    n = len(rows)
+    if n <= 1:
+        out = pd.DataFrame(rows)
+        out["_rank"] = range(1, n + 1)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    s = min(batch_size, n)
+    if num_batches is None:
+        num_batches = max(1, (n * (n - 1)) // (s * (s - 1) or 1))
+    client = (client_factory or FakeDeterministicClient)()
+    wins = [0] * n
+
+    for bn in range(num_batches):
+        # deterministic "random" batch: order all indices by
+        # md5(f"qurk|{bn}|{i}") and take the first s
+        order = sorted(
+            range(n),
+            key=lambda i: hashlib.md5(f"qurk|{bn}|{i}".encode()).hexdigest(),
+        )
+        batch_indices = order[:s]
+        batch_docs = [rows[i] for i in batch_indices]
+        rendered = (
+            f"Rank these documents for: {criteria}\n"
+            + "\n---\n".join(
+                f"[{j}] {_doc_content(d, input_keys)}"
+                for j, d in enumerate(batch_docs)
+            )
+        )
+        out = client.complete(rendered, {"ranking": "list[int]"})
+        ranking = out.get("ranking")
+        if not isinstance(ranking, list):
+            continue
+        ranking = [
+            int(x) for x in ranking
+            if isinstance(x, (int, float)) and 0 <= int(x) < len(batch_docs)
+        ]
+        ranking = list(dict.fromkeys(ranking))
+        # rank.py:233-238: doc at ranked position i beats every later one
+        for i in range(len(ranking)):
+            wins[batch_indices[ranking[i]]] += len(ranking) - 1 - i
+
+    final = sorted(range(n), key=lambda i: (-wins[i], i))
+    out_rows = []
+    for pos, idx in enumerate(final):
+        r = dict(rows[idx])
+        r["_rank"] = pos + 1
+        out_rows.append(r)
+    return pa.Table.from_pandas(pd.DataFrame(out_rows), preserve_index=False)

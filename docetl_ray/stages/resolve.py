@@ -299,3 +299,130 @@ def resolve_embedding_blocked(
         return batch.append_column(output_col, pa.array(vals, batch[id_col].type))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def llm_resolve(
+    ds,
+    *,
+    blocking_col,
+    id_col: str,
+    comparison_prompt: str,
+    resolution_prompt: str | None = None,
+    output_schema: dict | None = None,
+    client_factory=None,
+    limit_comparisons: int | None = None,
+    observability: bool = False,
+    op_name: str = "resolve",
+):
+    """LLM entity resolution against the pluggable client — the resolve
+    op-family's prompt surface (reference
+    ``/root/reference/docetl/operations/resolve.py:553-756``):
+
+    1. pairwise compare within each blocking group: ``comparison_prompt``
+       rendered with ``input1``/``input2``, client returns
+       ``{"is_match": bool}``; matches feed a per-block union-find
+       (``resolve.py:441-477``).  ``limit_comparisons`` caps the pair
+       count per block deterministically (first pairs in sorted-id
+       order — the reference caps globally, ``resolve.py:484-516``).
+    2. per multi-row cluster: ``resolution_prompt`` rendered with the
+       cluster ``inputs``; the output-schema keys are merged over EVERY
+       cluster row, and overwritten keys' prior values are preserved
+       under ``_kv_pairs_preresolve_{op}`` (``resolve.py:662-669``).
+       Without a ``resolution_prompt`` rows keep their own values (the
+       canonical id still marks the cluster).
+
+    Physical shape: two bucketed grouped exchanges (blocking key, then
+    canonical id) — per-block state lives inside the task, the offline
+    client makes the whole surface deterministic and testable.
+    Observability (``enable_observability``): each row carries its
+    cluster's rendered resolution prompt under ``_observability_{op}``
+    (``resolve.py:640-650``).
+    """
+    import json as _json
+
+    from .grouped import grouped_map
+    from .llm import FakeDeterministicClient, render_prompt
+
+    blocking_cols = (
+        [blocking_col] if isinstance(blocking_col, str) else list(blocking_col)
+    )
+
+    def compare_block(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        rows = g.to_dict("records")
+        client = (client_factory or FakeDeterministicClient)()
+        uf = _UnionFind(n)
+        done = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                if limit_comparisons is not None and done >= limit_comparisons:
+                    break
+                rendered = render_prompt(
+                    comparison_prompt, {"input1": rows[i], "input2": rows[j]}
+                )
+                done += 1
+                if client.complete(rendered, {"is_match": "bool"}).get("is_match"):
+                    uf.union(i, j)
+            else:
+                continue
+            break
+        ids = g[id_col].to_numpy()
+        return pd.DataFrame(
+            {id_col: ids, "_canonical": ids[[uf.find(i) for i in range(n)]]}
+        )
+
+    compare_block.__name__ = "llm_resolve_compare"
+    labels = grouped_map(ds, blocking_cols, compare_block)
+
+    # route the canonical label back onto the rows (keyed-shuffle join),
+    # then run the per-cluster resolution in a second grouped exchange
+    from .joins import hash_join
+
+    def ren_labels(t: pa.Table) -> pa.Table:
+        return t.rename_columns(
+            ["_lid" if c == id_col else c for c in t.column_names]
+        )
+
+    with_label = hash_join(
+        ds,
+        labels.map_batches(ren_labels, batch_format="pyarrow"),
+        on=id_col,
+        right_on="_lid",
+        how="inner",
+    )
+
+    out_keys = list((output_schema or {}).keys())
+
+    def resolve_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        g = g.drop(columns=[c for c in ("_lid",) if c in g.columns])
+        rows = g.to_dict("records")
+        if resolution_prompt and output_schema and len(rows) > 1:
+            client = (client_factory or FakeDeterministicClient)()
+            cluster_items = [
+                {k: r[k] for k in r if k not in ("_canonical",)} for r in rows
+            ]
+            rendered = render_prompt(resolution_prompt, {"inputs": cluster_items})
+            out = client.complete(rendered, output_schema)
+            for r in rows:
+                overwritten = {k: r[k] for k in out_keys if k in r}
+                r[f"_kv_pairs_preresolve_{op_name}"] = _json.dumps(
+                    overwritten, default=str
+                )
+                r.update({k: out[k] for k in out_keys})
+                if observability:
+                    r[f"_observability_{op_name}"] = _json.dumps(
+                        {"resolution_prompt": rendered, "model": client.model}
+                    )
+        else:
+            for r in rows:
+                r[f"_kv_pairs_preresolve_{op_name}"] = _json.dumps({})
+                if observability:
+                    r[f"_observability_{op_name}"] = _json.dumps(
+                        {"resolution_prompt": None, "model": None}
+                    )
+        return pd.DataFrame(rows)
+
+    resolve_cluster.__name__ = "llm_resolve_cluster"
+    return grouped_map(with_label, "_canonical", resolve_cluster)

@@ -56,6 +56,48 @@ def closure_broadcast(obj, *, threshold: int = _CLOSURE_BCAST_THRESHOLD):
     return get
 
 
+def md5_int_planes(num_planes: int, dim: int, *, tag: str, mod: int = 2001) -> np.ndarray:
+    """SQL-replicable pseudo-random integer hyperplanes for sign-LSH.
+
+    ``w[d, j] = (uint64(md5(f"{tag}:{j}:{d}")[:8]) % mod) - mod // 2`` —
+    exactly ``(('0x' || substr(md5(tag || ':' || j || ':' || d), 1, 16))
+    ::UBIGINT % mod) - mod // 2`` in DuckDB, so an oracle can recompute
+    the planes (and therefore every bucket code) bit-for-bit.  Computed
+    once on the driver (num_planes x dim md5 calls) and broadcast."""
+    import hashlib
+
+    w = np.empty((dim, num_planes), dtype=np.int64)
+    half = mod // 2
+    for j in range(num_planes):
+        for d in range(dim):
+            h = int.from_bytes(
+                hashlib.md5(f"{tag}:{j}:{d}".encode("utf-8")).digest()[:8], "big"
+            )
+            w[d, j] = (h % mod) - half
+    return w
+
+
+def quantized_lsh_codes(
+    embs: np.ndarray, planes_int: np.ndarray, *, scale: int = 4096
+) -> np.ndarray:
+    """Sign-LSH bucket codes via EXACT integer arithmetic.
+
+    Embeddings are quantized ``q = floor(v * scale + 0.5)`` (scale a
+    power of two -> the float multiply is exact for float32-origin
+    values; floor is exact), then ``code = bits(q @ planes_int > 0)``.
+    All-integer dot products make the codes independent of summation
+    order — a float dot product could flip a sign between numpy's
+    pairwise/BLAS sum and a SQL engine's sequential sum.  Returns int64
+    codes in [0, 2^num_planes)."""
+    q = np.floor(embs * float(scale) + 0.5).astype(np.int64)
+    dots = q @ planes_int  # exact: |q| <= scale * O(1), |w| <= mod/2, dims small
+    bits = (dots > 0).astype(np.uint64)
+    code = np.zeros(len(embs), dtype=np.uint64)
+    for i in range(planes_int.shape[1]):
+        code |= bits[:, i] << np.uint64(i)
+    return code.astype(np.int64)
+
+
 def hash_codes(batch: pa.Table, key_cols, *, seed: int = 0) -> "np.ndarray":
     """Vectorized deterministic per-row uint64 hash of ``key_cols``.
 
@@ -80,9 +122,14 @@ def hash_codes(batch: pa.Table, key_cols, *, seed: int = 0) -> "np.ndarray":
                 arr = v.fill_null(0).to_numpy(zero_copy_only=False).astype(np.uint64)
                 arr[nulls] = np.uint64(0xFFFFFFFFFFFFFFFF)
             elif pa.types.is_floating(t):
-                raw = col.combine_chunks()
+                # Cast to float64 first (float16/32 .view(uint64) raises) and
+                # canonicalize -0.0 -> 0.0 (+0.0 == -0.0 but their bit
+                # patterns differ, which would route equal keys to different
+                # buckets while pandas merge matches them).
+                raw = pc.cast(col, pa.float64()).combine_chunks()
                 nulls = pc.is_null(raw).to_numpy(zero_copy_only=False)
-                arr = raw.fill_null(0.0).to_numpy(zero_copy_only=False).view(np.uint64).copy()
+                f = raw.fill_null(0.0).to_numpy(zero_copy_only=False) + 0.0
+                arr = f.view(np.uint64).copy()
                 arr[nulls] = np.uint64(0xFFFFFFFFFFFFFFFF)
             else:
                 s = col.to_pandas()

@@ -232,15 +232,20 @@ def test_resplit_preserves_state_and_reroutes(tmp_path):
     assert before.num_rows == after.num_rows
     for c in ("url", "lsn", "text", "_deleted"):
         assert before[c].to_pylist() == after[c].to_pylist()
-    # every new partition holds only its own urls
-    import zlib
+    # every new partition holds only its own urls (resplit routes with
+    # the v2 vectorized hash and upgrades the manifest)
+    import numpy as np
 
+    from docetl_ray.cdc.apply import url_partition
+
+    assert t.partition_hash == "v2"
     for pid, paths in t.partition_map().items():
         for p in paths:
             import pyarrow.parquet as pq
 
             urls = pq.read_table(p, columns=["url"])["url"].to_pylist()
-            assert all(zlib.crc32(u.encode()) % 16 == pid for u in urls)
+            parts = url_partition(np.array(urls, dtype=object), 16, version="v2")
+            assert (parts == pid).all()
 
     # idempotent per tag
     m2 = resplit(t, 16, tag="grow-16")

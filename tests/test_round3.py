@@ -1,0 +1,469 @@
+"""Round-3 additions: manifest-versioned partition hash, degenerate
+LSH-bucket guards, distributed simhash components, dendrogram
+collapse/path parity, float hash_codes hardening."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+# ---------------------------------------------------------------------------
+# partition hash v2 + cross-version resume
+# ---------------------------------------------------------------------------
+
+def test_partition_hash_cross_version_resume(tmp_path):
+    import ray
+
+    from docetl_ray import synth
+    from docetl_ray.cdc import LakeTable, apply_events, read_state, replay_oracle
+    from docetl_ray.cdc.apply import resplit
+
+    root = str(tmp_path / "lake")
+    t = LakeTable(root, num_partitions=8)
+    # simulate a table created before manifests recorded a routing hash:
+    # strip the key -> reader must default to crc32
+    m = t.manifest()
+    m.pop("partition_hash")
+    t._write_manifest(m)
+    assert t.partition_hash == "crc32"
+
+    apply_events(t, synth.events_dataset(3000, parallelism=4), epoch=0)
+    assert t.partition_hash == "crc32"  # commit preserves the old hash
+    apply_events(
+        t, synth.events_dataset(3000, parallelism=4), epoch=1
+    )  # resume on the old hash
+
+    # resplit rewrites every partition -> upgrades the manifest to v2
+    resplit(t, 16, tag="upgrade")
+    assert t.partition_hash == "v2"
+    assert t.num_partitions == 16
+
+    apply_events(t, synth.events_dataset(5000, parallelism=4), epoch=2)
+    eng = pa.concat_tables(
+        ray.get(read_state(t).to_arrow_refs()), promote_options="permissive"
+    ).sort_by([("url", "ascending")])
+    oracle = replay_oracle(synth.events_table(0, 5000))
+    assert eng["url"].to_pylist() == oracle["url"].to_pylist()
+    assert eng["text"].to_pylist() == oracle["text"].to_pylist()
+
+
+def test_url_partition_v2_vectorized_matches_itself():
+    from docetl_ray.cdc.apply import url_partition
+
+    urls = np.array([f"https://x.example/{i % 37}/{i}" for i in range(1000)], dtype=object)
+    a = url_partition(urls, 16)
+    b = url_partition(urls, 16, version="v2")
+    assert (a == b).all()
+    assert a.dtype == np.int32 and (a >= 0).all() and (a < 16).all()
+    # crc32 path still available for pre-v2 tables
+    c = url_partition(urls, 16, version="crc32")
+    assert c.dtype == np.int32 and (c >= 0).all() and (c < 16).all()
+
+
+def test_new_table_manifest_records_v2(tmp_path):
+    from docetl_ray import synth
+    from docetl_ray.cdc import LakeTable, apply_events
+
+    t = LakeTable(str(tmp_path / "lake2"), num_partitions=4)
+    apply_events(t, synth.events_dataset(500, parallelism=2), epoch=0)
+    assert t.manifest(refresh=True)["partition_hash"] == "v2"
+
+
+# ---------------------------------------------------------------------------
+# degenerate LSH buckets stay bounded (and correct for identical docs)
+# ---------------------------------------------------------------------------
+
+def _identical_docs(n):
+    import ray.data as rd
+
+    text = "the same boilerplate paragraph repeated verbatim across the corpus " * 5
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                  "text": pa.array([text] * n)})
+    )
+
+
+def test_minhash_degenerate_bucket_bounded():
+    from docetl_ray.stages.dedup import minhash_dedup
+
+    n = 4000  # uncapped this is n^2 x bands ~ 256M transient pairs; capped ~n*w*bands
+    deduped, cmap = minhash_dedup(_identical_docs(n), "text", "doc_id", threshold=0.8)
+    ids = sorted(r["doc_id"] for r in deduped.take_all())
+    assert ids == [0]  # one survivor, the min id — chain pairs keep connectivity
+    assert all(v == 0 for v in cmap.values())
+
+
+def test_simhash_degenerate_bucket_bounded():
+    from docetl_ray.stages.dedup import simhash_near_dedup
+
+    n = 4000
+    out, cmap = simhash_near_dedup(_identical_docs(n), "text", "doc_id", max_hamming=3)
+    t = pa.concat_tables(
+        [pa.Table.from_pylist(out.take_all())], promote_options="permissive"
+    )
+    assert set(t["canonical_id"].to_pylist()) == {0}
+
+
+def test_bucket_pair_indices_small_unchanged():
+    from docetl_ray.stages.dedup import _bucket_pair_indices
+
+    starts = np.array([0, 3])
+    counts = np.array([3, 2])
+    xi, yi, capped = _bucket_pair_indices(starts, counts)
+    assert capped == 0
+    # full cross products: 9 + 4 index pairs
+    assert len(xi) == 13 and len(yi) == 13
+
+
+def test_bucket_pair_indices_capped_chain():
+    from docetl_ray.stages.dedup import _bucket_pair_indices
+
+    starts = np.array([0])
+    counts = np.array([2000])
+    xi, yi, capped = _bucket_pair_indices(starts, counts, cap=512, window=4)
+    assert capped == 1
+    # n*w - w(w+1)/2 pairs, all strictly increasing positions
+    assert len(xi) == 2000 * 4 - 10
+    assert (xi < yi).all()
+
+
+# ---------------------------------------------------------------------------
+# simhash distributed components == driver components
+# ---------------------------------------------------------------------------
+
+def test_simhash_near_dedup_distributed_matches_driver():
+    import ray.data as rd
+
+    from docetl_ray.stages.dedup import simhash_near_dedup
+    from docetl_ray.stages.util_ray import collect_small
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    rows = []
+    for i in range(60):
+        fam = i % 6
+        words = (base + f"family{fam} " * 3).split()
+        if i % 2:
+            words[5] = f"tweak{fam}"
+        rows.append({"doc_id": i, "text": " ".join(words)})
+    ds = rd.from_items(rows).map_batches(
+        lambda t: pa.table({"doc_id": t["doc_id"], "text": t["text"]}),
+        batch_format="pyarrow",
+    )
+    out_b, _ = simhash_near_dedup(ds, "text", "doc_id", max_hamming=3)
+    out_d, _ = simhash_near_dedup(ds, "text", "doc_id", max_hamming=3, distributed=True)
+    tb = collect_small(out_b).select(["doc_id", "canonical_id"]).sort_by(
+        [("doc_id", "ascending")]
+    )
+    td = collect_small(out_d).select(["doc_id", "canonical_id"]).sort_by(
+        [("doc_id", "ascending")]
+    )
+    assert tb.cast(td.schema).equals(td)
+
+
+# ---------------------------------------------------------------------------
+# dendrogram collapse + leaf path parity (reference cluster.py:176-282)
+# ---------------------------------------------------------------------------
+
+def _toy_matrix():
+    # two tight pairs + one far singleton -> unambiguous merge order
+    return np.array(
+        [[0.0, 0.0], [0.1, 0.0], [5.0, 0.0], [5.1, 0.0], [20.0, 0.0]]
+    )
+
+
+def test_build_dendrogram_structure():
+    from docetl_ray.stages.cluster import agglomerative_merges, build_dendrogram
+
+    m = _toy_matrix()
+    merges = agglomerative_merges(m)
+    assert len(merges) == 4
+    # first two merges are the tight pairs, at distance 0.1 each
+    assert {(merges[0][0], merges[0][1]), (merges[1][0], merges[1][1])} == {
+        (0, 1), (2, 3)
+    }
+    tree = build_dendrogram(m)
+    assert "children" in tree and "distance" in tree
+
+    def leaves(t):
+        if "children" in t:
+            return [x for c in t["children"] for x in leaves(c)]
+        return [t["index"]]
+
+    assert sorted(leaves(tree)) == [0, 1, 2, 3, 4]
+
+
+def test_collapse_tree_quantile():
+    from docetl_ray.stages.cluster import build_dendrogram, collapse_tree
+
+    tree = build_dendrogram(_toy_matrix())
+    # collapse=0.99 -> threshold near the max gap: shallow nodes dissolve
+    collapsed = collapse_tree(tree, 0.99)
+
+    def max_children(t):
+        if "children" not in t:
+            return 0
+        return max([len(t["children"])] + [max_children(c) for c in t["children"]])
+
+    assert max_children(collapsed) > 2  # multi-way node proves a collapse happened
+    # collapse=None is the identity
+    assert collapse_tree(tree, None) == tree
+
+
+def test_cluster_dendrogram_paths(ray_session):
+    import ray.data as rd
+
+    from docetl_ray.stages.cluster import cluster_dendrogram
+
+    m = _toy_matrix()
+    ds = rd.from_arrow(
+        pa.table({"vid": pa.array(range(5), pa.int64()),
+                  "emb": pa.array([list(r) for r in m], pa.list_(pa.float64()))})
+    )
+    out = cluster_dendrogram(ds, "emb", "vid", output_key="clusters")
+    rows = {r["vid"]: r["clusters"] for r in out.take_all()}
+    assert set(rows) == set(range(5))
+    # every leaf path ends at the root label (path is nearest-first)
+    root_labels = {p[-1] for p in rows.values()}
+    assert len(root_labels) == 1 and root_labels.pop().startswith("cluster_n5_")
+    # the tight pair shares its nearest ancestor; the far singleton's
+    # nearest ancestor is the root
+    assert rows[0][0] == rows[1][0] and rows[0][0].startswith("cluster_n2_")
+    assert rows[4][0].startswith("cluster_n5_")
+
+
+def test_cluster_threshold_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from docetl_ray.stages.cluster import cluster_threshold
+
+    m = _toy_matrix()
+    ds = rd.from_arrow(
+        pa.table({"vid": pa.array(range(5), pa.int64()),
+                  "emb": pa.array([list(r) for r in m], pa.list_(pa.float64()))})
+    )
+    out = cluster_threshold(ds, "emb", "vid", distance_threshold=0.5)
+    got = {r["vid"]: r["cluster_id"] for r in out.take_all()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2, 4: 4}
+
+
+# ---------------------------------------------------------------------------
+# hash_codes floating-point hardening (ADVICE)
+# ---------------------------------------------------------------------------
+
+def test_hash_codes_float32_and_signed_zero():
+    from docetl_ray.stages.util_ray import hash_codes
+
+    t32 = pa.table({"k": pa.array([1.5, -0.0, 0.0, None], pa.float32())})
+    t64 = pa.table({"k": pa.array([1.5, -0.0, 0.0, None], pa.float64())})
+    h32 = hash_codes(t32, "k")  # float32 used to raise on .view(uint64)
+    h64 = hash_codes(t64, "k")
+    assert (h32 == h64).all()
+    assert h32[1] == h32[2]  # -0.0 and 0.0 hash identically
+    assert h32[3] != h32[2]  # null is distinct from zero
+
+
+# ---------------------------------------------------------------------------
+# llm_resolve + rank comparison-QuRK (pluggable-client parity)
+# ---------------------------------------------------------------------------
+
+def test_llm_resolve_pairwise_and_resolution(ray_session):
+    import json
+
+    import ray.data as rd
+
+    from docetl_ray.stages.resolve import llm_resolve
+    from docetl_ray.stages.util_ray import collect_small
+
+    rows = [
+        {"eid": 1, "blk": "a", "name": "Acme Corp"},
+        {"eid": 2, "blk": "a", "name": "ACME corp."},
+        {"eid": 3, "blk": "a", "name": "Globex"},
+        {"eid": 4, "blk": "b", "name": "Initech"},
+    ]
+    ds = rd.from_items(rows).map_batches(
+        lambda t: pa.table({k: t[k] for k in ("eid", "blk", "name")}),
+        batch_format="pyarrow",
+    )
+
+    class Scripted:
+        """Matches iff both names start with 'acme' (case-insensitive);
+        resolution emits a canonical name."""
+
+        model = "scripted"
+
+        def complete(self, prompt, schema):
+            if "is_match" in schema:
+                import re
+
+                names = re.findall(r"'name': '([^']+)'", prompt)
+                ok = len(names) == 2 and all(
+                    n.lower().startswith("acme") for n in names
+                )
+                return {"is_match": ok}
+            return {"name": "Acme Corporation"}
+
+    out = llm_resolve(
+        ds,
+        blocking_col="blk",
+        id_col="eid",
+        comparison_prompt="match? {{ input1 }} vs {{ input2 }}",
+        resolution_prompt="canonical of {{ inputs }}",
+        output_schema={"name": "str"},
+        client_factory=Scripted,
+        observability=True,
+        op_name="res1",
+    )
+    t = collect_small(out)
+    by_id = {r["eid"]: r for r in t.to_pylist()}
+    assert by_id[1]["_canonical"] == 1 and by_id[2]["_canonical"] == 1
+    assert by_id[3]["_canonical"] == 3 and by_id[4]["_canonical"] == 4
+    # cluster rows got the resolved name; pre-resolve values preserved
+    assert by_id[1]["name"] == "Acme Corporation"
+    assert by_id[2]["name"] == "Acme Corporation"
+    assert json.loads(by_id[2]["_kv_pairs_preresolve_res1"]) == {"name": "ACME corp."}
+    assert "resolution_prompt" in json.loads(by_id[1]["_observability_res1"])
+    # singletons untouched
+    assert by_id[3]["name"] == "Globex"
+    assert json.loads(by_id[3]["_kv_pairs_preresolve_res1"]) == {}
+
+
+def test_llm_resolve_limit_comparisons(ray_session):
+    import ray.data as rd
+
+    from docetl_ray.stages.resolve import llm_resolve
+    from docetl_ray.stages.util_ray import collect_small
+
+    rows = [{"eid": i, "blk": "x", "name": f"n{i}"} for i in range(6)]
+    ds = rd.from_items(rows).map_batches(
+        lambda t: pa.table({k: t[k] for k in ("eid", "blk", "name")}),
+        batch_format="pyarrow",
+    )
+    calls = {"n": 0}
+
+    class Counting:
+        model = "counting"
+
+        def complete(self, prompt, schema):
+            if "is_match" in schema:
+                calls["n"] += 1
+            return {"is_match": False}
+
+    out = llm_resolve(
+        ds, blocking_col="blk", id_col="eid",
+        comparison_prompt="{{ input1 }} {{ input2 }}",
+        client_factory=Counting, limit_comparisons=4,
+    )
+    t = collect_small(out)
+    assert t.num_rows == 6
+    # per-task client counts: the cap bounds comparisons per block
+    # (the client is constructed inside the Ray task, so assert via the
+    # output instead: all singletons -> canonical == own id)
+    assert all(r["_canonical"] == r["eid"] for r in t.to_pylist())
+
+
+def test_rank_comparison_qurk(ray_session):
+    import ray.data as rd
+
+    from docetl_ray.stages.rank import rank_comparison_qurk
+
+    rows = [{"rid": i, "quality": i} for i in range(8)]
+    ds = rd.from_items(rows).map_batches(
+        lambda t: pa.table({"rid": t["rid"], "quality": t["quality"]}),
+        batch_format="pyarrow",
+    )
+
+    class Oracle:
+        """Ranks each batch by the quality field descending."""
+
+        model = "oracle"
+
+        def complete(self, prompt, schema):
+            import re
+
+            # lines like "[j] rid: X\nquality: Y"
+            entries = re.findall(r"\[(\d+)\] rid: (\d+)\nquality: (\d+)", prompt)
+            order = sorted(entries, key=lambda e: -int(e[2]))
+            return {"ranking": [int(e[0]) for e in order]}
+
+    out = rank_comparison_qurk(
+        ds, criteria="best quality", input_keys=["rid", "quality"],
+        batch_size=4, num_batches=20, client_factory=Oracle,
+    )
+    ranked = sorted(out.to_pylist(), key=lambda r: r["_rank"])
+    # enough deterministic batches -> overall order recovers quality desc
+    assert [r["rid"] for r in ranked][:3] == [7, 6, 5]
+    assert ranked[0]["_rank"] == 1
+
+
+def test_llm_reduce_observability(ray_session):
+    import json
+
+    import ray.data as rd
+
+    from docetl_ray.stages.llm import llm_reduce
+    from docetl_ray.stages.util_ray import collect_small
+
+    ds = rd.from_items(
+        [{"g": "a", "v": 1}, {"g": "a", "v": 2}, {"g": "b", "v": 3}]
+    ).map_batches(
+        lambda t: pa.table({"g": t["g"], "v": t["v"]}), batch_format="pyarrow"
+    )
+    out = llm_reduce(
+        ds, "g", "summarize {{ inputs }}", {"summary": "str"},
+        observability=True, op_name="red1",
+    )
+    t = collect_small(out)
+    for r in t.to_pylist():
+        obs = json.loads(r["_observability_red1"])
+        assert "summarize" in obs["prompt"]
+        assert obs["model"] == "fake-deterministic"
+
+
+def test_safe_eval_no_builtins():
+    import pytest as _pytest
+
+    from docetl_ray.stages.llm import _safe_eval
+
+    assert _safe_eval("len(output['x']) > 1", {"output": {"x": "ab"}})
+    with _pytest.raises(Exception):
+        _safe_eval("__import__('os').getpid()", {"output": {}})
+
+
+def test_embedding_blocked_join_limit_comparisons(ray_session):
+    import ray.data as rd
+
+    from docetl_ray.stages.fuzzy_join import embedding_blocked_join
+    from docetl_ray.stages.util_ray import collect_small
+
+    # two tight cross-side clusters + noise; cap to 2 pairs
+    rng = np.random.RandomState(3)
+    base1 = rng.randn(64)
+    base2 = rng.randn(64)
+    lrows, rrows = [], []
+    for i in range(4):
+        lrows.append({"lid": i, "emb": (base1 + rng.randn(64) * 0.01).tolist()})
+        rrows.append({"rid": 100 + i, "remb": (base1 + rng.randn(64) * 0.01).tolist()})
+    lrows.append({"lid": 50, "emb": (base2 + rng.randn(64) * 0.01).tolist()})
+    rrows.append({"rid": 150, "remb": (base2 + rng.randn(64) * 0.01).tolist()})
+    left = rd.from_items(lrows).map_batches(
+        lambda t: pa.table({"lid": t["lid"],
+                            "emb": pa.array(t["emb"].to_pylist(),
+                                            pa.list_(pa.float64()))}),
+        batch_format="pyarrow")
+    right = rd.from_items(rrows).map_batches(
+        lambda t: pa.table({"rid": t["rid"],
+                            "remb": pa.array(t["remb"].to_pylist(),
+                                             pa.list_(pa.float64()))}),
+        batch_format="pyarrow")
+    full = collect_small(embedding_blocked_join(
+        left, right, left_emb="emb", right_emb="remb",
+        left_id="lid", right_id="rid", blocking_threshold=0.9))
+    assert full.num_rows >= 17  # 4x4 cluster + 1 pair (minus any probe misses)
+    capped = collect_small(embedding_blocked_join(
+        left, right, left_emb="emb", right_emb="remb",
+        left_id="lid", right_id="rid", blocking_threshold=0.9,
+        limit_comparisons=3))
+    assert capped.num_rows == 3
+    # stratified round-robin: no stratum gets a 2nd pair before every
+    # stratum got its 1st — the 3 capped pairs span 3 distinct lids
+    assert len(set(capped["lid"].to_pylist())) == 3

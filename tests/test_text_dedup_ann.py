@@ -419,9 +419,11 @@ def test_minhash_dedup_auto_switches_on_edge_volume():
     out_a, cmap_a = minhash_dedup(ds, "text", "doc_id", threshold=0.6,
                                   distributed="auto")
     assert isinstance(cmap_a, dict)
-    # force the threshold to 0 -> auto picks the distributed path
+    # force the doc-count probe to 0 -> auto picks the distributed path
+    # (auto now decides BEFORE the candidate pass, so the broadcast
+    # driver signature map is never built for huge corpora)
     out_b, labels_b = minhash_dedup(ds, "text", "doc_id", threshold=0.6,
-                                    distributed="auto", auto_edge_threshold=0)
+                                    distributed="auto", auto_doc_threshold=0)
     assert not isinstance(labels_b, dict)
     assert sorted(_collect(out_a)["doc_id"].to_pylist()) == \
         sorted(_collect(out_b)["doc_id"].to_pylist()) == [0, 3, 4]
