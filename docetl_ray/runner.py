@@ -191,8 +191,26 @@ def _apply_op(ds, op: dict):
                           merge_batch_size=op.get("merge_batch_size"),
                           scratchpad=bool(op.get("scratchpad")),
                           value_sampling=op.get("value_sampling"),
-                          associative=op.get("associative", True))
+                          associative=op.get("associative", True),
+                          observability=op.get("enable_observability", False),
+                          op_name=name)
     if t == "resolve":
+        if op.get("comparison_prompt"):
+            # LLM surface: pairwise compare + cluster resolution against
+            # the pluggable client (resolve.py:553-756 parity)
+            from .stages.resolve import llm_resolve
+
+            return llm_resolve(
+                ds,
+                blocking_col=op["blocking_key"],
+                id_col=op["id_key"],
+                comparison_prompt=op["comparison_prompt"],
+                resolution_prompt=op.get("resolution_prompt"),
+                output_schema=(op.get("output") or {}).get("schema"),
+                limit_comparisons=op.get("limit_comparisons"),
+                observability=op.get("enable_observability", False),
+                op_name=name,
+            )
         if op.get("blocking_threshold") is not None:
             from .stages.resolve import resolve_embedding_blocked
 
@@ -276,6 +294,27 @@ def _apply_op(ds, op: dict):
 
             return topk_llm_compare(ds, query=op["query"], keys=op["keys"],
                                     k=op["k"], id_col=op.get("id_key"))
+        if op.get("rank_method") == "comparison_qurk":
+            from .stages.rank import rank_comparison_qurk
+
+            import ray.data as _rd
+
+            return _rd.from_arrow(rank_comparison_qurk(
+                ds, criteria=op["prompt"], input_keys=op.get("input_keys", []),
+                batch_size=op.get("batch_size", 10),
+                num_batches=op.get("num_batches"),
+            ))
+        if op.get("rank_method") == "calibrated_embedding":
+            from .stages.rank import rank_calibrated_embedding
+
+            import ray.data as _rd
+
+            return _rd.from_arrow(rank_calibrated_embedding(
+                ds, criteria=op["prompt"], input_keys=op.get("input_keys", []),
+                emb_col=op["embedding_key"],
+                sample_size=op.get("sample_size", 20),
+                batch_size=op.get("batch_size", 10),
+            ))
         if op.get("rerank_call_budget") or op.get("initial_ordering_method"):
             from .stages.rank import rank as rank_refine
 
@@ -287,6 +326,8 @@ def _apply_op(ds, op: dict):
                 k=op.get("k"),
                 id_col=op.get("id_key"),
                 initial_ordering_method=op.get("initial_ordering_method", "likert"),
+                emb_col=op.get("embedding_key"),
+                criteria_embedding=op.get("criteria_embedding"),
                 rerank_call_budget=op.get("rerank_call_budget", 10),
                 num_top_items_per_window=op.get("num_top_items_per_window", 3),
                 overlap_fraction=op.get("overlap_fraction", 0.5),
@@ -322,6 +363,24 @@ def _apply_op(ds, op: dict):
 
         return add_hash_id(ds, op["key_cols"], id_key=op.get("id_key", f"{name}_id"))
     if t == "cluster":
+        if op.get("method") == "threshold":
+            from .stages.cluster import cluster_threshold
+
+            return cluster_threshold(
+                ds, op["embedding_key"], op["id_key"],
+                distance_threshold=op["distance_threshold"],
+                output_col=op.get("output_key", "cluster_id"),
+            )
+        if "collapse" in op or op.get("annotate_paths"):
+            # full dendrogram parity: collapse + root-to-leaf path list
+            # under output_key (reference cluster.py:176-282)
+            from .stages.cluster import cluster_dendrogram
+
+            return cluster_dendrogram(
+                ds, op["embedding_key"], op["id_key"],
+                collapse=op.get("collapse"),
+                output_key=op.get("output_key", "clusters"),
+            )
         from .stages.cluster import cluster_embeddings
 
         return cluster_embeddings(ds, op["embedding_key"], op["id_key"],
@@ -409,20 +468,45 @@ class PipelineRunner:
                             f"equijoin {op_name!r}: unknown right dataset "
                             f"{right_name!r} (datasets: {sorted(self.datasets)})"
                         )
-                    from .stages.joins import broadcast_join, hash_join
+                    if op.get("comparison_prompt"):
+                        # LLM-verified equijoin: embedding blocking +
+                        # pluggable-client compare + per-side limits
+                        # (equijoin.py:300-509 parity)
+                        from .stages.fuzzy_join import (
+                            embedding_blocked_join,
+                            llm_equijoin,
+                        )
 
-                    join = (
-                        broadcast_join
-                        if op.get("strategy", "broadcast") == "broadcast"
-                        else hash_join
-                    )
-                    ds = join(
-                        ds,
-                        self.datasets[right_name],
-                        on=op["on"],
-                        right_on=op.get("right_on"),
-                        how=op.get("how", "inner"),
-                    )
+                        rds = self.datasets[right_name]
+                        pairs = embedding_blocked_join(
+                            ds, rds,
+                            left_emb=op["left_embedding_key"],
+                            right_emb=op["right_embedding_key"],
+                            left_id=op["left_id"], right_id=op["right_id"],
+                            blocking_threshold=op.get("blocking_threshold", 0.5),
+                            limit_comparisons=op.get("limit_comparisons"),
+                        )
+                        ds = llm_equijoin(
+                            ds, rds, pairs,
+                            left_id=op["left_id"], right_id=op["right_id"],
+                            comparison_prompt=op["comparison_prompt"],
+                            limits=tuple(op.get("limits", (None, None))),
+                        )
+                    else:
+                        from .stages.joins import broadcast_join, hash_join
+
+                        join = (
+                            broadcast_join
+                            if op.get("strategy", "broadcast") == "broadcast"
+                            else hash_join
+                        )
+                        ds = join(
+                            ds,
+                            self.datasets[right_name],
+                            on=op["on"],
+                            right_on=op.get("right_on"),
+                            how=op.get("how", "inner"),
+                        )
                 else:
                     ds = _apply_op(ds, op)
                 if ckpt_dir:

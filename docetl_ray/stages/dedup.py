@@ -276,19 +276,45 @@ def minhash_candidates(
 
     # stage 2: estimate Jaccard per candidate pair from the signatures.
     if verify == "exact":
-        # exact-Jaccard verify: dedup the cross-band pairs first, then
-        # route each side's text TO its pairs with two keyed-shuffle hash
-        # joins (same shape as fuzzy_join) and compute the TRUE char
-        # k-gram Jaccard — no signature estimation error, no driver
-        # materialization.  With full banding recall at the threshold
-        # (miss prob (1 - j^rows)^bands per pair) the result equals the
-        # exact all-pairs answer, which is what makes the DuckDB oracle
-        # for minhash_dedup_documents exact.
+        # exact-Jaccard verify: an est-Jaccard PREFILTER at (threshold -
+        # margin) first kills the ~99% of band-collision pairs that are
+        # nowhere near the threshold (margin 0.25 = 5 sigma of the
+        # 64-perm estimator at j=0.8 -> miss prob ~1e-6 per true pair;
+        # without it every candidate pair pays the text join), then the
+        # survivors' texts are routed TO the pairs with two keyed-shuffle
+        # hash joins (same shape as fuzzy_join) and the TRUE char k-gram
+        # Jaccard decides — no estimation error at the decision boundary,
+        # no driver materialization.  With full banding recall at the
+        # threshold (miss prob (1 - j^rows)^bands per pair) the result
+        # equals the exact all-pairs answer, which is what makes the
+        # DuckDB oracle for minhash_dedup_documents exact.
+        import ray
+
         from .joins import _ds_arrow_schema_lazy, hash_join
         from .reduces import grouped_aggregate as _ga
+        from .util_ray import collect_small as _cs
 
+        pre_thr = max(0.0, threshold - 0.25)
+        sig_small = _cs(sig_ds)
+        sig_map = {
+            i: np.asarray(s, dtype=np.int64)
+            for i, s in zip(sig_small[id_col].to_pylist(), sig_small["_sig"].to_pylist())
+        }
+        pre_ref = ray.put(sig_map)
+
+        def prefilter(batch: pa.Table) -> pa.Table:
+            sigs = _broadcast_sig_cache(pre_ref)
+            ia = batch["id_a"].to_pylist()
+            if not ia:
+                return batch
+            sa = np.stack([sigs[x] for x in ia])
+            sb = np.stack([sigs[y] for y in batch["id_b"].to_pylist()])
+            est = (sa == sb).mean(axis=1)
+            return batch.filter(pa.array(est >= pre_thr))
+
+        prefilter.__name__ = "minhash_exact_prefilter"
         uniq = _ga(
-            cand.map_batches(
+            cand.map_batches(prefilter, batch_format="pyarrow").map_batches(
                 lambda t: t.append_column("_one", pa.array([1] * t.num_rows, pa.int8())),
                 batch_format="pyarrow",
             ),
@@ -317,13 +343,15 @@ def minhash_candidates(
         pair_schema = pa.schema(
             [(c, idt) for c in ("id_a", "id_b")] + [("_n", pa.int64())]
         )
+        # prefiltered pairs are sparse — 8 buckets keeps task overhead
+        # low while the texts still stream through the exchange
         with_a = hash_join(
-            uniq, ta, on="id_a", right_on="_da",
+            uniq, ta, on="id_a", right_on="_da", num_buckets=8,
             left_schema=pair_schema,
             right_schema=pa.schema([("_da", idt), ("_ta", text_t)]),
         )
         with_ab = hash_join(
-            with_a, tb, on="id_b", right_on="_db",
+            with_a, tb, on="id_b", right_on="_db", num_buckets=8,
             left_schema=pa.schema(
                 list(pair_schema) + [pa.field("_da", idt), pa.field("_ta", text_t)]
             ),
@@ -613,7 +641,10 @@ def minhash_dedup(
     (signature estimate, driver sig map), ``"shuffle"`` (signature
     estimate, keyed-shuffle routing — the 100-TB path), or ``"exact"``
     (true char-k-gram Jaccard, texts routed to pairs by keyed-shuffle
-    joins; what the DuckDB oracle checks)."""
+    joins; what the DuckDB oracle checks).  ``"exact"``'s est-prefilter
+    broadcasts the sig map (same ~10M-doc ceiling as ``"broadcast"``);
+    beyond that combine ``"shuffle"`` est-verify with a downstream exact
+    pass."""
     from .util_ray import collect_small
 
     if distributed == "auto":

@@ -417,3 +417,118 @@ def embedding_blocked_join(
         pa.table({left_id: pa.array(capped["lid"].to_numpy()),
                   right_id: pa.array(capped["rid_"].to_numpy())})
     )
+
+
+def llm_equijoin(
+    left,
+    right,
+    blocked_pairs,
+    *,
+    left_id: str,
+    right_id: str,
+    comparison_prompt: str,
+    client_factory=None,
+    limits: tuple[int | None, int | None] = (None, None),
+):
+    """LLM-verified equijoin over a blocked candidate set — the compare +
+    merge phase of the reference equijoin
+    (``/root/reference/docetl/operations/equijoin.py:440-509``):
+
+    - ``blocked_pairs``: Dataset of ``(left_id, right_id)`` candidates
+      (from ``embedding_blocked_join``, ``fuzzy_join`` pairs, or a code
+      blocking stage),
+    - both sides' full rows are routed TO the pairs with keyed-shuffle
+      hash joins (never a whole-side broadcast),
+    - ``comparison_prompt`` rendered with ``input1``/``input2`` per pair;
+      the pluggable client returns ``{"is_match": bool}`` — distributed,
+      stateless tasks,
+    - matched rows merge with the reference's collision suffixing
+      (``{k}_left`` / ``{k}_right`` when a key exists on both sides,
+      ``equijoin.py:480-483``),
+    - per-side match ``limits`` (``equijoin.py:474-478``) are enforced on
+      the (sparse) match set in deterministic ``(left_id, right_id)``
+      order — the reference caps in completion order, which is
+      thread-timing dependent; sorted order is the reproducible recast.
+    """
+    from .joins import _ds_arrow_schema_lazy, hash_join
+    from .llm import FakeDeterministicClient, render_prompt
+    from .util_ray import collect_small
+
+    def proj(ds_side, prefix):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([f"{prefix}{c}" for c in batch.column_names])
+
+        fn.__name__ = f"proj{prefix}"
+        return ds_side.map_batches(fn, batch_format="pyarrow")
+
+    lp = proj(left, "_l_")
+    rp = proj(right, "_r_")
+    with_l = hash_join(blocked_pairs, lp, on=left_id, right_on=f"_l_{left_id}")
+    with_lr = hash_join(with_l, rp, on=right_id, right_on=f"_r_{right_id}")
+
+    def compare(batch: pa.Table) -> pa.Table:
+        client = (client_factory or FakeDeterministicClient)()
+        lcols = [c for c in batch.column_names if c.startswith("_l_")]
+        rcols = [c for c in batch.column_names if c.startswith("_r_")]
+        keep = []
+        for row in batch.to_pylist():
+            input1 = {c[3:]: row[c] for c in lcols}
+            input2 = {c[3:]: row[c] for c in rcols}
+            rendered = render_prompt(
+                comparison_prompt, {"input1": input1, "input2": input2}
+            )
+            keep.append(
+                bool(client.complete(rendered, {"is_match": "bool"}).get("is_match"))
+            )
+        return batch.filter(pa.array(keep, pa.bool_()))
+
+    compare.__name__ = "llm_equijoin_compare"
+    matches = with_lr.map_batches(compare, batch_format="pyarrow")
+
+    def merge_names(t: pa.Table) -> pa.Table:
+        # keep only the side-prefixed columns (the pairs' own key columns
+        # duplicate _l_/_r_ ids), then apply the reference's collision
+        # suffixing: shared keys -> {k}_left / {k}_right, else bare k
+        t = t.select([c for c in t.column_names if c.startswith(("_l_", "_r_"))])
+        lnames = {c[3:] for c in t.column_names if c.startswith("_l_")}
+        rnames = {c[3:] for c in t.column_names if c.startswith("_r_")}
+        out_names = []
+        for c in t.column_names:
+            k = c[3:]
+            if c.startswith("_l_"):
+                out_names.append(f"{k}_left" if k in rnames else k)
+            else:
+                out_names.append(f"{k}_right" if k in lnames else k)
+        return t.rename_columns(out_names)
+
+    lim_l, lim_r = limits
+    if lim_l is None and lim_r is None:
+        out = matches.map_batches(merge_names, batch_format="pyarrow")
+        return out
+
+    # caps need global per-key match counts; matches are sparse
+    # post-compare, so the cap runs on the driver like the reference
+    t = collect_small(matches)
+    if t.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(merge_names(t)) if t.num_columns else rd.from_arrow(t)
+    t = t.sort_by([(f"_l_{left_id}", "ascending"), (f"_r_{right_id}", "ascending")])
+    from collections import defaultdict
+
+    lcount: dict = defaultdict(int)
+    rcount: dict = defaultdict(int)
+    keep = []
+    lids = t[f"_l_{left_id}"].to_pylist()
+    rids = t[f"_r_{right_id}"].to_pylist()
+    for lv, rv in zip(lids, rids):
+        ok = (lim_l is None or lcount[lv] < lim_l) and (
+            lim_r is None or rcount[rv] < lim_r
+        )
+        keep.append(ok)
+        if ok:
+            lcount[lv] += 1
+            rcount[rv] += 1
+    import ray.data as rd
+
+    return rd.from_arrow(merge_names(t.filter(pa.array(keep, pa.bool_()))))

@@ -40,40 +40,26 @@ def link_resolve(
     ids = sorted({v for v in id_values if v is not None})
     ref = ray.put(ids)
 
-    class Rewrite:
-        __name__ = "link_rewrite"
+    # stateless tasks + per-worker-process cache of the BUILT index (not
+    # an actor pool: actor startup costs seconds per pipeline invocation,
+    # which dominated this stage's wall time).  The n-gram inverted index
+    # is built once per worker process per id set — a dangling link only
+    # needs Jaccard against ids sharing >=1 gram, so lookup is
+    # O(|link grams| x bucket) instead of an O(|ids|) linear scan.
+    def rewrite(batch: pa.Table) -> pa.Table:
+        st = _link_state(ref)
+        idset, index, all_ids, cache = (
+            st["idset"], st["index"], st["ids"], st["cache"]
+        )
 
-        def __init__(self):
-            self.ids = None
-            self.idset = None
-            self.index: dict | None = None  # 3-gram -> sorted candidate ids
-            self.cache: dict = {}
-
-        @staticmethod
-        def _grams(s: str, n: int = 3) -> set:
-            s = s.lower()
-            return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
-
-        def _build(self):
-            self.ids = ray.get(ref)
-            self.idset = set(self.ids)
-            # n-gram inverted index, built ONCE per actor: a dangling link
-            # only needs Jaccard against ids sharing >=1 gram (any id with
-            # Jaccard >= threshold > 0 must share a gram), so lookup is
-            # O(|link grams| x bucket) instead of O(|ids|) linear scan
-            self.index = {}
-            for cand in self.ids:  # sorted -> bucket lists stay sorted
-                for g in self._grams(str(cand)):
-                    self.index.setdefault(g, []).append(cand)
-
-        def _best_match(self, v):
+        def best_match(v):
             if threshold <= 0:
-                cands = self.ids  # gram pruning unsound at threshold 0
+                cands = all_ids  # gram pruning unsound at threshold 0
             else:
                 seen = set()
                 cands = []
-                for g in self._grams(str(v)):
-                    for cand in self.index.get(g, ()):
+                for g in _grams(str(v)):
+                    for cand in index.get(g, ()):
                         if cand not in seen:
                             seen.add(cand)
                             cands.append(cand)
@@ -85,22 +71,48 @@ def link_resolve(
                     best, best_s = cand, s
             return best
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            if self.ids is None:
-                self._build()
-            links = batch[link_col].to_pylist()
-            out = []
-            for v in links:
-                if v is None or v in self.idset:
-                    out.append(v)
-                    continue
-                if v not in self.cache:
-                    self.cache[v] = self._best_match(v)
-                out.append(self.cache[v])
-            col = pa.array(out, batch[link_col].type)
-            target = out_col or link_col
-            if target in batch.column_names:
-                return batch.set_column(batch.column_names.index(target), target, col)
-            return batch.append_column(target, col)
+        out = []
+        for v in batch[link_col].to_pylist():
+            if v is None or v in idset:
+                out.append(v)
+                continue
+            if v not in cache:
+                cache[v] = best_match(v)
+            out.append(cache[v])
+        col = pa.array(out, batch[link_col].type)
+        target = out_col or link_col
+        if target in batch.column_names:
+            return batch.set_column(batch.column_names.index(target), target, col)
+        return batch.append_column(target, col)
 
-    return ds.map_batches(Rewrite, batch_format="pyarrow", concurrency=(1, 8))
+    rewrite.__name__ = "link_rewrite"
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
+_LINK_STATE: dict = {}
+
+
+def _grams(s: str, n: int = 3) -> set:
+    s = s.lower()
+    return {s[i : i + n] for i in range(max(1, len(s) - n + 1))}
+
+
+def _link_state(ref) -> dict:
+    """Per-worker-process cache: ray.get the id list once and build the
+    3-gram inverted index once; every later batch on the worker hits the
+    dict (same pattern as ``util_ray.broadcast_cached``)."""
+    import ray
+
+    key = ref.hex()
+    st = _LINK_STATE.get(key)
+    if st is None:
+        ids = ray.get(ref)
+        index: dict = {}
+        for cand in ids:  # sorted -> bucket lists stay sorted
+            for g in _grams(str(cand)):
+                index.setdefault(g, []).append(cand)
+        st = {"ids": ids, "idset": set(ids), "index": index, "cache": {}}
+        if len(_LINK_STATE) > 16:
+            _LINK_STATE.clear()
+        _LINK_STATE[key] = st
+    return st

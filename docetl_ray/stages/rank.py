@@ -23,6 +23,7 @@ Output: the top-k rows with a 1-based ``_rank`` column (rank.py:874-885).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 
@@ -117,6 +118,8 @@ def rank(
     k: int | None = None,
     initial_ordering_method: str = "likert",
     score_fn=None,
+    emb_col: str | None = None,
+    criteria_embedding=None,
     id_col: str | None = None,
     rerank_call_budget: int = 10,
     num_top_items_per_window: int = 3,
@@ -170,6 +173,26 @@ def rank(
             return batch.append_column("_rating", pa.array(vals, pa.float64()))
 
         scored = ds.map_batches(add_score, batch_format="pyarrow")
+        sort_col = "_rating"
+    elif initial_ordering_method == "embedding":
+        # embedding-similarity initial ordering (rank.py:284-360): the
+        # reference embeds criteria + docs via an embedding service; here
+        # the caller supplies the criteria vector and an embedding column
+        # and the cosine scoring runs vectorized per batch (distributed)
+        if emb_col is None or criteria_embedding is None:
+            raise ValueError("embedding method needs emb_col + criteria_embedding")
+        q = np.asarray(criteria_embedding, dtype=np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
+
+        def add_cos(batch: pa.Table) -> pa.Table:
+            m = np.asarray(batch[emb_col].to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(m, axis=1)
+            norms[norms == 0] = 1.0
+            vals = (m / norms[:, None]) @ qn
+            return batch.append_column("_rating", pa.array(vals, pa.float64()))
+
+        add_cos.__name__ = "embedding_rate"
+        scored = ds.map_batches(add_cos, batch_format="pyarrow")
         sort_col = "_rating"
     else:
         raise ValueError(f"unknown initial_ordering_method {initial_ordering_method!r}")
@@ -282,12 +305,25 @@ def rank_comparison_qurk(
         out["_rank"] = range(1, n + 1)
         return pa.Table.from_pandas(out, preserve_index=False)
 
+    client = (client_factory or FakeDeterministicClient)()
+    final = _qurk_order(rows, criteria, input_keys, batch_size, num_batches, client)
+    out_rows = []
+    for pos, idx in enumerate(final):
+        r = dict(rows[idx])
+        r["_rank"] = pos + 1
+        out_rows.append(r)
+    return pa.Table.from_pandas(pd.DataFrame(out_rows), preserve_index=False)
+
+
+def _qurk_order(rows, criteria, input_keys, batch_size, num_batches, client):
+    """Core of comparison-QuRK: returns row indices best-first."""
+    import hashlib
+
+    n = len(rows)
     s = min(batch_size, n)
     if num_batches is None:
         num_batches = max(1, (n * (n - 1)) // (s * (s - 1) or 1))
-    client = (client_factory or FakeDeterministicClient)()
     wins = [0] * n
-
     for bn in range(num_batches):
         # deterministic "random" batch: order all indices by
         # md5(f"qurk|{bn}|{i}") and take the first s
@@ -316,8 +352,77 @@ def rank_comparison_qurk(
         # rank.py:233-238: doc at ranked position i beats every later one
         for i in range(len(ranking)):
             wins[batch_indices[ranking[i]]] += len(ranking) - 1 - i
+    return sorted(range(n), key=lambda i: (-wins[i], i))
 
-    final = sorted(range(n), key=lambda i: (-wins[i], i))
+
+def rank_calibrated_embedding(
+    ds,
+    *,
+    criteria: str,
+    input_keys: list[str],
+    emb_col: str,
+    sample_size: int = 20,
+    batch_size: int = 10,
+    qurk_num_batches: int | None = None,
+    client_factory=None,
+    max_driver_rows: int = 100_000,
+):
+    """Calibrated-embedding sort — reference
+    ``/root/reference/docetl/operations/rank.py:988-1084``:
+
+    1. a sample of ``sample_size`` docs (the reference uses
+       ``random.seed(42)``; here the deterministic md5-keyed order) is
+       ranked with comparison-QuRK via the pluggable client,
+    2. every document is assigned to its most-cosine-similar sample doc
+       (the reference embeds contents via an embedding service; here the
+       caller's ``emb_col`` carries the vectors),
+    3. final order = (assigned sample's rank asc, similarity desc), with
+       a 1-based ``_rank`` (rank.py:1058-1079).
+
+    Global op over the input, bounded by ``max_driver_rows`` like the
+    reference's full materialization.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    from .llm import FakeDeterministicClient
+    from .util_ray import collect_small
+
+    t = collect_small(ds)
+    if t.num_rows > max_driver_rows:
+        raise ValueError(
+            f"rank_calibrated_embedding: {t.num_rows} rows > max_driver_rows="
+            f"{max_driver_rows}; sample/filter upstream first"
+        )
+    rows = t.to_pylist()
+    n = len(rows)
+    if n <= 1:
+        out = pd.DataFrame(rows)
+        out["_rank"] = range(1, n + 1)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    k = min(sample_size, n)
+    sample_idx = sorted(
+        range(n), key=lambda i: hashlib.md5(f"calib|{i}".encode()).hexdigest()
+    )[:k]
+    sample_rows = [rows[i] for i in sample_idx]
+    client = (client_factory or FakeDeterministicClient)()
+    sample_order = _qurk_order(
+        sample_rows, criteria, input_keys, batch_size, qurk_num_batches, client
+    )
+    ordered_sample_idx = [sample_idx[i] for i in sample_order]
+
+    m = np.asarray([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    mn = m / norms[:, None]
+    sample_m = mn[ordered_sample_idx]  # rows ordered best-first
+    sim = mn @ sample_m.T  # (n, k)
+    best_sample = np.argmax(sim, axis=1)
+    best_sim = sim[np.arange(n), best_sample]
+    # (sample rank asc, similarity desc), stable — rank.py:1068-1069
+    final = sorted(range(n), key=lambda i: (best_sample[i], -best_sim[i]))
     out_rows = []
     for pos, idx in enumerate(final):
         r = dict(rows[idx])

@@ -366,11 +366,13 @@ def test_rank_comparison_qurk(ray_session):
 
     from docetl_ray.stages.rank import rank_comparison_qurk
 
-    rows = [{"rid": i, "quality": i} for i in range(8)]
-    ds = rd.from_items(rows).map_batches(
-        lambda t: pa.table({"rid": t["rid"], "quality": t["quality"]}),
-        batch_format="pyarrow",
-    )
+    # single Arrow block: QuRK/calibrated ranking is order-sensitive by
+    # contract (the reference materializes the given list order), so the
+    # test pins the input order explicitly
+    ds = rd.from_arrow(pa.table({
+        "rid": pa.array(range(8), pa.int64()),
+        "quality": pa.array(range(8), pa.int64()),
+    }))
 
     class Oracle:
         """Ranks each batch by the quality field descending."""
@@ -467,3 +469,174 @@ def test_embedding_blocked_join_limit_comparisons(ray_session):
     # stratified round-robin: no stratum gets a 2nd pair before every
     # stratum got its 1st — the 3 capped pairs span 3 distinct lids
     assert len(set(capped["lid"].to_pylist())) == 3
+
+
+def test_rank_embedding_initial_ordering(ray_session):
+    import ray.data as rd
+
+    from docetl_ray.stages.rank import rank
+
+    rng = np.random.RandomState(5)
+    q = rng.randn(16)
+    rows = []
+    for i in range(12):
+        # doc i points increasingly away from the query direction
+        v = q + rng.randn(16) * (0.1 + i * 0.5)
+        rows.append({"rid": i, "emb": v.tolist()})
+    ds = rd.from_items(rows).map_batches(
+        lambda t: pa.table({"rid": t["rid"],
+                            "emb": pa.array(t["emb"].to_pylist(),
+                                            pa.list_(pa.float64()))}),
+        batch_format="pyarrow")
+
+    class NoRefine:
+        model = "none"
+
+        def complete(self, prompt, schema):
+            return {"top_indices": []}  # refinement keeps the initial order
+
+    out = rank(
+        ds, criteria="closest to query", input_keys=["rid"], k=5,
+        initial_ordering_method="embedding", emb_col="emb",
+        criteria_embedding=q.tolist(), id_col="rid", client_factory=NoRefine,
+    )
+    got = [r["rid"] for r in out.take_all()]
+    assert len(got) == 5
+    assert got[0] == 0  # the tightest doc ranks first
+
+
+def test_rank_calibrated_embedding(ray_session):
+    import ray.data as rd
+
+    from docetl_ray.stages.rank import rank_calibrated_embedding
+
+    rng = np.random.RandomState(9)
+    good = rng.randn(16)
+    bad = -good
+    embs = []
+    for i in range(10):
+        base = good if i < 5 else bad
+        embs.append((base + rng.randn(16) * 0.05).tolist())
+    # single Arrow block: input order pinned (see test_rank_comparison_qurk)
+    ds = rd.from_arrow(pa.table({
+        "rid": pa.array(range(10), pa.int64()),
+        "quality": pa.array([10 - i for i in range(10)], pa.int64()),
+        "emb": pa.array(embs, pa.list_(pa.float64())),
+    }))
+
+    class Oracle:
+        model = "oracle"
+
+        def complete(self, prompt, schema):
+            import re
+
+            entries = re.findall(r"\[(\d+)\] rid: (\d+)\nquality: (\d+)", prompt)
+            order = sorted(entries, key=lambda e: -int(e[2]))
+            return {"ranking": [int(e[0]) for e in order]}
+
+    out = rank_calibrated_embedding(
+        ds, criteria="best quality", input_keys=["rid", "quality"],
+        emb_col="emb", sample_size=10, batch_size=4, qurk_num_batches=40,
+        client_factory=Oracle,
+    )
+    ranked = sorted(out.to_pylist(), key=lambda r: r["_rank"])
+    # the good-cluster docs dominate the top: win-count ranking can swap
+    # adjacent docs (appearance counts differ across the fixed batches —
+    # inherent QuRK estimator noise, same as the reference with its
+    # seeded random batches), so assert dominance not exact order
+    top5 = {r["rid"] for r in ranked[:5]}
+    assert len(top5 & {0, 1, 2, 3, 4}) >= 4
+    assert ranked[0]["rid"] in {0, 1, 2, 3, 4} and ranked[0]["_rank"] == 1
+
+
+def test_runner_dispatch_round3_surfaces(ray_session):
+    """_apply_op routes cluster threshold/dendrogram, llm resolve, and
+    comparison-QuRK rank configs to the new implementations."""
+    import ray.data as rd
+
+    from docetl_ray.runner import _apply_op
+    from docetl_ray.stages.util_ray import collect_small
+
+    emb = rd.from_arrow(pa.table({
+        "vid": pa.array(range(4), pa.int64()),
+        "e": pa.array([[0.0, 0.0], [0.05, 0.0], [9.0, 0.0], [9.05, 0.0]],
+                      pa.list_(pa.float64())),
+    }))
+    out = collect_small(_apply_op(emb, {
+        "type": "cluster", "method": "threshold", "embedding_key": "e",
+        "id_key": "vid", "distance_threshold": 0.5,
+    }))
+    got = {r["vid"]: r["cluster_id"] for r in out.to_pylist()}
+    assert got == {0: 0, 1: 0, 2: 2, 3: 2}
+
+    out2 = collect_small(_apply_op(emb, {
+        "type": "cluster", "embedding_key": "e", "id_key": "vid",
+        "collapse": 0.99, "output_key": "paths",
+    }))
+    assert all(isinstance(r["paths"], list) and r["paths"]
+               for r in out2.to_pylist())
+
+    docs = rd.from_arrow(pa.table({
+        "eid": pa.array([1, 2, 3], pa.int64()),
+        "blk": pa.array(["a", "a", "a"]),
+        "name": pa.array(["x", "y", "z"]),
+    }))
+    out3 = collect_small(_apply_op(docs, {
+        "type": "resolve", "blocking_key": "blk", "id_key": "eid",
+        "comparison_prompt": "{{ input1 }} vs {{ input2 }}",
+    }))
+    assert "_canonical" in out3.column_names and out3.num_rows == 3
+
+    out4 = collect_small(_apply_op(docs, {
+        "type": "rank", "rank_method": "comparison_qurk",
+        "prompt": "best", "input_keys": ["name"], "batch_size": 3,
+    }))
+    assert sorted(out4["_rank"].to_pylist()) == [1, 2, 3]
+
+
+def test_llm_equijoin_compare_merge_limits(ray_session):
+    import ray.data as rd
+
+    from docetl_ray.stages.fuzzy_join import llm_equijoin
+    from docetl_ray.stages.util_ray import collect_small
+
+    left = rd.from_arrow(pa.table({
+        "lid": pa.array([1, 2], pa.int64()),
+        "name": pa.array(["acme inc", "globex"]),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rid": pa.array([10, 11, 12], pa.int64()),
+        "name": pa.array(["acme incorporated", "acme", "initech"]),
+    }))
+    pairs = rd.from_arrow(pa.table({
+        "lid": pa.array([1, 1, 2], pa.int64()),
+        "rid": pa.array([10, 11, 12], pa.int64()),
+    }))
+
+    class Scripted:
+        model = "scripted"
+
+        def complete(self, prompt, schema):
+            import re
+
+            names = re.findall(r"'name': '([^']+)'", prompt)
+            return {"is_match": len(names) == 2
+                    and all(n.startswith("acme") for n in names)}
+
+    out = collect_small(llm_equijoin(
+        left, right, pairs, left_id="lid", right_id="rid",
+        comparison_prompt="{{ input1 }} vs {{ input2 }}",
+        client_factory=Scripted,
+    ))
+    # both acme pairs match; shared key "name" gets _left/_right suffixes
+    assert out.num_rows == 2
+    assert {"lid", "rid", "name_left", "name_right"} <= set(out.column_names)
+    assert set(out["rid"].to_pylist()) == {10, 11}
+
+    capped = collect_small(llm_equijoin(
+        left, right, pairs, left_id="lid", right_id="rid",
+        comparison_prompt="{{ input1 }} vs {{ input2 }}",
+        client_factory=Scripted, limits=(1, None),
+    ))
+    # left limit 1: lid=1 keeps only its first match in (lid, rid) order
+    assert capped.num_rows == 1 and capped["rid"].to_pylist() == [10]
