@@ -712,6 +712,95 @@ def _q_multimodal_video(sf_dir):
     return frames.map_batches(digest, batch_format="pyarrow")
 
 
+# -- LLM prompt-operator surfaces, oracle-checked end-to-end ---------------
+#
+# The deterministic offline client derives every output from
+# md5(rendered_prompt) with fixed per-key byte slices
+# (stages/llm.py FakeDeterministicClient), so the WHOLE prompt path —
+# Jinja render per row/group, schema-typed parsing, filter masking,
+# grouped reduce — is replayable in DuckDB: md5() + hex-slice arithmetic
+# over the same rendered strings.  These queries pin the plumbing
+# (reference operations/map.py:308-422, filter.py:80-98,
+# reduce.py:915-980) under the exact-hash gate, not just pytest.
+
+def _q_llm_map(sf_dir):
+    import pyarrow as pa
+
+    from docetl_ray.stages.llm import llm_map
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    out = llm_map(
+        docs,
+        "Classify:\n{{ input.text }}",
+        {"category": "enum[news, blog, docs, forum]", "score": "int"},
+        concurrency=(1, 4),
+        batch_size=256,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "category": t["category"].cast(pa.string()),
+            "score": t["score"],
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_llm_map_gleaning(sf_dir):
+    import pyarrow as pa
+
+    from docetl_ray.stages.llm import llm_map
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    # gleaning chain (reference api.py:307-462): initial call -> validator
+    # call -> should_refine? -> improvement call.  Every hop is another
+    # md5 of a longer rendered string, replayed hop-by-hop in the oracle.
+    out = llm_map(
+        docs,
+        "Classify:\n{{ input.text }}",
+        {"category": "enum[news, blog, docs, forum]", "score": "int"},
+        gleaning={"validation_prompt": "Check the classification quality.",
+                  "num_rounds": 1},
+        concurrency=(1, 4),
+        batch_size=256,
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "category": t["category"].cast(pa.string()),
+            "score": t["score"],
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_llm_filter(sf_dir):
+    from docetl_ray.stages.llm import llm_filter
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text", "lang"])
+    kept = llm_filter(docs, "Keep this doc?\n{{ input.text }}",
+                      concurrency=(1, 4))
+    return kept.select_columns(["doc_id", "lang"])
+
+
+def _q_llm_reduce(sf_dir):
+    from docetl_ray.stages.llm import llm_reduce
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "lang"])
+    # sort inside the template so the rendered prompt is independent of
+    # within-group row order (groups arrive unordered from the shuffle)
+    out = llm_reduce(
+        docs,
+        "lang",
+        "Summarize {{ reduce_key.lang }}: "
+        "{% for d in inputs|sort(attribute='doc_id') %}{{ d.doc_id }};{% endfor %}",
+        {"confidence": "float", "summary": "str"},
+    )
+    return out.select_columns(["lang", "summary", "confidence", "_counts_prereduce"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "map_filter_revenue": _q_map_filter_revenue,
@@ -770,6 +859,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_image_features": _q_multimodal_image,
         "multimodal_audio_frames": _q_multimodal_audio,
         "multimodal_video_keyframes": _q_multimodal_video,
+        "llm_map_documents": _q_llm_map,
+        "llm_map_gleaning_documents": _q_llm_map_gleaning,
+        "llm_filter_documents": _q_llm_filter,
+        "llm_reduce_lang_documents": _q_llm_reduce,
     }
 
 
@@ -1510,5 +1603,88 @@ def oracle_sql() -> dict[str, str]:
             JOIN sz sa ON sa.doc_id = i.doc_id
             JOIN sz sb ON sb.doc_id = i.rdoc_id
             WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.8
+        """,
+        # LLM prompt ops: the deterministic client derives each output key
+        # from md5(rendered prompt) — key i (schema keys sorted) reads
+        # bytes [4i%12, 4i%12+4) big-endian.  Replayed here as hex-slice
+        # arithmetic over the identically rendered string.
+        # llm_map schema {category: enum[news,blog,docs,forum], score: int}:
+        # category = enum[seed0 % 4], score = seed1 % 100.
+        "llm_map_documents": """
+            WITH p AS (SELECT doc_id,
+                              md5('Classify:' || chr(10) || text) AS h
+                       FROM documents)
+            SELECT doc_id,
+                   (['news', 'blog', 'docs', 'forum'])[
+                       CAST(('0x' || substr(h, 1, 8))::UBIGINT % 4 AS INT) + 1
+                   ] AS category,
+                   CAST(('0x' || substr(h, 9, 8))::UBIGINT % 100 AS BIGINT) AS score
+            FROM p
+        """,
+        # gleaning chain, replayed hop-by-hop: out0 = f(md5(r)); validator
+        # call h1 = md5(r + "\n[assistant] " + json.dumps(out0, sorted) +
+        # "\n[validator] " + vprompt) gives should_refine = seed1 % 2 and
+        # improvements = 'gen_%05d'; if refining, final = f(md5(r +
+        # "\n[improve round 1] " + improvements)) else out0.
+        "llm_map_gleaning_documents": """
+            WITH p AS (SELECT doc_id, 'Classify:' || chr(10) || text AS r
+                       FROM documents),
+            s0 AS (SELECT doc_id, r, md5(r) AS h0 FROM p),
+            o0 AS (SELECT doc_id, r,
+                      (['news', 'blog', 'docs', 'forum'])[
+                          CAST(('0x' || substr(h0, 1, 8))::UBIGINT % 4 AS INT) + 1
+                      ] AS cat0,
+                      ('0x' || substr(h0, 9, 8))::UBIGINT % 100 AS score0
+                   FROM s0),
+            g AS (SELECT doc_id, r, cat0, score0,
+                     md5(r || chr(10) || '[assistant] {"category": "' || cat0
+                         || '", "score": ' || score0 || '}' || chr(10)
+                         || '[validator] Check the classification quality.') AS h1
+                  FROM o0),
+            d AS (SELECT doc_id, r, cat0, score0,
+                     ('0x' || substr(h1, 9, 8))::UBIGINT % 2 AS refine,
+                     'gen_' || lpad(CAST(('0x' || substr(h1, 1, 8))::UBIGINT % 100000
+                                         AS VARCHAR), 5, '0') AS improvements
+                  FROM g),
+            f AS (SELECT doc_id, cat0, score0, refine,
+                     CASE WHEN refine = 1
+                          THEN md5(r || chr(10) || '[improve round 1] ' || improvements)
+                     END AS h2
+                  FROM d)
+            SELECT doc_id,
+                   CASE WHEN refine = 1
+                        THEN (['news', 'blog', 'docs', 'forum'])[
+                            CAST(('0x' || substr(h2, 1, 8))::UBIGINT % 4 AS INT) + 1]
+                        ELSE cat0 END AS category,
+                   CAST(CASE WHEN refine = 1
+                             THEN ('0x' || substr(h2, 9, 8))::UBIGINT % 100
+                             ELSE score0 END AS BIGINT) AS score
+            FROM f
+        """,
+        # llm_filter: bool key = seed0 % 2, row kept where true
+        "llm_filter_documents": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5('Keep this doc?' || chr(10) || text), 1, 8))::UBIGINT
+                  % 2 = 1
+        """,
+        # llm_reduce over lang: one call per group; the prompt renders the
+        # group's doc_ids sorted, so string_agg(... ORDER BY doc_id)
+        # rebuilds the identical rendered string.  Schema keys sorted:
+        # confidence = seed0 % 10000 / 100, summary = 'gen_%05d' % (seed1
+        # % 100000); _counts_prereduce counts the FULL group.
+        "llm_reduce_lang_documents": """
+            WITH g AS (SELECT lang,
+                              string_agg(doc_id || ';', '' ORDER BY doc_id) AS ids,
+                              count(*) AS n
+                       FROM documents GROUP BY lang),
+                 h AS (SELECT lang, n,
+                              md5('Summarize ' || lang || ': ' || ids) AS h
+                       FROM g)
+            SELECT lang,
+                   'gen_' || lpad(CAST(('0x' || substr(h, 9, 8))::UBIGINT % 100000
+                                       AS VARCHAR), 5, '0') AS summary,
+                   (('0x' || substr(h, 1, 8))::UBIGINT % 10000) / 100.0 AS confidence,
+                   n AS _counts_prereduce
+            FROM h
         """,
     }
