@@ -801,6 +801,73 @@ def _q_llm_reduce(sf_dir):
     return out.select_columns(["lang", "summary", "confidence", "_counts_prereduce"])
 
 
+def _q_llm_resolve(sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from docetl_ray.stages.resolve import llm_resolve
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    # precomputed mod-bucket blocking key (the reference blocks by user
+    # rule too); pairwise LLM compare within each block -> min-id
+    # union-find -> per-cluster LLM resolution merged over every row
+    # (resolve.py:553-756)
+    def add_blk(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "blk", pc.cast(pc.bit_wise_and(t["doc_id"], 63), pa.int64())
+        )
+
+    out = llm_resolve(
+        docs.map_batches(add_blk, batch_format="pyarrow"),
+        blocking_col="blk",
+        id_col="doc_id",
+        comparison_prompt="Same?\nA: {{ input1.text }}\nB: {{ input2.text }}",
+        resolution_prompt="Merge: {% for d in inputs %}{{ d.doc_id }},{% endfor %}",
+        output_schema={"canonical_text": "str"},
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        # singleton clusters never get the resolution key, so a batch
+        # holding only singletons lacks the column entirely
+        ct = (
+            t["canonical_text"]
+            if "canonical_text" in t.column_names
+            else pa.nulls(t.num_rows, pa.string())
+        )
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "_canonical": t["_canonical"],
+            "canonical_text": pc.fill_null(ct, ""),
+            "_kv_pairs_preresolve_resolve": t["_kv_pairs_preresolve_resolve"],
+        })
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_rank_likert(sf_dir):
+    from docetl_ray.stages.rank import rank
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    # full LLM rank path: distributed likert rating (actor pool) -> sort
+    # with id tiebreak -> ONE budgeted picky-window refinement call over
+    # the top-k prefix -> swap-to-front reorder (reference
+    # rank.py:671-885).  budget=1 makes the window plan a single
+    # whole-prefix window, so the oracle can replay the compare call and
+    # the resulting permutation exactly.
+    out = rank(
+        docs,
+        criteria="most informative",
+        input_keys=["text"],
+        k=20,
+        initial_ordering_method="likert",
+        id_col="doc_id",
+        rerank_call_budget=1,
+        num_top_items_per_window=3,
+    )
+    return out.select_columns(["doc_id", "_rank"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "map_filter_revenue": _q_map_filter_revenue,
@@ -863,6 +930,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_map_gleaning_documents": _q_llm_map_gleaning,
         "llm_filter_documents": _q_llm_filter,
         "llm_reduce_lang_documents": _q_llm_reduce,
+        "rank_likert_documents": _q_rank_likert,
+        "llm_resolve_documents": _q_llm_resolve,
     }
 
 
@@ -1666,6 +1735,91 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5('Keep this doc?' || chr(10) || text), 1, 8))::UBIGINT
                   % 2 = 1
+        """,
+        # LLM resolve: pairwise is_match = md5(rendered compare prompt)
+        # seed0 % 2 within each mod-64 block; components = min-label
+        # recursive closure over matched edges (min-root union-find
+        # semantics); multi-row clusters take canonical_text =
+        # 'gen_%05d' from md5 of the resolution prompt rendered with the
+        # cluster's sorted doc_ids.
+        "llm_resolve_documents": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, text, doc_id & 63 AS blk FROM documents),
+            edges AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+              WHERE ('0x' || substr(md5('Same?' || chr(10) || 'A: ' || a.text
+                                        || chr(10) || 'B: ' || b.text), 1, 8))::UBIGINT
+                    % 2 = 1),
+            sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+            cc AS (
+              SELECT doc_id, doc_id AS lbl FROM d
+              UNION
+              SELECT s.v AS doc_id, cc.lbl
+              FROM cc JOIN sym s ON s.u = cc.doc_id
+              WHERE cc.lbl < s.v),
+            lab AS (SELECT doc_id, min(lbl) AS canon FROM cc GROUP BY doc_id),
+            cl AS (
+              SELECT l.canon, count(*) AS sz,
+                     string_agg(d.doc_id || ',', '' ORDER BY d.doc_id) AS ids
+              FROM lab l JOIN d USING (doc_id) GROUP BY l.canon),
+            res AS (
+              SELECT canon, sz,
+                     'gen_' || lpad(CAST(('0x' || substr(md5('Merge: ' || ids), 1, 8))::UBIGINT
+                                         % 100000 AS VARCHAR), 5, '0') AS ct
+              FROM cl)
+            SELECT d.doc_id, l.canon AS _canonical,
+                   CASE WHEN r.sz > 1 THEN r.ct ELSE '' END AS canonical_text,
+                   '{}' AS _kv_pairs_preresolve_resolve
+            FROM d JOIN lab l USING (doc_id) JOIN res r ON r.canon = l.canon
+        """,
+        # LLM rank, likert + one refinement window: rating = f(md5('Rate
+        # 1-7 for: <criteria>\n' + content)), normalized into 1..7; order
+        # by rating desc / doc_id; the single window call's md5 over the
+        # rendered top-20 listing yields picks [s%7, (s>>8)%7], applied
+        # as two swap-to-front transpositions ((0 p0) then (1 c1)).
+        "rank_likert_documents": r"""
+            WITH rated AS (
+              SELECT doc_id, text,
+                     ('0x' || substr(md5('Rate 1-7 for: most informative' || chr(10)
+                                         || 'text: ' || text), 1, 8))::UBIGINT % 100 AS v
+              FROM documents),
+            norm AS (
+              SELECT doc_id, text,
+                     CASE WHEN v BETWEEN 1 AND 7 THEN v ELSE v % 7 + 1 END AS rating
+              FROM rated),
+            top AS (
+              SELECT doc_id, text, rating,
+                     row_number() OVER (ORDER BY rating DESC, doc_id) - 1 AS op
+              FROM norm QUALIFY op < 20),
+            win AS (
+              SELECT md5('Pick the top 3 documents for: most informative' || chr(10) ||
+                         string_agg('[' || op || '] text: ' || text,
+                                    chr(10) || '---' || chr(10) ORDER BY op)) AS h
+              FROM top),
+            picks AS (
+              SELECT CAST(('0x' || substr(h, 1, 8))::UBIGINT % 7 AS INT) AS p0,
+                     CAST((('0x' || substr(h, 1, 8))::UBIGINT // 256) % 7 AS INT) AS p1raw
+              FROM win),
+            pk AS (
+              SELECT p0,
+                     CASE WHEN p1raw = p0 THEN NULL ELSE p1raw END AS p1,
+                     CASE WHEN p1raw = p0 THEN NULL
+                          WHEN p1raw = 0 THEN p0
+                          ELSE p1raw END AS c1
+              FROM picks)
+            SELECT t.doc_id,
+                   CAST((CASE
+                      WHEN pk.p1 IS NULL THEN pos1
+                      WHEN pos1 = 1 THEN pk.c1
+                      WHEN pos1 = pk.c1 THEN 1
+                      ELSE pos1 END) + 1 AS BIGINT) AS _rank
+            FROM (
+              SELECT doc_id,
+                     CASE WHEN op = 0 THEN pk.p0
+                          WHEN op = pk.p0 THEN 0
+                          ELSE op END AS pos1
+              FROM top, pk) t, pk
         """,
         # llm_reduce over lang: one call per group; the prompt renders the
         # group's doc_ids sorted, so string_agg(... ORDER BY doc_id)
