@@ -801,6 +801,102 @@ def _q_llm_reduce(sf_dir):
     return out.select_columns(["lang", "summary", "confidence", "_counts_prereduce"])
 
 
+def _q_gopher_quality(sf_dir):
+    from docetl_ray.stages.textops import gopher_quality
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return gopher_quality(docs, "text").drop_columns(["text"])
+
+
+def _q_repetition_stats(sf_dir):
+    from docetl_ray.stages.textops import repetition_stats
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+    return repetition_stats(docs, "text").drop_columns(["text"])
+
+
+def _synth_url_parts(batch):
+    """Deterministic messy-URL fixture columns from doc_id (the test
+    tables carry no url column; the SQL oracle replays this exact
+    construction, so both construction AND normalization are checked)."""
+    import functools
+
+    import numpy as np
+
+    def cat(*parts):
+        return functools.reduce(np.char.add, [np.asarray(p) for p in parts])
+
+    d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    dstr = d.astype("U20")
+    scheme = np.where(d % 3 == 1, "https", "http")
+    host = cat("h", (d % 13).astype("U2"), ".example.com")
+    port_keep = np.where(d % 4 == 2, ":8080", "")
+    path = cat("/", (d % 997).astype("U4"), "/", dstr)
+    return d, dstr, scheme, host, port_keep, path
+
+
+def _synth_raw_urls(batch):
+    """Variant-A spelling: uppercased scheme/host, default port when
+    doc_id%4==0, empty path when %7==0, fragment when %5==0, and a
+    non-URL string for %11==0 rows (pass-through coverage)."""
+    import functools
+
+    import numpy as np
+
+    def cat(*parts):
+        return functools.reduce(np.char.add, [np.asarray(p) for p in parts])
+
+    d, dstr, scheme, host, port_keep, path = _synth_url_parts(batch)
+    defport = np.where(scheme == "https", ":443", ":80")
+    port_raw = np.where(d % 4 == 0, defport, port_keep)
+    path_raw = np.where(d % 7 == 0, "", path)
+    frag = np.where(d % 5 == 0, cat("#sec-", dstr), "")
+    url = cat(np.char.upper(scheme), "://", np.char.upper(host), port_raw,
+              path_raw, frag)
+    return np.where(d % 11 == 0, cat("doc ", dstr, " has no url"), url)
+
+
+def _q_url_normalize(sf_dir):
+    import pyarrow as pa
+
+    from docetl_ray.stages.urlops import url_normalize
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def synth(batch: "pa.Table") -> "pa.Table":
+        return batch.append_column("url_raw", pa.array(_synth_raw_urls(batch)))
+
+    ds = docs.map_batches(synth, batch_format="pyarrow")
+    return url_normalize(ds, "url_raw", out_col="url")
+
+
+def _q_host_stats(sf_dir):
+    import functools
+
+    import numpy as np
+    import pyarrow as pa
+
+    from docetl_ray.stages.urlops import host_stats
+
+    docs = _rp(sf_dir, "documents", ["doc_id"])
+
+    def synth_two_spellings(batch: "pa.Table") -> "pa.Table":
+        # two raw spellings of the SAME canonical url per doc — host
+        # stats must collapse them before counting
+        def cat(*parts):
+            return functools.reduce(np.char.add, [np.asarray(p) for p in parts])
+
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        batch = batch.filter(pa.array(ids % 11 != 0))
+        raw_a = _synth_raw_urls(batch)
+        d, _, scheme, host, port_keep, path = _synth_url_parts(batch)
+        raw_b = cat(scheme, "://", host, port_keep, np.where(d % 7 == 0, "", path))
+        return pa.table({"url": pa.array(np.concatenate([raw_a, raw_b]))})
+
+    ds = docs.map_batches(synth_two_spellings, batch_format="pyarrow")
+    return host_stats(ds, "url")
+
+
 def _q_llm_resolve(sf_dir):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -932,6 +1028,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_reduce_lang_documents": _q_llm_reduce,
         "rank_likert_documents": _q_rank_likert,
         "llm_resolve_documents": _q_llm_resolve,
+        "gopher_quality_documents": _q_gopher_quality,
+        "repetition_stats_documents": _q_repetition_stats,
+        "url_normalize_documents": _q_url_normalize,
+        "host_stats_documents": _q_host_stats,
     }
 
 
@@ -1735,6 +1835,125 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE ('0x' || substr(md5('Keep this doc?' || chr(10) || text), 1, 8))::UBIGINT
                   % 2 = 1
+        """,
+        # Gopher quality rules: every metric is an RE2 count / literal
+        # count, divisions double/double in fixed operand order (Arrow
+        # and DuckDB both run RE2, so (?m), \b and the unicode literals
+        # behave identically)
+        "gopher_quality_documents": r"""
+            WITH m AS (
+              SELECT doc_id,
+                     length(text) AS n_chars,
+                     len(regexp_extract_all(text, '\s')) AS n_ws,
+                     len(regexp_extract_all(text, '\S+')) AS n_words,
+                     len(regexp_extract_all(text, '#'))
+                       + len(regexp_extract_all(text, '\.\.\.')) AS n_sym,
+                     length(text) - length(replace(text, chr(10), '')) + 1 AS n_lines,
+                     len(regexp_extract_all(text, '(?m)^\s*[-*•]')) AS n_bullet,
+                     len(regexp_extract_all(text, '(?m)(\.\.\.|…)$')) AS n_ellip,
+                     len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS n_alpha,
+                     (CASE WHEN regexp_matches(text, '(?i)\bthe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '(?i)\bbe\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '(?i)\bto\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '(?i)\bof\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '(?i)\band\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '(?i)\bthat\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '(?i)\bhave\b') THEN 1 ELSE 0 END
+                      + CASE WHEN regexp_matches(text, '(?i)\bwith\b') THEN 1 ELSE 0 END
+                     ) AS n_stop_hits
+              FROM documents),
+            f AS (
+              SELECT doc_id, n_words, n_stop_hits,
+                     CASE WHEN n_words > 0
+                          THEN (n_chars - n_ws) / greatest(1, n_words)
+                          ELSE 0.0 END AS mean_word_len,
+                     n_sym / greatest(1, n_words) AS symbol_word_ratio,
+                     n_bullet / n_lines AS bullet_line_frac,
+                     n_ellip / n_lines AS ellipsis_line_frac,
+                     n_alpha / greatest(1, n_words) AS alpha_word_frac
+              FROM m)
+            SELECT doc_id, n_words, mean_word_len, symbol_word_ratio,
+                   bullet_line_frac, ellipsis_line_frac, alpha_word_frac,
+                   n_stop_hits,
+                   (n_words BETWEEN 50 AND 100000
+                    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                    AND symbol_word_ratio < 0.1
+                    AND bullet_line_frac < 0.9
+                    AND ellipsis_line_frac < 0.3
+                    AND alpha_word_frac > 0.8
+                    AND n_stop_hits >= 2) AS gopher_pass
+            FROM f
+        """,
+        # line-repetition metrics over non-empty lines; integer sums
+        # divided as doubles, identical to the numpy computation
+        "repetition_stats_documents": """
+            WITH l AS (
+              SELECT doc_id, x AS line, length(x) AS c
+              FROM documents, unnest(string_split(text, chr(10))) AS t(x)
+              WHERE x <> ''),
+            g AS (SELECT doc_id, line, count(*) AS cnt, first(c) AS c
+                  FROM l GROUP BY doc_id, line),
+            per AS (SELECT doc_id,
+                           sum(cnt) AS n_lines,
+                           count(*) AS n_distinct,
+                           sum(cnt * c) AS all_chars,
+                           sum(CASE WHEN cnt > 1 THEN cnt * c ELSE 0 END) AS dup_chars
+                    FROM g GROUP BY doc_id)
+            SELECT d.doc_id,
+                   coalesce((per.n_lines - per.n_distinct) / per.n_lines, 0.0)
+                       AS dup_line_frac,
+                   coalesce(per.dup_chars / per.all_chars, 0.0) AS dup_line_char_frac
+            FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # URL canonicalization: the oracle replays the deterministic
+        # messy-URL construction (_synth_raw_urls) AND the RFC 3986
+        # syntax-based normalization (lowercase scheme/host, strip
+        # default port, drop fragment, empty path -> '/'); non-URL rows
+        # (doc_id%11==0) pass through unchanged
+        "url_normalize_documents": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END AS scheme,
+                     'h' || (doc_id % 13) || '.example.com' AS host,
+                     CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END AS port_keep,
+                     '/' || (doc_id % 997) || '/' || doc_id AS path
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 0 THEN 'doc ' || doc_id || ' has no url'
+                        ELSE upper(scheme) || '://' || upper(host)
+                             || CASE WHEN doc_id % 4 = 0
+                                     THEN CASE WHEN scheme = 'https'
+                                               THEN ':443' ELSE ':80' END
+                                     ELSE port_keep END
+                             || CASE WHEN doc_id % 7 = 0 THEN '' ELSE path END
+                             || CASE WHEN doc_id % 5 = 0 THEN '#sec-' || doc_id
+                                     ELSE '' END
+                   END AS url_raw,
+                   CASE WHEN doc_id % 11 = 0 THEN 'doc ' || doc_id || ' has no url'
+                        ELSE scheme || '://' || host || port_keep
+                             || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE path END
+                   END AS url
+            FROM s
+        """,
+        # per-host page stats over two spellings of each canonical url;
+        # docs with doc_id%7==0 share one canonical url per
+        # (host, scheme, port) so n_urls genuinely deduplicates
+        "host_stats_documents": """
+            WITH s AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END AS scheme,
+                     'h' || (doc_id % 13) || '.example.com' AS host,
+                     CASE WHEN doc_id % 4 = 2 THEN ':8080' ELSE '' END AS port_keep,
+                     '/' || (doc_id % 997) || '/' || doc_id AS path
+              FROM documents
+              WHERE doc_id % 11 <> 0),
+            c AS (
+              SELECT host,
+                     scheme || '://' || host || port_keep
+                     || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE path END AS url
+              FROM s)
+            SELECT host, 2 * count(*) AS n_pages, count(DISTINCT url) AS n_urls
+            FROM c GROUP BY host
         """,
         # LLM resolve: pairwise is_match = md5(rendered compare prompt)
         # seed0 % 2 within each mod-64 block; components = min-label

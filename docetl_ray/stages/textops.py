@@ -230,3 +230,144 @@ def fingerprint(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+#: the 8 Gopher stopwords (Rae et al. 2021, §A1.1 quality heuristics)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(ds, text_col: str):
+    """Gopher-style document quality rules (public heuristics from the
+    Gopher paper, §A1.1 — the standard pre-training corpus filter set):
+    word-count band, mean-word-length band, symbol-to-word ratio,
+    bullet-/ellipsis-line fractions, alphabetic-word fraction, and a
+    >=2-distinct-stopwords requirement.  Emits every metric plus the
+    combined ``gopher_pass`` flag so callers can re-threshold without
+    recomputing.
+
+    Fully vectorized: every metric is an RE2 match count
+    (``pc.count_substring_regex``) or literal count — no per-row Python.
+    All divisions are double / double in fixed operand order, so a SQL
+    engine replays them bit-for-bit.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_col], "")
+        n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_ws = pc.count_substring_regex(col, r"\s").to_numpy(zero_copy_only=False)
+        n_words = (
+            pc.count_substring_regex(col, r"\S+")
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        mwl = np.where(n_words > 0, (n_chars - n_ws) / np.maximum(1, n_words), 0.0)
+        n_sym = (
+            pc.count_substring(col, "#").to_numpy(zero_copy_only=False)
+            + pc.count_substring(col, "...").to_numpy(zero_copy_only=False)
+        )
+        symr = n_sym / np.maximum(1, n_words)
+        n_lines = (
+            pc.count_substring(col, "\n").to_numpy(zero_copy_only=False).astype(np.int64)
+            + 1
+        )
+        n_bullet = pc.count_substring_regex(col, r"(?m)^\s*[-*•]").to_numpy(
+            zero_copy_only=False
+        )
+        n_ellip = pc.count_substring_regex(col, r"(?m)(\.\.\.|…)$").to_numpy(
+            zero_copy_only=False
+        )
+        bulletf = n_bullet / n_lines
+        ellipf = n_ellip / n_lines
+        n_alpha = pc.count_substring_regex(col, r"\S*[A-Za-z]\S*").to_numpy(
+            zero_copy_only=False
+        )
+        alphaf = n_alpha / np.maximum(1, n_words)
+        n_stop = np.zeros(batch.num_rows, np.int64)
+        for w in _GOPHER_STOPS:
+            hit = pc.match_substring_regex(col, rf"(?i)\b{w}\b").to_numpy(
+                zero_copy_only=False
+            )
+            n_stop += hit.astype(np.int64)
+        passed = (
+            (n_words >= 50)
+            & (n_words <= 100_000)
+            & (mwl >= 3.0)
+            & (mwl <= 10.0)
+            & (symr < 0.1)
+            & (bulletf < 0.9)
+            & (ellipf < 0.3)
+            & (alphaf > 0.8)
+            & (n_stop >= 2)
+        )
+        out = batch
+        for name, arr, typ in [
+            ("n_words", n_words, pa.int64()),
+            ("mean_word_len", mwl, pa.float64()),
+            ("symbol_word_ratio", symr, pa.float64()),
+            ("bullet_line_frac", bulletf, pa.float64()),
+            ("ellipsis_line_frac", ellipf, pa.float64()),
+            ("alpha_word_frac", alphaf, pa.float64()),
+            ("n_stop_hits", n_stop, pa.int64()),
+            ("gopher_pass", passed, pa.bool_()),
+        ]:
+            out = out.append_column(name, pa.array(arr, typ))
+        return out
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def repetition_stats(ds, text_col: str):
+    """Line-level repetition metrics (the Gopher/CCNet repetition family):
+    over each document's NON-EMPTY lines,
+
+    - ``dup_line_frac``      = (n_lines - n_distinct_lines) / n_lines
+    - ``dup_line_char_frac`` = chars in lines occurring >1 time (all
+      occurrences) / total line chars
+
+    Both 0.0 for documents with no non-empty lines.  Line splitting,
+    length and grouping run in Arrow/pandas C kernels (split_pattern ->
+    list_flatten + parent indices -> hash-table groupby); no per-row
+    Python loop.
+    """
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_col], "")
+        n = batch.num_rows
+        lines = pc.split_pattern(col, "\n").combine_chunks()
+        flat = pc.list_flatten(lines)
+        parents = pc.list_parent_indices(lines).to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        dup_frac = np.zeros(n, np.float64)
+        dup_char_frac = np.zeros(n, np.float64)
+        if keep.any():
+            df = pd.DataFrame(
+                {
+                    "p": parents[keep],
+                    "l": flat.to_numpy(zero_copy_only=False)[keep],
+                }
+            )
+            df["c"] = df["l"].str.len().astype(np.int64)
+            g = df.groupby(["p", "l"], sort=False).agg(
+                cnt=("c", "size"), c=("c", "first")
+            )
+            per = g.groupby(level=0).agg(
+                n_lines=("cnt", "sum"), n_distinct=("cnt", "size")
+            )
+            g["all_chars"] = g["cnt"] * g["c"]
+            g["dup_chars"] = np.where(g["cnt"] > 1, g["all_chars"], 0)
+            sums = g.groupby(level=0)[["all_chars", "dup_chars"]].sum()
+            idx = per.index.to_numpy()
+            nl = per["n_lines"].to_numpy(np.float64)
+            nd = per["n_distinct"].to_numpy(np.float64)
+            dup_frac[idx] = (nl - nd) / nl
+            tot = sums["all_chars"].to_numpy(np.float64)
+            dupc = sums["dup_chars"].to_numpy(np.float64)
+            # every non-empty line has >=1 char, so tot >= 1 here
+            dup_char_frac[idx] = dupc / tot
+        out = batch.append_column("dup_line_frac", pa.array(dup_frac, pa.float64()))
+        return out.append_column(
+            "dup_line_char_frac", pa.array(dup_char_frac, pa.float64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -427,3 +427,53 @@ def test_minhash_dedup_auto_switches_on_edge_volume():
     assert not isinstance(labels_b, dict)
     assert sorted(_collect(out_a)["doc_id"].to_pylist()) == \
         sorted(_collect(out_b)["doc_id"].to_pylist()) == [0, 3, 4]
+
+
+def test_gopher_quality_rules():
+    import ray.data as rd
+    from docetl_ray.stages.textops import gopher_quality
+    from docetl_ray.util import collect
+
+    good = ("the quick brown fox jumps over and over with great energy; "
+            "that should have been enough words to clear the fifty word "
+            "minimum for the gopher rules, so we keep padding the text "
+            "with plain english sentences of ordinary shape and length "
+            "until the counter is satisfied for sure today okay.")
+    bullets = "\n".join("- item" for _ in range(10))
+    ds = rd.from_items([
+        {"doc_id": 1, "text": good},
+        {"doc_id": 2, "text": "too short"},
+        {"doc_id": 3, "text": bullets},
+        {"doc_id": 4, "text": ""},
+    ])
+    t = collect(gopher_quality(ds, "text")).sort_by("doc_id")
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    assert rows[1]["gopher_pass"] is True
+    assert rows[1]["n_stop_hits"] >= 2
+    assert rows[2]["gopher_pass"] is False          # word-count band
+    assert rows[3]["bullet_line_frac"] == 1.0
+    assert rows[3]["gopher_pass"] is False          # bullet fraction
+    assert rows[4]["n_words"] == 0 and rows[4]["gopher_pass"] is False
+    assert rows[4]["mean_word_len"] == 0.0
+
+
+def test_repetition_stats_line_dedup():
+    import ray.data as rd
+    from docetl_ray.stages.textops import repetition_stats
+    from docetl_ray.util import collect
+
+    ds = rd.from_items([
+        {"doc_id": 1, "text": "aaa\nbbb\naaa\n\nccc"},   # 4 non-empty, 3 distinct
+        {"doc_id": 2, "text": "x\nx\nx"},                # fully duplicated
+        {"doc_id": 3, "text": "unique\nlines\nonly"},
+        {"doc_id": 4, "text": ""},                       # no non-empty lines
+    ])
+    t = collect(repetition_stats(ds, "text")).sort_by("doc_id")
+    rows = {r["doc_id"]: r for r in t.to_pylist()}
+    assert rows[1]["dup_line_frac"] == (4 - 3) / 4
+    # dup chars: 'aaa' occurs twice -> 6 of 12 total line chars
+    assert rows[1]["dup_line_char_frac"] == 6 / 12
+    assert rows[2]["dup_line_frac"] == (3 - 1) / 3
+    assert rows[2]["dup_line_char_frac"] == 1.0
+    assert rows[3]["dup_line_frac"] == 0.0
+    assert rows[4]["dup_line_frac"] == 0.0 and rows[4]["dup_line_char_frac"] == 0.0

@@ -1,0 +1,65 @@
+"""URL canonicalization + per-host stats (stages/urlops.py).
+
+The CDC lake's primary key is ``url``; these stages are the key-hygiene
+layer that collapses spelling variants BEFORE the keyed LWW apply.
+"""
+
+import pyarrow as pa
+import ray.data as rd
+
+from docetl_ray.stages.urlops import add_host, host_stats, normalize_urls, url_normalize
+from docetl_ray.util import collect
+
+
+def test_normalize_urls_rules():
+    arr = pa.array(
+        [
+            "HTTP://Docs.Example.COM:80/a/b#frag",   # scheme+host case, default port, fragment
+            "https://h1.example.com:443/x",           # https default port
+            "https://h1.example.com:8080/x",          # non-default port survives
+            "http://h2.example.com",                  # empty path -> /
+            "not a url at all",                       # pass-through
+            "ftp://Mixed.Case/z",                     # non-http scheme: ports untouched
+        ]
+    )
+    out = normalize_urls(arr).to_pylist()
+    assert out == [
+        "http://docs.example.com/a/b",
+        "https://h1.example.com/x",
+        "https://h1.example.com:8080/x",
+        "http://h2.example.com/",
+        "not a url at all",
+        "ftp://mixed.case/z",
+    ]
+
+
+def test_url_normalize_and_add_host_stage():
+    ds = rd.from_items(
+        [
+            {"i": 0, "url": "HTTPS://A.Example.COM:443/p#x"},
+            {"i": 1, "url": "plain text"},
+        ]
+    )
+    t = collect(add_host(url_normalize(ds, "url"), "url")).sort_by("i")
+    assert t["url"].to_pylist() == ["https://a.example.com/p", "plain text"]
+    assert t["host"].to_pylist() == ["a.example.com", None]
+
+
+def test_host_stats_counts_pages_and_distinct_urls():
+    # two spellings of one page + a second page on the same host + one
+    # page on another host: normalization must collapse spellings
+    # before counting.
+    ds = rd.from_items(
+        [
+            {"url": "http://H1.example.com/a"},
+            {"url": "HTTP://h1.Example.Com:80/a#sec"},
+            {"url": "http://h1.example.com/b"},
+            {"url": "https://h2.example.com/"},
+        ]
+    )
+    t = collect(host_stats(ds, "url")).sort_by("host")
+    rows = {r["host"]: r for r in t.to_pylist()}
+    assert rows["h1.example.com"]["n_pages"] == 3
+    assert rows["h1.example.com"]["n_urls"] == 2
+    assert rows["h2.example.com"]["n_pages"] == 1
+    assert rows["h2.example.com"]["n_urls"] == 1
