@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "link_resolve_documents",
     "embedding_dedup_embeddings",
     "ann_topk_lsh",
+    "gopher_quality_documents",
+    "host_stats_documents",
 ]
 
 N10M_EVENTS = int(os.environ.get("GRAFT_BENCH_N10M_EVENTS", "10000000"))

@@ -377,27 +377,47 @@ def _exchange_and_apply(partial_ds, nparts: int, apply_obj) -> list[dict]:
     memory ~2x the combined winners)."""
     import ray
 
-    block_refs = list(partial_ds.to_arrow_refs())
-    # bundle blocks so driver-side ref count is ~nparts x bundles, not
-    # nparts x blocks (33k refs at 256 blocks x 128 parts was a fixed
-    # ~seconds of coordination that capped scaling)
     ncpus = int(ray.cluster_resources().get("CPU", 8))
-    nbundles = max(1, min(len(block_refs), ncpus * 2))
-    bundles = [block_refs[i::nbundles] for i in range(nbundles)]
-    bundles = [b for b in bundles if b]
     # tasks are deterministic + idempotent (atomic file writes), so
     # retrying application exceptions is safe; covers transient fs/oom
     # hiccups in addition to Ray's default worker-crash retries
     split = ray.remote(num_returns=nparts, max_retries=3, retry_exceptions=True)(
         _split_block
     )
-    split_rows = [split.remote(nparts, *bundle) for bundle in bundles]
-    if nparts == 1:
-        split_rows = [[r] for r in split_rows]
+    # STREAM the map stage: launch a split task per accumulated chunk of
+    # map output as blocks arrive, so split overlaps map execution
+    # instead of waiting behind a full to_arrow_refs materialization
+    # (measured: map 34s + split 37s sequential at 10M events).  The
+    # chunk target starts small (parallelism for small epochs) and
+    # doubles every 2*ncpus launches so driver-side ref count stays
+    # ~O(nparts * ncpus * log(epoch_bytes)) — 33k flat refs at 256
+    # blocks x 128 parts was a fixed ~seconds of coordination.
+    split_rows: list = []
+    acc: list = []
+    acc_bytes = 0
+    target = 32 << 20
+
+    def flush():
+        nonlocal acc, acc_bytes, target
+        if not acc:
+            return
+        r = split.remote(nparts, *acc)
+        split_rows.append(r if nparts > 1 else [r])
+        acc, acc_bytes = [], 0
+        if len(split_rows) % (ncpus * 2) == 0:
+            target *= 2
+
+    for bundle in partial_ds.iter_internal_ref_bundles():
+        acc.extend(bundle.block_refs)
+        acc_bytes += bundle.size_bytes() or 0
+        if acc_bytes >= target:
+            flush()
+    flush()
     # wait for the split phase, then drop map inputs before reducing
+    # (bounds peak object-store footprint to ~2x the combined winners)
     flat = [r for row in split_rows for r in row]
     ray.wait(flat, num_returns=len(flat), fetch_local=False)
-    del block_refs, partial_ds
+    del partial_ds
 
     reduce = ray.remote(max_retries=3, retry_exceptions=True)(_reduce_partition)
     lineage_refs = [

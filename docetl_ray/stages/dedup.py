@@ -95,6 +95,34 @@ def minhash_signatures_batch(
     return out
 
 
+def _band_buckets_vec(sigs: np.ndarray, ids: "pa.ChunkedArray | pa.Array",
+                      bands: int, rows_per_band: int):
+    """Vectorized LSH band bucket ids: FNV-1a folded over each band's
+    ``rows_per_band`` int64 signature lanes — ``rows_per_band`` numpy
+    passes total, replacing the per-(doc, band) crc32 C-call loop.
+
+    Bucket layout: band index in the top byte (bands <= 128), 56 hash
+    bits below — always non-negative as int64.  Spurious cross-value
+    collisions only ADD candidate pairs that verification removes, so
+    the hash choice is recall-neutral.
+
+    Returns ``(bucket int64 array of n*bands, ids repeated xbands)``.
+    """
+    n = sigs.shape[0]
+    sigs3 = sigs.reshape(n, bands, rows_per_band).astype(np.uint64)
+    h = np.full((n, bands), 0xCBF29CE484222325, np.uint64)
+    for r in range(rows_per_band):
+        h = (h ^ sigs3[:, :, r]) * np.uint64(0x100000001B3)
+    band_idx = np.arange(bands, dtype=np.uint64)[None, :]
+    bucket = (
+        (band_idx << np.uint64(56)) | (h & np.uint64((1 << 56) - 1))
+    ).astype(np.int64)
+    if isinstance(ids, pa.ChunkedArray):
+        ids = ids.combine_chunks()
+    ids_rep = ids.take(pa.array(np.repeat(np.arange(n, dtype=np.int64), bands)))
+    return pa.array(bucket.reshape(-1), pa.int64()), ids_rep
+
+
 _BUCKET_CAP = 512  # full-cross-product ceiling per LSH bucket
 _BUCKET_CHAIN_WINDOW = 4
 
@@ -208,24 +236,19 @@ def minhash_candidates(
     def band_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        ids = batch[id_col].to_pylist()
         n = batch.num_rows
-        # zero-copy list<int64> -> (n, num_perm) view; the crc per
-        # (doc, band) chunk stays a C-call loop over contiguous bytes
+        if n == 0:
+            return pa.table({"bucket": pa.array([], pa.int64()),
+                             id_col: batch[id_col]})
+        # zero-copy list<int64> -> (n, num_perm) view
         sigs = (
             pc.list_flatten(batch["_sig"].combine_chunks())
             .to_numpy(zero_copy_only=False)
             .reshape(n, num_perm)
         )
-        out_bucket, out_id = [], []
-        for i, sig in zip(ids, sigs):
-            for bi in range(bands):
-                chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                out_bucket.append((bi << 32) | zlib.crc32(chunk.tobytes()))
-                out_id.append(i)
-        return pa.table(
-            {"bucket": pa.array(out_bucket, pa.int64()), id_col: pa.array(out_id)}
-        )
+        bucket, ids_rep = _band_buckets_vec(sigs, batch[id_col], bands,
+                                            rows_per_band)
+        return pa.table({"bucket": bucket, id_col: ids_rep})
 
     def add_part(batch: pa.Table) -> pa.Table:
         part = (batch["bucket"].to_numpy(zero_copy_only=False) % 32).astype(np.int32)

@@ -28,7 +28,12 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .dedup import _perm_params, jaccard_ngram, minhash_signatures_batch
+from .dedup import (
+    _band_buckets_vec,
+    _perm_params,
+    jaccard_ngram,
+    minhash_signatures_batch,
+)
 
 
 def fuzzy_join(
@@ -62,22 +67,24 @@ def fuzzy_join(
 
     def bander(text_col, id_col, side):
         def fn(batch: pa.Table) -> pa.Table:
-            ids = batch[id_col].to_pylist()
+            if batch.num_rows == 0:
+                return pa.table(
+                    {"bucket": pa.array([], pa.int64()), "rid": batch[id_col],
+                     "side": pa.array([], pa.string())}
+                )
             sigs = minhash_signatures_batch(
                 batch[text_col].to_pylist(), a, b, shingle_k
             ).astype(np.int64)
-            out_bucket, out_id = [], []
-            for i, sig in zip(ids, sigs):
-                for bi in range(bands):
-                    chunk = sig[bi * rows_per_band : (bi + 1) * rows_per_band]
-                    out_bucket.append((bi << 32) | zlib.crc32(chunk.tobytes()))
-                    out_id.append(i)
-            n = len(out_id)
+            # vectorized FNV band hash (see dedup._band_buckets_vec) —
+            # replaces the per-(doc, band) crc32 Python loop
+            bucket, ids_rep = _band_buckets_vec(
+                sigs, batch[id_col], bands, rows_per_band
+            )
             return pa.table(
                 {
-                    "bucket": pa.array(out_bucket, pa.int64()),
-                    "rid": pa.array(out_id),
-                    "side": pa.array([side] * n, pa.string()),
+                    "bucket": bucket,
+                    "rid": ids_rep,
+                    "side": pa.array([side] * len(bucket), pa.string()),
                 }
             )
 

@@ -266,10 +266,48 @@ def hash_join(
     lb = left.map_batches(bucketize(on, "l"), batch_format="pyarrow")
     rb = right.map_batches(bucketize(right_on, "r"), batch_format="pyarrow")
 
+    arrow_jt = {
+        "inner": "inner",
+        "left": "left outer",
+        "semi": "left semi",
+        "anti": "left anti",
+    }[how]
+    # Arrow's join coalesces ALL keys or none: equal-named keys must
+    # coalesce (else duplicate output names), differently-named right
+    # keys must survive (out_schema carries them).  Rename equal-named
+    # right keys to temps, join with coalesce_keys=False, drop temps.
+    rk_tmp = {
+        r_name: f"__rk{i}"
+        for i, (l_name, r_name) in enumerate(zip(on, right_on_u))
+        if l_name == r_name
+    }
+    right_keys_join = [rk_tmp.get(c, c) for c in right_on_u]
+    # acero rejects nested (list/struct) and null-typed payload columns —
+    # those buckets take the pandas-merge path instead
+    arrow_joinable = not any(
+        pa.types.is_nested(f.type) or pa.types.is_null(f.type)
+        for f in unified_schema
+    )
+
     def join_bucket(group: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         lmask = pc.equal(group["__side"], "l")
+        if arrow_joinable:
+            # Arrow-native hash join: no pandas round-trip, null padding
+            # stays typed (int64 keys never coerce to float64), and SQL
+            # null-key semantics (null = null is not true) come for
+            # free.  use_threads=False: each bucket runs inside a 1-CPU
+            # Ray task; Arrow's pool would oversubscribe the node.
+            l = group.filter(lmask).select(left_cols).combine_chunks()
+            r = group.filter(pc.invert(lmask)).select(right_cols).combine_chunks()
+            if rk_tmp:
+                r = r.rename_columns([rk_tmp.get(c, c) for c in r.column_names])
+            out = l.join(
+                r, keys=on, right_keys=right_keys_join, join_type=arrow_jt,
+                coalesce_keys=how in ("semi", "anti"), use_threads=False,
+            )
+            return out.select(out_schema.names).cast(out_schema)
         # split BEFORE pandas conversion so null padding never coerces
         # a side's int64 keys to float64
         l = group.filter(lmask).select(left_cols).to_pandas()
