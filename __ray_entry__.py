@@ -897,6 +897,36 @@ def _q_host_stats(sf_dir):
     return host_stats(ds, "url")
 
 
+def _q_paragraph_dedup(sf_dir):
+    import functools
+
+    import numpy as np
+    import pyarrow as pa
+
+    from docetl_ray.stages.textops import paragraph_dedup
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def synth(batch: "pa.Table") -> "pa.Table":
+        # deterministic multi-paragraph construction with shared
+        # boilerplate (fixture docs are single-line): a footer every doc
+        # shares, a second one on even doc_ids, a unique one on %3==0
+        def cat(*parts):
+            return functools.reduce(np.char.add, [np.asarray(p) for p in parts])
+
+        d = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        base = np.asarray(batch["text"].to_pylist(), dtype=object)
+        t2 = base + "\nSubscribe to our newsletter"
+        t2 = t2 + np.where(d % 2 == 0, "\nCopyright 2024 Example Corp", "")
+        t2 = t2 + np.where(
+            d % 3 == 0, cat("\nfooter-", d.astype("U20")).astype(object), ""
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(list(t2))})
+
+    ds = docs.map_batches(synth, batch_format="pyarrow")
+    return paragraph_dedup(ds, "text", min_count=2)
+
+
 def _q_llm_resolve(sf_dir):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -1032,6 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats_documents": _q_repetition_stats,
         "url_normalize_documents": _q_url_normalize,
         "host_stats_documents": _q_host_stats,
+        "paragraph_dedup_documents": _q_paragraph_dedup,
     }
 
 
@@ -1954,6 +1985,37 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT host, 2 * count(*) AS n_pages, count(DISTINCT url) AS n_urls
             FROM c GROUP BY host
+        """,
+        # CCNet-style paragraph dedup: drop paragraphs appearing in >=2
+        # distinct docs; empty paragraphs are never counted or dropped;
+        # the oracle replays the boilerplate construction AND the dedup
+        "paragraph_dedup_documents": """
+            WITH d2 AS (
+              SELECT doc_id,
+                     text || chr(10) || 'Subscribe to our newsletter'
+                       || CASE WHEN doc_id % 2 = 0
+                               THEN chr(10) || 'Copyright 2024 Example Corp'
+                               ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0
+                               THEN chr(10) || 'footer-' || doc_id
+                               ELSE '' END AS text
+              FROM documents),
+            p AS (
+              SELECT doc_id,
+                     string_split(text, chr(10))[i] AS para, i AS idx
+              FROM d2,
+                   unnest(range(1, len(string_split(text, chr(10))) + 1)) AS t(i)),
+            hot AS (
+              SELECT para FROM (
+                SELECT para, count(DISTINCT doc_id) AS c
+                FROM p WHERE para <> '' GROUP BY para)
+              WHERE c >= 2),
+            kept AS (
+              SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text
+              FROM p WHERE para NOT IN (SELECT para FROM hot)
+              GROUP BY doc_id)
+            SELECT d2.doc_id, coalesce(k.text, '') AS text
+            FROM d2 LEFT JOIN kept k USING (doc_id)
         """,
         # LLM resolve: pairwise is_match = md5(rendered compare prompt)
         # seed0 % 2 within each mod-64 block; components = min-label

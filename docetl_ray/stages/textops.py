@@ -371,3 +371,123 @@ def repetition_stats(ds, text_col: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+# --- paragraph-level dedup (CCNet-style boilerplate removal) ----------
+
+_PARA_HOT_CACHE: dict = {}
+
+
+def _hot_value_set(ref):
+    """Per-worker cache: the broadcast hot-paragraph set, materialized
+    once per process as an Arrow array usable with ``pc.is_in``."""
+    import ray
+
+    key = ref.hex()
+    if key not in _PARA_HOT_CACHE:
+        _PARA_HOT_CACHE[key] = ray.get(ref)
+    return _PARA_HOT_CACHE[key]
+
+
+def paragraph_counts(ds, text_col: str, *, sep: str = "\n"):
+    """Corpus-wide paragraph document-frequency: one row per distinct
+    non-empty paragraph with ``n_docs`` = number of documents containing
+    it.
+
+    Scale shape: each batch pre-combines to distinct (doc, paragraph)
+    and emits one partial count per distinct paragraph per batch, so
+    the shuffle moves one row per distinct paragraph per block — hot
+    boilerplate collapses BEFORE the exchange.  (A document is one row,
+    so its paragraphs never straddle batches and the per-batch distinct
+    is exact.)
+    """
+    from .reduces import grouped_aggregate
+
+    def para_partial(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_col], "")
+        lists = pc.split_pattern(col, sep).combine_chunks()
+        t = pa.table(
+            {"_p": pc.list_parent_indices(lists), "para": pc.list_flatten(lists)}
+        )
+        t = t.filter(pc.not_equal(t["para"], ""))
+        distinct = t.group_by(["_p", "para"]).aggregate([])
+        g = distinct.group_by(["para"]).aggregate([("_p", "count")])
+        return pa.table(
+            {"para": g["para"], "_n": pc.cast(g["_p_count"], pa.int64())}
+        )
+
+    counts = ds.map_batches(para_partial, batch_format="pyarrow")
+    return grouped_aggregate(counts, ["para"], [("_n", "sum", "n_docs")])
+
+
+def paragraph_dedup(
+    ds,
+    text_col: str,
+    *,
+    min_count: int = 2,
+    sep: str = "\n",
+    out_col: str | None = None,
+    how: str = "broadcast",
+):
+    """Drop every paragraph that appears in >= ``min_count`` distinct
+    documents (the CCNet/CC-Net boilerplate-removal semantics: repeated
+    nav bars, footers, cookie banners vanish corpus-wide; unique prose
+    survives).  Empty paragraphs are formatting, not content — they are
+    never counted and never dropped.  ``text_col`` is replaced in place
+    unless ``out_col`` is given.
+
+    ``how="broadcast"``: the hot set (paragraphs with doc-frequency >=
+    min_count — small by construction for real boilerplate) ships once
+    via ``ray.put`` and each batch filters with one vectorized
+    ``pc.is_in``.  At 100 TB the hot set for min_count=2 can still blow
+    up on a near-duplicate-heavy corpus — raise ``min_count``, or run
+    exact/minhash doc dedup first (boilerplate frequency is what this
+    op targets; document-level duplication belongs to those ops).
+
+    Reassembly is fully vectorized: kept paragraphs re-listed via
+    offsets from ``np.bincount`` and joined with ``pc.binary_join`` —
+    no per-document Python.
+    """
+    import ray
+
+    target = out_col or text_col
+    hot = paragraph_counts(ds, text_col, sep=sep)
+    hot = hot.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], min_count)).select(
+            ["para"]
+        ),
+        batch_format="pyarrow",
+    )
+    if how != "broadcast":
+        raise ValueError(f"unknown how={how!r} (broadcast only; see docstring)")
+    from ..util import collect
+
+    hot_arr = collect(hot)["para"].combine_chunks()
+    hot_ref = ray.put(hot_arr)
+
+    def drop_hot(batch: pa.Table) -> pa.Table:
+        hot_vals = _hot_value_set(hot_ref)
+        col = pc.fill_null(batch[text_col], "")
+        lists = pc.split_pattern(col, sep).combine_chunks()
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        keep = (
+            pc.invert(pc.is_in(flat, value_set=hot_vals))
+            .to_numpy(zero_copy_only=False)
+            .astype(bool)
+        )
+        kept_flat = flat.filter(pa.array(keep))
+        kept_parents = parents[keep]
+        n = batch.num_rows
+        counts = np.bincount(kept_parents, minlength=n)
+        offsets = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        la = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), kept_flat)
+        joined = pc.binary_join(la, sep)
+        if target in batch.column_names:
+            return batch.set_column(
+                batch.column_names.index(target), target, joined
+            )
+        return batch.append_column(target, joined)
+
+    return ds.map_batches(drop_hot, batch_format="pyarrow")

@@ -63,3 +63,35 @@ def test_host_stats_counts_pages_and_distinct_urls():
     assert rows["h1.example.com"]["n_urls"] == 2
     assert rows["h2.example.com"]["n_pages"] == 1
     assert rows["h2.example.com"]["n_urls"] == 1
+
+
+def test_paragraph_dedup_drops_corpuswide_boilerplate():
+    import ray.data as rd
+
+    from docetl_ray.stages.textops import paragraph_counts, paragraph_dedup
+    from docetl_ray.util import collect
+
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "unique body one\nSubscribe now\n\nCopyright 2024"},
+            {"doc_id": 2, "text": "another body\nSubscribe now\nCopyright 2024"},
+            {"doc_id": 3, "text": "third body\nown footer"},
+            {"doc_id": 4, "text": ""},
+        ]
+    )
+    counts = {
+        r["para"]: r["n_docs"]
+        for r in collect(paragraph_counts(ds, "text")).to_pylist()
+    }
+    assert counts["Subscribe now"] == 2
+    assert counts["Copyright 2024"] == 2
+    assert counts["unique body one"] == 1
+    assert "" not in counts
+
+    t = collect(paragraph_dedup(ds, "text")).sort_by("doc_id")
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    # hot paragraphs dropped everywhere; empty paragraphs preserved
+    assert texts[1] == "unique body one\n"
+    assert texts[2] == "another body"
+    assert texts[3] == "third body\nown footer"
+    assert texts[4] == ""
