@@ -897,6 +897,25 @@ def _q_host_stats(sf_dir):
     return host_stats(ds, "url")
 
 
+def _q_rank_qurk(sf_dir):
+    import ray.data as rd
+
+    from docetl_ray.stages.rank import rank_comparison_qurk
+    from docetl_ray.util import collect
+
+    # the md5 batch keying is positional, so pin the input order
+    # (Ray's streaming executor doesn't guarantee block order)
+    docs = collect(_rp(sf_dir, "documents", ["doc_id", "text"])).sort_by("doc_id")
+    out = rank_comparison_qurk(
+        rd.from_arrow(docs),
+        criteria="most informative",
+        input_keys=["text"],
+        batch_size=10,
+        num_batches=200,
+    )
+    return out.select(["doc_id", "_rank"])
+
+
 def _q_paragraph_dedup(sf_dir):
     import functools
 
@@ -1063,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_normalize_documents": _q_url_normalize,
         "host_stats_documents": _q_host_stats,
         "paragraph_dedup_documents": _q_paragraph_dedup,
+        "rank_qurk_documents": _q_rank_qurk,
     }
 
 
@@ -1985,6 +2005,49 @@ def oracle_sql() -> dict[str, str]:
               FROM s)
             SELECT host, 2 * count(*) AS n_pages, count(DISTINCT url) AS n_urls
             FROM c GROUP BY host
+        """,
+        # comparison-QuRK rank: md5-keyed deterministic batches, the
+        # fake client's 2-element ranking = (seed%7, (seed>>8)%7) from
+        # the first 4 bytes of md5(rendered prompt); one win per batch
+        # when both entries are valid and distinct; final order = wins
+        # desc, original (doc_id) position asc
+        "rank_qurk_documents": """
+            WITH docs AS (
+              SELECT doc_id, text,
+                     row_number() OVER (ORDER BY doc_id) - 1 AS pos
+              FROM documents),
+            keyed AS (
+              SELECT b.bn, d.pos, d.doc_id, d.text,
+                     md5('qurk|' || b.bn || '|' || d.pos) AS k
+              FROM (SELECT unnest(range(200)) AS bn) b, docs d),
+            topk AS (
+              SELECT * FROM (
+                SELECT bn, pos, doc_id, text,
+                       row_number() OVER (PARTITION BY bn ORDER BY k) - 1 AS j
+                FROM keyed)
+              WHERE j < 10),
+            prompts AS (
+              SELECT bn, count(*) AS s,
+                     'Rank these documents for: most informative' || chr(10) ||
+                     string_agg('[' || j || '] text: ' || text,
+                                chr(10) || '---' || chr(10) ORDER BY j) AS p
+              FROM topk GROUP BY bn),
+            rk AS (
+              SELECT bn, s,
+                     (('0x' || substr(md5(p), 1, 8))::UBIGINT % 7) AS r0,
+                     ((('0x' || substr(md5(p), 1, 8))::UBIGINT // 256) % 7) AS r1
+              FROM prompts),
+            winner AS (
+              SELECT bn, r0 AS jwin FROM rk
+              WHERE r0 < s AND r1 < s AND r0 <> r1),
+            wins AS (
+              SELECT t.doc_id, count(*) AS w
+              FROM winner x JOIN topk t ON t.bn = x.bn AND t.j = x.jwin
+              GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   row_number() OVER (ORDER BY coalesce(w.w, 0) DESC, d.pos)
+                       AS _rank
+            FROM docs d LEFT JOIN wins w USING (doc_id)
         """,
         # CCNet-style paragraph dedup: drop paragraphs appearing in >=2
         # distinct docs; empty paragraphs are never counted or dropped;
