@@ -541,6 +541,23 @@ def _q_ann_lsh(sf_dir):
     return out.select_columns(["query_id", "vec_id"])
 
 
+def _q_ann_ivf(sf_dir):
+    # IVF-flat (FAISS-style coarse quantizer -> inverted lists -> exact
+    # within-list search).  Seed centroids = 16 lowest-vec_id corpus
+    # vectors so the oracle recomputes assignment/probes/top-k exactly.
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from docetl_ray.stages.ann import ann_topk_ivf
+
+    emb = _rp(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qtab = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    qtab = qtab.sort_by([("vec_id", "ascending")]).slice(0, 3)
+    queries = np.asarray(qtab["embedding"].to_pylist(), dtype=np.float64)
+    out = ann_topk_ivf(emb, "embedding", "vec_id", queries, k=5, nlist=16, nprobe=4)
+    return out.select_columns(["query_id", "vec_id"])
+
+
 def _q_fuzzy_join(sf_dir):
     import pyarrow.compute as pc
 
@@ -1065,6 +1082,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_documents": _q_fingerprint,
         "resolve_fuzzy_documents": _q_resolve_fuzzy,
         "ann_topk_lsh": _q_ann_lsh,
+        "ann_topk_ivf": _q_ann_ivf,
         "cluster_threshold_embeddings": _q_cluster_threshold,
         "link_resolve_documents": _q_link_resolve,
         "embedding_blocked_join_embeddings": _q_embedding_blocked_join,
@@ -1721,6 +1739,40 @@ def oracle_sql() -> dict[str, str]:
               JOIN cand ON cand.vec_id = e.vec_id)
             SELECT query_id, vec_id FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) <= 5
+        """,
+        # IVF-flat ANN: centroids = 16 lowest-vec_id vectors; every vector
+        # joins the inverted list of its max-cosine centroid (ties ->
+        # lowest centroid index); each query probes its 4 closest lists;
+        # exact top-5 by cosine within the probed lists
+        "ann_topk_ivf": """
+            WITH cent AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+                     CAST(embedding AS DOUBLE[]) AS ce
+              FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= 16),
+            q AS (
+              SELECT row_number() OVER (ORDER BY vec_id) - 1 AS query_id,
+                     CAST(embedding AS DOUBLE[]) AS qe
+              FROM embeddings QUALIFY row_number() OVER (ORDER BY vec_id) <= 3),
+            assign AS (
+              SELECT vec_id, embedding, cid FROM (
+                SELECT e.vec_id, e.embedding, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(c.ce,
+                                    CAST(e.embedding AS DOUBLE[])) DESC, c.cid) AS rn
+                FROM embeddings e CROSS JOIN cent c) WHERE rn = 1),
+            probes AS (
+              SELECT query_id, cid FROM (
+                SELECT q.query_id, c.cid,
+                       row_number() OVER (PARTITION BY q.query_id
+                         ORDER BY list_cosine_similarity(c.ce, q.qe) DESC, c.cid) AS rn
+                FROM q CROSS JOIN cent c) WHERE rn <= 4)
+            SELECT query_id, vec_id FROM (
+              SELECT p.query_id, a.vec_id,
+                     row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY list_cosine_similarity(q.qe,
+                                  CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rn
+              FROM probes p JOIN assign a USING (cid) JOIN q USING (query_id))
+            WHERE rn <= 5
         """,
         # embedding-blocked equijoin candidates: recompute the 8-plane
         # codes; pair surfaces iff hamming(code_l, code_r) <= 1 (the

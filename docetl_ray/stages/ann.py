@@ -6,9 +6,15 @@
   computes a cosine-score matmul and emits only its local top-k partials,
   so the final per-query merge sees ``k × num_batches`` rows instead of
   the corpus.
-- ``ann_topk_lsh`` — the scale path: random-hyperplane bucket codes
+- ``ann_topk_lsh`` — a scale path: random-hyperplane bucket codes
   restrict scoring to vectors sharing a bucket with the query (probing
   multi-bit-flip neighbors for recall).
+- ``ann_topk_ivf`` — the other classic scale path (IVF-flat): a small
+  coarse-quantizer centroid set partitions the corpus into ``nlist``
+  inverted lists; each query probes its ``nprobe`` closest lists and is
+  scored exactly against only those vectors.  At 100 TB the lists are a
+  persisted partitioning key (write the corpus bucketed by ``_ivf_list``
+  once; a query then reads only ``nprobe/nlist`` of the data).
 """
 
 from __future__ import annotations
@@ -173,5 +179,117 @@ def ann_topk_lsh(
         )
 
     score.__name__ = "ann_lsh_score"
+    partials = ds.map_batches(score, batch_format="pyarrow")
+    return _merge_topk_partials(partials, id_col, k)
+
+
+def ivf_seed_centroids(ds, emb_col: str, id_col: str, nlist: int) -> np.ndarray:
+    """Deterministic coarse-quantizer seeds: the ``nlist`` corpus vectors
+    with the smallest ids.  One streaming pass — each batch emits only its
+    local ``nlist`` smallest-id rows, the driver merges ``nlist x
+    num_batches`` partials (tiny).  SQL-replicable (``ORDER BY id LIMIT
+    nlist``), which is what makes the IVF query exactly oracle-checkable;
+    production corpora would swap in ``ivf_train_kmeans`` centroids."""
+
+    def local_head(batch: pa.Table) -> pa.Table:
+        idx = np.argsort(np.asarray(batch[id_col].to_pylist()), kind="stable")[:nlist]
+        return batch.select([id_col, emb_col]).take(pa.array(idx, pa.int64()))
+
+    local_head.__name__ = "ivf_seed_partial"
+    from .util_ray import collect_small
+
+    t = collect_small(ds.map_batches(local_head, batch_format="pyarrow"))
+    t = t.sort_by([(id_col, "ascending")]).slice(0, nlist)
+    return np.asarray(t[emb_col].to_pylist(), dtype=np.float64)
+
+
+def ivf_train_kmeans(
+    sample: np.ndarray, nlist: int, *, iters: int = 10
+) -> np.ndarray:
+    """Deterministic Lloyd's k-means on a driver-held sample (spherical:
+    cosine assignment, mean + renormalize update).  Init = first ``nlist``
+    sample rows.  The sample is bounded by the caller (e.g. ``ds.limit``
+    or a hash-sampled slice); training never sees the full corpus."""
+    m = _normalize(np.asarray(sample, dtype=np.float64))
+    cents = m[:nlist].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ _normalize(cents).T, axis=1)
+        for c in range(nlist):
+            members = m[assign == c]
+            if len(members):
+                cents[c] = members.mean(axis=0)
+    return _normalize(cents)
+
+
+def ann_topk_ivf(
+    ds,
+    emb_col: str,
+    id_col: str,
+    queries: np.ndarray,
+    k: int = 10,
+    *,
+    nlist: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray | None = None,
+):
+    """IVF-flat ANN: assign every corpus vector to its max-cosine centroid
+    (ties -> lowest centroid index); each query probes its ``nprobe``
+    closest centroids (ties -> lowest index) and is scored exactly against
+    only vectors in those lists.  Output schema matches bruteforce:
+    ``(query_id, id, score)``, k rows per query, ties by id ascending.
+
+    ``centroids=None`` uses :func:`ivf_seed_centroids` (lowest-id corpus
+    vectors) so a DuckDB oracle can recompute assignment, probe set, and
+    the exact within-list top-k.  Recall vs brute force is probabilistic
+    in ``nprobe/nlist`` exactly as in FAISS IVF-flat."""
+    q = np.asarray(queries, dtype=np.float64)
+    if centroids is None:
+        centroids = ivf_seed_centroids(ds, emb_col, id_col, nlist)
+    cm = _normalize(np.asarray(centroids, dtype=np.float64))
+    nlist = cm.shape[0]
+    nprobe = min(nprobe, nlist)
+    qn = _normalize(q)
+
+    # per-query probed lists as a (nq, nlist) bool matrix
+    qsim = qn @ cm.T
+    cids = np.arange(nlist)
+    probe_mask = np.zeros((len(qn), nlist), dtype=bool)
+    for qi in range(len(qn)):
+        order = np.lexsort((cids, -qsim[qi]))[:nprobe]
+        probe_mask[qi, order] = True
+
+    from .util_ray import closure_broadcast
+
+    get_state = closure_broadcast((qn, cm, probe_mask))
+
+    # stateless tasks (see ann_topk_bruteforce)
+    def score(batch: pa.Table) -> pa.Table:
+        qm, cents, pmask = get_state()
+        ids = np.asarray(batch[id_col].to_pylist())
+        m = _normalize(np.asarray(batch[emb_col].to_pylist(), dtype=np.float64))
+        # argmax picks the FIRST maximal index — the lowest-cid tie rule
+        assign = np.argmax(m @ cents.T, axis=1)
+        sim = qm @ m.T  # (nq, nb)
+        sim = np.where(pmask[:, assign], sim, -np.inf)
+        nq, nb = sim.shape
+        kk = min(k, nb)
+        part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+        out_q, out_id, out_s = [], [], []
+        for qi in range(nq):
+            cols = part[qi][np.isfinite(sim[qi, part[qi]])]
+            order = np.lexsort((ids[cols], -sim[qi, cols]))
+            for c in cols[order]:
+                out_q.append(qi)
+                out_id.append(ids[c])
+                out_s.append(float(sim[qi, c]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                id_col: pa.array(out_id, batch[id_col].type),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    score.__name__ = "ann_ivf_score"
     partials = ds.map_batches(score, batch_format="pyarrow")
     return _merge_topk_partials(partials, id_col, k)

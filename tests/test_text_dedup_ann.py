@@ -206,6 +206,58 @@ def test_ann_lsh_finds_self():
         assert rows["vec_id"].to_pylist()[0] == raw["vec_id"].to_pylist()[qi]
 
 
+def test_ann_ivf_full_probe_equals_bruteforce():
+    # nprobe == nlist probes every inverted list -> IVF degenerates to
+    # exact search and must reproduce brute force bit-for-bit
+    from docetl_ray.stages.ann import ann_topk_bruteforce, ann_topk_ivf
+    import pyarrow.parquet as pq
+
+    emb = _read("embeddings", columns=["vec_id", "embedding"])
+    raw = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = np.asarray(raw["embedding"].to_pylist()[:3], dtype=np.float64)
+    bf = _collect(ann_topk_bruteforce(emb, "embedding", "vec_id", queries, k=5))
+    ivf = _collect(
+        ann_topk_ivf(emb, "embedding", "vec_id", queries, k=5, nlist=8, nprobe=8)
+    )
+    key = [("query_id", "ascending"), ("score", "descending"), ("vec_id", "ascending")]
+    assert bf.sort_by(key)["vec_id"].to_pylist() == ivf.sort_by(key)["vec_id"].to_pylist()
+
+
+def test_ann_ivf_finds_self():
+    # a corpus query's own list is its top-1 probe -> self is always found
+    from docetl_ray.stages.ann import ann_topk_ivf
+    import pyarrow.parquet as pq
+
+    emb = _read("embeddings", columns=["vec_id", "embedding"])
+    raw = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    queries = np.asarray(raw["embedding"].to_pylist()[:3], dtype=np.float64)
+    out = _collect(ann_topk_ivf(emb, "embedding", "vec_id", queries, k=3, nlist=8, nprobe=2))
+    for qi in range(3):
+        rows = out.filter(pa.compute.equal(out["query_id"], qi)).sort_by(
+            [("score", "descending")]
+        )
+        assert rows["score"].to_pylist()[0] == pytest.approx(1.0)
+        assert rows["vec_id"].to_pylist()[0] == raw["vec_id"].to_pylist()[qi]
+
+
+def test_ivf_kmeans_deterministic():
+    from docetl_ray.stages.ann import ann_topk_ivf, ivf_train_kmeans
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    m = np.asarray(raw["embedding"].to_pylist(), dtype=np.float64)
+    c1 = ivf_train_kmeans(m[:64], 4, iters=5)
+    c2 = ivf_train_kmeans(m[:64], 4, iters=5)
+    assert np.array_equal(c1, c2)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+    # trained centroids plug into the same search path
+    emb = _read("embeddings", columns=["vec_id", "embedding"])
+    out = _collect(
+        ann_topk_ivf(emb, "embedding", "vec_id", m[:2], k=3, nprobe=2, centroids=c1)
+    )
+    assert out.num_rows == 6
+
+
 def test_tumbling_window_vs_duckdb():
     import duckdb
     from docetl_ray.stages.window import tumbling_window_aggregate
