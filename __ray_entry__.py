@@ -255,6 +255,48 @@ def _q_bpe_token_count(sf_dir):
     return bpe_token_count(docs, "text").select_columns(["doc_id", "n_bpe_tokens"])
 
 
+def _q_incremental_dedup(sf_dir):
+    # Incremental corpus dedup: epoch 1 is filtered against epoch 0's
+    # PERSISTED fingerprint index (cdc.dedup_index), never rescanning
+    # epoch 0's documents.  Deterministic dup synthesis: every doc_id %
+    # 5 == 0 doc carries one of two boilerplate strings (cross-epoch
+    # dups), and epoch-1 docs with doc_id % 7 == 3 carry one of two
+    # "late" strings (within-epoch dups -> min doc_id wins).
+    import pyarrow as pa
+
+    from docetl_ray.cdc import DedupIndex, incremental_exact_dedup
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            if i % 5 == 0:
+                out.append(f"dup-{i % 10}")
+            elif i >= 250 and i % 7 == 3:
+                out.append(f"late-{i % 14}")
+            else:
+                out.append(t)
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(out)})
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    e0 = docs.map_batches(
+        lambda t: t.filter(pa.compute.less(t["doc_id"], 250)), batch_format="pyarrow"
+    )
+    e1 = docs.map_batches(
+        lambda t: t.filter(pa.compute.greater_equal(t["doc_id"], 250)),
+        batch_format="pyarrow",
+    )
+    root = tempfile.mkdtemp(prefix="docetl_ray_dedupidx_")
+    shutil.rmtree(root, ignore_errors=True)
+    idx = DedupIndex(root, kind="exact")
+    incremental_exact_dedup(idx, e0, "text", "doc_id", 0)
+    kept1, _n = incremental_exact_dedup(idx, e1, "text", "doc_id", 1)
+    return kept1
+
+
 def _q_cdc_flagship_delta(sf_dir):
     from docetl_ray.cdc import LakeTable, apply_events, read_state
     from docetl_ray.cdc.apply import compact
@@ -1064,6 +1106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parallel_map_lineitem": _q_parallel_map,
         "top_embedding_vectors": _q_top_embedding,
         "cdc_flagship_delta": _q_cdc_flagship_delta,
+        "incremental_dedup_documents": _q_incremental_dedup,
         "sample_outliers_embedding": _q_sample_outliers_embedding,
         "simhash_near_dedup_documents": _q_simhash_near_dedup,
         "resolve_embedding_blocked": _q_resolve_embedding_blocked,
@@ -1739,6 +1782,26 @@ def oracle_sql() -> dict[str, str]:
               JOIN cand ON cand.vec_id = e.vec_id)
             SELECT query_id, vec_id FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) <= 5
+        """,
+        # incremental dedup vs persisted index: epoch-1 survivors = docs
+        # whose md5-prefix fingerprint is absent from epoch 0's distinct
+        # fingerprints AND first (min doc_id) within epoch 1
+        "incremental_dedup_documents": """
+            WITH synth AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 5 = 0
+                            THEN 'dup-' || CAST(doc_id % 10 AS VARCHAR)
+                          WHEN doc_id >= 250 AND doc_id % 7 = 3
+                            THEN 'late-' || CAST(doc_id % 14 AS VARCHAR)
+                          ELSE text END AS text
+              FROM documents),
+            old AS (SELECT DISTINCT substr(md5(text), 1, 16) AS h
+                    FROM synth WHERE doc_id < 250),
+            new AS (SELECT doc_id, text, substr(md5(text), 1, 16) AS h
+                    FROM synth WHERE doc_id >= 250)
+            SELECT doc_id, text FROM new
+            WHERE h NOT IN (SELECT h FROM old)
+            QUALIFY row_number() OVER (PARTITION BY h ORDER BY doc_id) = 1
         """,
         # IVF-flat ANN: centroids = 16 lowest-vec_id vectors; every vector
         # joins the inverted list of its max-cosine centroid (ties ->
