@@ -874,6 +874,35 @@ def _q_repetition_stats(sf_dir):
     return repetition_stats(docs, "text").drop_columns(["text"])
 
 
+def _q_pii_scrub(sf_dir):
+    # deterministic PII seeding (the fixture carries none): every doc_id
+    # % 4 == 1 doc gains one email, one intl phone, one IPv4 — the SQL
+    # oracle replays the seeding AND the RE2 scrub (pyarrow and DuckDB
+    # share the RE2 engine, so replacements match byte-for-byte)
+    import pyarrow as pa
+
+    from docetl_ray.stages.textops import pii_scrub
+
+    def seed(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out = [
+            (
+                f"{t} contact user{i}@example.com or "
+                f"+1 555-000-{i % 10000:04d} at 192.168.{i % 256}.7"
+            )
+            if i % 4 == 1
+            else t
+            for i, t in zip(ids, texts)
+        ]
+        return pa.table({"doc_id": batch["doc_id"], "text": pa.array(out)})
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        seed, batch_format="pyarrow"
+    )
+    return pii_scrub(docs, "text", out_col="text_clean").drop_columns(["text"])
+
+
 def _synth_url_parts(batch):
     """Deterministic messy-URL fixture columns from doc_id (the test
     tables carry no url column; the SQL oracle replays this exact
@@ -1140,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_resolve_documents": _q_llm_resolve,
         "gopher_quality_documents": _q_gopher_quality,
         "repetition_stats_documents": _q_repetition_stats,
+        "pii_scrub_documents": _q_pii_scrub,
         "url_normalize_documents": _q_url_normalize,
         "host_stats_documents": _q_host_stats,
         "paragraph_dedup_documents": _q_paragraph_dedup,
@@ -2070,6 +2100,37 @@ def oracle_sql() -> dict[str, str]:
                        AS dup_line_frac,
                    coalesce(per.dup_chars / per.all_chars, 0.0) AS dup_line_char_frac
             FROM documents d LEFT JOIN per USING (doc_id)
+        """,
+        # PII scrub: oracle replays the deterministic PII seeding and the
+        # RE2 redaction chain (email -> ipv4 -> phone; counts on the
+        # ORIGINAL text); pyarrow and DuckDB both run RE2
+        "pii_scrub_documents": r"""
+            WITH synth AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 1 THEN
+                       text || ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com or +1 555-000-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                            || ' at 192.168.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7'
+                     ELSE text END AS text
+              FROM documents)
+            SELECT doc_id,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text,
+                         '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                     '\+\d[\d\-\s]{7,}\d', '<PHONE>', 'g') AS text_clean,
+                   len(regexp_extract_all(text,
+                     '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}'))::BIGINT
+                     AS n_email,
+                   len(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ipv4,
+                   len(regexp_extract_all(text,
+                     '\+\d[\d\-\s]{7,}\d'))::BIGINT AS n_phone
+            FROM synth
         """,
         # URL canonicalization: the oracle replays the deterministic
         # messy-URL construction (_synth_raw_urls) AND the RFC 3986

@@ -491,3 +491,53 @@ def paragraph_dedup(
         return batch.append_column(target, joined)
 
     return ds.map_batches(drop_hot, batch_format="pyarrow")
+
+
+#: PII patterns (RE2 — the same engine behind pyarrow.compute AND DuckDB's
+#: regexp_* functions, so the scrub is exactly SQL-replicable).  Applied
+#: in order; replacement placeholders are single tokens.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d[\d\-\s]{7,}\d", "<PHONE>"),
+]
+
+
+def pii_scrub(ds, text_col: str, *, out_col: str | None = None,
+              patterns=None):
+    """Redact PII-shaped spans (emails, IPv4s, international-format phone
+    numbers) — one vectorized ``pc.replace_substring_regex`` pass per
+    pattern, plus a per-category match count (counted on the ORIGINAL
+    text, before any replacement).  Training-data pipelines run this on
+    every document; a per-row Python ``re.sub`` would dominate the stage.
+
+    Oracle SQL: chained ``regexp_replace(text, pat, repl, 'g')`` +
+    ``len(regexp_extract_all(text, pat))`` — RE2 on both sides.
+    Reference analogue: DocETL delegates scalar text work to prompts or
+    ``code_map`` UDFs (``/root/reference/docetl/operations/
+    code_operations.py:46-73``); this is the built-in vectorized recast.
+    """
+    pats = patterns if patterns is not None else PII_PATTERNS
+    target = out_col or text_col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        orig = batch[text_col]
+        cleaned = orig
+        counts = {}
+        for name, pat, repl in pats:
+            counts[f"n_{name}"] = pc.cast(
+                pc.fill_null(pc.count_substring_regex(orig, pat), 0), pa.int64()
+            )
+            cleaned = pc.replace_substring_regex(cleaned, pat, repl)
+        if target in batch.column_names:
+            batch = batch.set_column(
+                batch.column_names.index(target), target, cleaned
+            )
+        else:
+            batch = batch.append_column(target, cleaned)
+        for cname, arr in counts.items():
+            batch = batch.append_column(cname, arr)
+        return batch
+
+    fn.__name__ = "pii_scrub"
+    return ds.map_batches(fn, batch_format="pyarrow")

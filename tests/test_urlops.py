@@ -95,3 +95,36 @@ def test_paragraph_dedup_drops_corpuswide_boilerplate():
     assert texts[2] == "another body"
     assert texts[3] == "third body\nown footer"
     assert texts[4] == ""
+
+
+def test_pii_scrub_rules():
+    from docetl_ray.stages.textops import pii_scrub
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "mail me at jo.doe+spam@sub.example.org today",
+                        "server 10.0.255.3 called +44 20-7946-0958 twice",
+                        "no pii here, just 3.14 and v1.2.3 strings",
+                    ]
+                ),
+            }
+        )
+    )
+    out = collect(pii_scrub(ds, "text", out_col="clean")).sort_by(
+        [("doc_id", "ascending")]
+    )
+    assert out["clean"].to_pylist() == [
+        "mail me at <EMAIL> today",
+        "server <IP> called <PHONE> twice",
+        "no pii here, just 3.14 and v1.2.3 strings",
+    ]
+    assert out["n_email"].to_pylist() == [1, 0, 0]
+    assert out["n_ipv4"].to_pylist() == [0, 1, 0]
+    assert out["n_phone"].to_pylist() == [0, 1, 0]
+    # in-place scrub keeps the original column name
+    out2 = collect(pii_scrub(ds, "text")).sort_by([("doc_id", "ascending")])
+    assert "<EMAIL>" in out2["text"].to_pylist()[0]
