@@ -255,6 +255,58 @@ def _q_bpe_token_count(sf_dir):
     return bpe_token_count(docs, "text").select_columns(["doc_id", "n_bpe_tokens"])
 
 
+def _q_quantiles(sf_dir):
+    # exact distributed order statistics with NO global sort: iterative
+    # histogram refinement (collect_threshold=2000 forces real
+    # refinement passes at every sf)
+    import ray.data as rd
+
+    from docetl_ray.stages.quantiles import quantiles
+
+    li = _rp(sf_dir, "lineitem", ["l_extendedprice"])
+    t = quantiles(li, "l_extendedprice", [0.01, 0.25, 0.5, 0.75, 0.99],
+                  collect_threshold=2000)
+    return rd.from_arrow(t)
+
+
+def _q_asof_join(sf_dir):
+    # temporal enrichment: odd events (queries) matched to the latest
+    # even event (state) of the same user at-or-before their timestamp;
+    # right side pre-deduped per (user_id, ts) so DuckDB's ASOF JOIN
+    # (which picks an unspecified duplicate) is deterministic
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from docetl_ray.stages.asof import asof_join
+
+    ev = _rp(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+    left = ev.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)),
+        batch_format="pyarrow",
+    )
+    right = ev.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "r_event_id": t["event_id"],
+                "r_value": t["value"],
+            }
+        ).filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)),
+        batch_format="pyarrow",
+    )
+    lsch = pa.schema(
+        [("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("user_id", pa.int64()), ("value", pa.float64())]
+    )
+    rsch = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us")),
+         ("r_event_id", pa.int64()), ("r_value", pa.float64())]
+    )
+    return asof_join(left, right, on="ts", by="user_id", how="left",
+                     left_schema=lsch, right_schema=rsch)
+
+
 def _q_incremental_dedup(sf_dir):
     # Incremental corpus dedup: epoch 1 is filtered against epoch 0's
     # PERSISTED fingerprint index (cdc.dedup_index), never rescanning
@@ -1136,6 +1188,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_embedding_vectors": _q_top_embedding,
         "cdc_flagship_delta": _q_cdc_flagship_delta,
         "incremental_dedup_documents": _q_incremental_dedup,
+        "asof_join_events": _q_asof_join,
+        "quantiles_lineitem": _q_quantiles,
         "sample_outliers_embedding": _q_sample_outliers_embedding,
         "simhash_near_dedup_documents": _q_simhash_near_dedup,
         "resolve_embedding_blocked": _q_resolve_embedding_blocked,
@@ -1812,6 +1866,37 @@ def oracle_sql() -> dict[str, str]:
               JOIN cand ON cand.vec_id = e.vec_id)
             SELECT query_id, vec_id FROM scored
             QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) <= 5
+        """,
+        # exact quantiles (no global sort in the engine); DuckDB's
+        # quantile_disc is the oracle — list form + 1-based list index
+        "quantiles_lineitem": """
+            WITH qs(q, i) AS (VALUES (0.01, 1), (0.25, 2), (0.5, 3),
+                                     (0.75, 4), (0.99, 5)),
+            agg AS (SELECT quantile_disc(l_extendedprice,
+                             [0.01, 0.25, 0.5, 0.75, 0.99]) AS v
+                    FROM lineitem)
+            SELECT CAST(qs.q AS DOUBLE) AS q,
+                   CAST(agg.v[qs.i] AS DOUBLE) AS value
+            FROM qs, agg
+        """,
+        # as-of join: DuckDB's native ASOF JOIN is the oracle; the right
+        # side is pre-deduped per (user_id, ts) — ASOF picks an
+        # unspecified row among exact duplicates, the engine picks a
+        # deterministic one, so the dedup makes both well-defined
+        "asof_join_events": """
+            WITH l AS (SELECT event_id, ts, user_id, value
+                       FROM events WHERE event_id % 2 = 1),
+            r0 AS (SELECT user_id, ts, event_id AS r_event_id,
+                          value AS r_value
+                   FROM events WHERE event_id % 2 = 0),
+            r AS (SELECT * FROM r0
+                  QUALIFY row_number() OVER (
+                    PARTITION BY user_id, ts
+                    ORDER BY r_event_id DESC, r_value DESC) = 1)
+            SELECT l.event_id, l.ts, l.user_id, l.value,
+                   r.r_event_id, r.r_value
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         # incremental dedup vs persisted index: epoch-1 survivors = docs
         # whose md5-prefix fingerprint is absent from epoch 0's distinct

@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "ann_topk_lsh",
     "gopher_quality_documents",
     "host_stats_documents",
+    # round-3 late additions
+    "ann_topk_ivf",
+    "pii_scrub_documents",
 ]
 
 N10M_EVENTS = int(os.environ.get("GRAFT_BENCH_N10M_EVENTS", "10000000"))
