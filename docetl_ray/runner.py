@@ -414,6 +414,19 @@ def _apply_op(ds, op: dict):
                                      threshold=op.get("threshold", 0.95))
             return out
         raise ValueError(f"unknown dedup method {method}")
+    if t == "pii_scrub":
+        from .stages.textops import pii_scrub
+
+        return pii_scrub(ds, op.get("text_key", "text"),
+                         out_col=op.get("output_key"))
+    if t == "quantiles":
+        import ray.data as rd
+
+        from .stages.quantiles import quantiles
+
+        return rd.from_arrow(
+            quantiles(ds, op["key"], op.get("qs", [0.25, 0.5, 0.75]))
+        )
     raise ValueError(f"unknown operation type {t!r}")
 
 

@@ -391,3 +391,27 @@ def test_runner_partitioned_output(tmp_path):
     assert any("lang=en" in p for p in subdirs) and any("lang=de" in p for p in subdirs)
     back = pq.read_table(str(out_dir))
     assert back.num_rows == 4
+
+
+def test_runner_pii_scrub_and_quantiles(tmp_path):
+    import pyarrow.parquet as pq
+    from docetl_ray.runner import PipelineRunner
+
+    pq.write_table(
+        pa.table({"text": ["mail a@b.co now", "plain"], "x": [1.0, 9.0]}),
+        tmp_path / "d.parquet",
+    )
+    cfg = {
+        "datasets": {"d": {"type": "file", "path": str(tmp_path / "d.parquet")}},
+        "operations": [{"name": "scrub", "type": "pii_scrub", "text_key": "text"}],
+        "pipeline": {"steps": [{"name": "s", "input": "d", "operations": ["scrub"]}]},
+    }
+    out = _collect(PipelineRunner(cfg).run()).sort_by([("x", "ascending")])
+    assert out["text"].to_pylist() == ["mail <EMAIL> now", "plain"]
+    assert out["n_email"].to_pylist() == [1, 0]
+
+    cfg["operations"] = [{"name": "q", "type": "quantiles", "key": "x",
+                          "qs": [0.5, 1.0]}]
+    cfg["pipeline"]["steps"][0]["operations"] = ["q"]
+    out2 = _collect(PipelineRunner(cfg).run()).sort_by([("q", "ascending")])
+    assert out2["value"].to_pylist() == [1.0, 9.0]
