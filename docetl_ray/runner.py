@@ -246,9 +246,25 @@ def _apply_op(ds, op: dict):
             num_splits_to_group=kw.get("num_splits_to_group", 1),
         )
     if t == "gather":
+        pc_cfg = op.get("peripheral_chunks", {})
+        # reference-style config: per-direction head/middle/tail section
+        # dicts (gather.py:30-42) -> full-parity renderer; plain ints ->
+        # the simplified previous/next-count surface
+        if ("main_chunk_start" in op or "main_chunk_end" in op
+                or any(isinstance(v, dict) for v in pc_cfg.values())):
+            from .stages.unnest_split_gather import gather_reference
+
+            return gather_reference(
+                ds, op["content_key"], op["doc_id_key"], op["order_key"],
+                peripheral_chunks=pc_cfg,
+                doc_header_key=op.get("doc_header_key"),
+                main_chunk_start=op.get(
+                    "main_chunk_start", "--- Begin Main Chunk ---"),
+                main_chunk_end=op.get(
+                    "main_chunk_end", "--- End Main Chunk ---"),
+            )
         from .stages.unnest_split_gather import gather
 
-        pc_cfg = op.get("peripheral_chunks", {})
         return gather(
             ds, op["content_key"], op["doc_id_key"], op["order_key"],
             previous_count=pc_cfg.get("previous", 1),

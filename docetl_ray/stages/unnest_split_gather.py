@@ -123,6 +123,168 @@ def split(
     return ds.map_batches(fn, batch_format="pyarrow")
 
 
+def _peripheral_sections(
+    rows: list[dict], config: dict, content_key: str, order_key: str
+) -> list[str]:
+    """Reference ``process_peripheral_chunks`` (``gather.py:183-258``):
+    walk the peripheral rows, rendering head (first ``count``), tail
+    (last ``count``) and — only if configured — middle sections; every
+    section may read a different ``content_key`` (a summary column gets
+    a ``(Summary)`` suffix); uncovered stretches collapse to one
+    ``[... N characters skipped ...]`` marker."""
+    parts: list[str] = []
+    total = len(rows)
+    head_count = int(config.get("head", {}).get("count", 0))
+    tail_count = int(config.get("tail", {}).get("count", 0))
+    in_skip = False
+    skip_chars = 0
+    for i, row in enumerate(rows):
+        if i < head_count:
+            section = "head"
+        elif i >= total - tail_count:
+            section = "tail"
+        elif "middle" in config:
+            section = "middle"
+        else:
+            skip_chars = (skip_chars if in_skip else 0) + len(str(row[content_key]))
+            in_skip = True
+            continue
+        if in_skip:
+            parts.append(f"[... {skip_chars} characters skipped ...]")
+            in_skip = False
+            skip_chars = 0
+        section_key = config.get(section, {}).get("content_key", content_key)
+        suffix = " (Summary)" if section_key != content_key else ""
+        parts.append(f"[Chunk {row[order_key]}{suffix}]")
+        parts.append(f"{row[section_key]}")
+    if in_skip:
+        parts.append(f"[... {skip_chars} characters skipped ...]")
+    return parts
+
+
+def _header_list(v) -> list:
+    """Normalize a header-column cell to ``list[dict]`` — pandas groups
+    hand list<struct> Arrow cells over as numpy object arrays (ambiguous
+    truthiness) or NaN for nulls."""
+    if v is None or isinstance(v, float):  # None / NaN
+        return []
+    if isinstance(v, list):
+        return v
+    try:
+        return list(v)
+    except TypeError:
+        return []
+
+
+def _hierarchy_headers(
+    current: dict, prefix_rows: list[dict], doc_header_key: str | None
+) -> str:
+    """Reference ``render_hierarchy_headers`` (``gather.py:259-327``):
+    maintain the latest header seen per level across all chunks up to and
+    including the current one (a higher-level header clears lower
+    levels), then render the chain of levels ABOVE the current chunk's
+    highest own header as ``# h1 > ## h2`` under ``_Current Section:_``."""
+    if not doc_header_key:
+        return ""
+    own = _header_list(current.get(doc_header_key))
+    if not own:
+        return ""
+    highest = None
+    for h in own:
+        lvl = (h or {}).get("level")
+        if lvl is not None and (highest is None or lvl < highest):
+            highest = lvl
+    hierarchy: dict[int, str | None] = {}
+    for row in prefix_rows:
+        for h in _header_list(row.get(doc_header_key)):
+            header, level = (h or {}).get("header"), (h or {}).get("level")
+            if header and level:
+                hierarchy[level] = header
+                for lower in range(level + 1, len(hierarchy) + 1):
+                    if lower in hierarchy:
+                        hierarchy[lower] = None
+    rendered = " > ".join(
+        f"{'#' * lvl} {hdr}"
+        for lvl, hdr in sorted(hierarchy.items())
+        if hdr is not None and (highest is None or lvl < highest)
+    )
+    return f"_Current Section:_ {rendered}" if rendered else ""
+
+
+def gather_reference(
+    ds,
+    content_key: str,
+    doc_id_key: str,
+    order_key: str,
+    *,
+    peripheral_chunks: dict | None = None,
+    doc_header_key: str | None = None,
+    main_chunk_start: str = "--- Begin Main Chunk ---",
+    main_chunk_end: str = "--- End Main Chunk ---",
+):
+    """Full reference-parity gather (``gather.py:113-327``): per chunk,
+    render ``--- Previous Context ---`` (peripheral sections of all
+    earlier chunks per ``peripheral_chunks["previous"]``), hierarchy
+    headers, the main chunk between the configurable start/end markers,
+    and ``--- Next Context ---`` likewise.  ``peripheral_chunks`` is the
+    reference's config dict: ``{"previous"|"next": {"head"|"middle"|
+    "tail": {"count": N, "content_key": k}}}`` — head/tail need counts,
+    middle takes everything in between (optionally from a summary
+    column).  No config at all -> the rendered chunk is the bare
+    content (``gather.py:141-143``).
+
+    Distribution: one keyed shuffle on ``doc_id_key``; rendering is
+    per-group string assembly (inherently row-wise, like the reference),
+    bounded by document size, not corpus size."""
+    peripheral_chunks = peripheral_chunks or {}
+
+    def render_group(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(order_key, kind="mergesort").reset_index(drop=True)
+        rows = group.to_dict("records")
+        rendered = []
+        for i, row in enumerate(rows):
+            if not peripheral_chunks:
+                rendered.append(str(row[content_key]))
+                continue
+            parts = ["--- Previous Context ---"]
+            parts.extend(
+                _peripheral_sections(
+                    rows[:i], peripheral_chunks.get("previous", {}),
+                    content_key, order_key,
+                )
+            )
+            parts.append("--- End Previous Context ---\n")
+            if headers := _hierarchy_headers(row, rows[: i + 1], doc_header_key):
+                parts.append(headers)
+            parts.extend(
+                (main_chunk_start, f"{row[content_key]}", main_chunk_end,
+                 "\n--- Next Context ---")
+            )
+            parts.extend(
+                _peripheral_sections(
+                    rows[i + 1:], peripheral_chunks.get("next", {}),
+                    content_key, order_key,
+                )
+            )
+            parts.append("--- End Next Context ---")
+            rendered.append("\n".join(parts))
+        group[f"{content_key}_rendered"] = rendered
+        # pandas hands list<struct> Arrow cells over as numpy object
+        # arrays, which Arrow can't convert back — normalize to lists
+        import numpy as _np
+
+        for col in group.columns:
+            if group[col].dtype == object:
+                group[col] = group[col].map(
+                    lambda v: v.tolist() if isinstance(v, _np.ndarray) else v
+                )
+        return group
+
+    from .grouped import grouped_map
+
+    return grouped_map(ds, doc_id_key, render_group)
+
+
 def gather(
     ds,
     content_key: str,
@@ -135,8 +297,10 @@ def gather(
 ):
     """Reassemble chunk context: group by doc id, order by chunk number,
     render each chunk with surrounding peripheral chunks and skip markers
-    (reference rendering ``gather.py:113-260``; output column
-    ``{content_key}_rendered``).  One keyed shuffle on the doc id."""
+    (simplified count-based rendering; the full reference config surface
+    — head/middle/tail sections, summary content keys, hierarchy headers,
+    custom main-chunk markers, ``gather.py:113-327`` — is
+    ``gather_reference``).  One keyed shuffle on the doc id."""
 
     def render_group(group: pd.DataFrame) -> pd.DataFrame:
         group = group.sort_values(order_key, kind="mergesort").reset_index(drop=True)

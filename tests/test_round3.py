@@ -640,3 +640,127 @@ def test_llm_equijoin_compare_merge_limits(ray_session):
     ))
     # left limit 1: lid=1 keeps only its first match in (lid, rid) order
     assert capped.num_rows == 1 and capped["rid"].to_pylist() == [10]
+
+
+# ---------------------------------------------------------------------------
+# gather reference-parity rendering (gather.py:113-327)
+# ---------------------------------------------------------------------------
+
+def test_gather_reference_sections_and_skips(ray_session):
+    import ray.data as rd
+    from docetl_ray.stages.unnest_split_gather import gather_reference
+    from docetl_ray.stages.util_ray import collect_small
+
+    cont = [f"content-{i}" for i in range(1, 6)]
+    t = pa.table({
+        "doc": ["d"] * 5,
+        "num": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "text": cont,
+        "summ": [f"sum-{i}" for i in range(1, 6)],
+    })
+    out = collect_small(gather_reference(
+        rd.from_arrow(t), "text", "doc", "num",
+        peripheral_chunks={
+            "previous": {"head": {"count": 1}, "tail": {"count": 1}},
+            "next": {"head": {"count": 1}},
+        },
+    )).sort_by([("num", "ascending")])
+    rendered = out["text_rendered"].to_pylist()
+    # main chunk 3: previous = chunks 1,2 (head 1 + tail 1, no skip);
+    # next = chunk 4 shown, chunk 5 skipped
+    expected3 = "\n".join([
+        "--- Previous Context ---",
+        "[Chunk 1]", "content-1",
+        "[Chunk 2]", "content-2",
+        "--- End Previous Context ---\n",
+        "--- Begin Main Chunk ---", "content-3", "--- End Main Chunk ---",
+        "\n--- Next Context ---",
+        "[Chunk 4]", "content-4",
+        f"[... {len('content-5')} characters skipped ...]",
+        "--- End Next Context ---",
+    ])
+    assert rendered[2] == expected3
+    # main chunk 5: previous = 1 (head), skip 2..3, 4 (tail)
+    skipped = len("content-2") + len("content-3")
+    assert f"[... {skipped} characters skipped ...]" in rendered[4]
+    assert "[Chunk 1]" in rendered[4] and "[Chunk 4]" in rendered[4]
+    assert "content-2" not in rendered[4].split("--- Begin Main")[0].replace(
+        f"[... {skipped} characters skipped ...]", "")
+
+
+def test_gather_reference_middle_summary_and_bare(ray_session):
+    import ray.data as rd
+    from docetl_ray.stages.unnest_split_gather import gather_reference
+    from docetl_ray.stages.util_ray import collect_small
+
+    t = pa.table({
+        "doc": ["d"] * 4,
+        "num": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": [f"c{i}" for i in range(1, 5)],
+        "summ": [f"s{i}" for i in range(1, 5)],
+    })
+    out = collect_small(gather_reference(
+        rd.from_arrow(t), "text", "doc", "num",
+        peripheral_chunks={
+            "previous": {"head": {"count": 1},
+                         "middle": {"content_key": "summ"}},
+        },
+    )).sort_by([("num", "ascending")])
+    r4 = out["text_rendered"].to_pylist()[3]
+    # chunks 2,3 fall in the middle section -> summary key + suffix
+    assert "[Chunk 2 (Summary)]" in r4 and "s2" in r4
+    assert "[Chunk 3 (Summary)]" in r4 and "s3" in r4
+    assert "characters skipped" not in r4
+
+    # no peripheral config at all -> bare content (gather.py:141-143)
+    bare = collect_small(gather_reference(
+        rd.from_arrow(t), "text", "doc", "num")).sort_by([("num", "ascending")])
+    assert bare["text_rendered"].to_pylist() == ["c1", "c2", "c3", "c4"]
+
+
+def test_gather_reference_hierarchy_headers(ray_session):
+    import ray.data as rd
+    from docetl_ray.stages.unnest_split_gather import gather_reference
+    from docetl_ray.stages.util_ray import collect_small
+
+    hdr_t = pa.list_(pa.struct([("header", pa.string()), ("level", pa.int64())]))
+    t = pa.table({
+        "doc": ["d"] * 3,
+        "num": pa.array([1, 2, 3], pa.int64()),
+        "text": ["intro", "body", "deep"],
+        "headers": pa.array(
+            [[{"header": "Title", "level": 1}],
+             [{"header": "Section A", "level": 2}],
+             [{"header": "Sub B", "level": 3}]],
+            hdr_t),
+    })
+    out = collect_small(gather_reference(
+        rd.from_arrow(t), "text", "doc", "num",
+        peripheral_chunks={"previous": {"head": {"count": 2}}},
+        doc_header_key="headers",
+    )).sort_by([("num", "ascending")])
+    rendered = out["text_rendered"].to_pylist()
+    # chunk 3 owns a level-3 header -> ancestors (levels 1,2) render
+    assert "_Current Section:_ # Title > ## Section A" in rendered[2]
+    # chunk 1 owns the top-level header -> nothing above it to show
+    assert "_Current Section:_" not in rendered[0]
+
+
+def test_runner_gather_reference_dispatch(ray_session):
+    import ray.data as rd
+    from docetl_ray.runner import _apply_op
+    from docetl_ray.stages.util_ray import collect_small
+
+    t = pa.table({
+        "doc": ["d"] * 3,
+        "num": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a", "b", "c"],
+    })
+    out = collect_small(_apply_op(rd.from_arrow(t), {
+        "type": "gather", "content_key": "text", "doc_id_key": "doc",
+        "order_key": "num",
+        "peripheral_chunks": {"previous": {"head": {"count": 1}}},
+        "main_chunk_start": "<<<", "main_chunk_end": ">>>",
+    })).sort_by([("num", "ascending")])
+    r2 = out["text_rendered"].to_pylist()[1]
+    assert "<<<" in r2 and ">>>" in r2 and "[Chunk 1]" in r2
