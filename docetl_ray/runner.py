@@ -347,6 +347,7 @@ def _apply_op(ds, op: dict):
                 rerank_call_budget=op.get("rerank_call_budget", 10),
                 num_top_items_per_window=op.get("num_top_items_per_window", 3),
                 overlap_fraction=op.get("overlap_fraction", 0.5),
+                return_all=bool(op.get("return_all")),
             )
         from .stages.sample import rank_topk, topk, topk_stratified
 

@@ -128,9 +128,13 @@ def rank(
     concurrency=(1, 8),
     batch_size: int = 256,
     rank_col: str = "_rank",
+    return_all: bool = False,
 ):
     """Full rank operator: distributed initial ordering + budgeted
-    picky-window refinement; returns the top-k rows with ``rank_col``.
+    picky-window refinement; returns the top-k rows with ``rank_col``
+    (``return_all=True`` -> the reference's full-dataset contract: every
+    row ranked, the un-refined tail indexed distributed via a two-pass
+    block-offset scan, never pulled to the driver).
 
     ``initial_ordering_method="likert"`` rates each row 1-7 via the
     client (actor pool); ``"score"`` uses the deterministic ``score_fn``
@@ -202,10 +206,36 @@ def rank(
     desc_flags = [descending] + ([False] if id_col else [])
     n = ds.count() if k is None else None
     k_eff = n if k is None else k
+    sorted_ds = scored.sort(sort_keys, descending=desc_flags)
 
-    # top-k prefix to the driver (small by contract: the budget bounds
-    # how much of the ordering the windows can touch)
-    top = scored.sort(sort_keys, descending=desc_flags).limit(k_eff)
+    if return_all:
+        # reference semantics (rank.py:874-885): EVERY row comes back
+        # with _rank — refinement permutes only the first-k prefix, so
+        # the tail keeps its sorted position.  Assign tail ranks with the
+        # two-pass block-offset scan (zip_with_index): the tail never
+        # visits the driver; only the budget-bounded k-prefix does.
+        from .util_ray import zip_with_index
+
+        indexed = zip_with_index(sorted_ds, rank_col, start=1)
+        top = indexed.limit(k_eff)
+        tail = None
+        if n is None:
+            n = indexed.count()
+        if n > k_eff:
+            import pyarrow.compute as _pc
+
+            def keep_tail(batch: pa.Table) -> pa.Table:
+                return batch.filter(_pc.greater(batch[rank_col], k_eff))
+
+            tail = indexed.map_batches(
+                keep_tail, batch_format="pyarrow"
+            ).drop_columns(["_rating"])
+    else:
+        # top-k prefix to the driver (small by contract: the budget
+        # bounds how much of the ordering the windows can touch)
+        top = sorted_ds.limit(k_eff)
+        tail = None
+
     items = [dict(r) for r in top.to_pandas().to_dict("records")]
     client = (client_factory or FakeDeterministicClient)()
     refined = refine_topk_window(
@@ -223,7 +253,19 @@ def rank(
     for i, doc in enumerate(refined):
         doc[rank_col] = i + 1
         doc.pop("_rating", None)
-    return rd.from_items(refined)
+    head = rd.from_items(refined)
+    if tail is None:
+        return head
+    # pin head's column order AND types to the tail's so the union is
+    # clean (from_items re-infers types from Python values)
+    from .joins import _ds_arrow_schema
+
+    tail_schema = _ds_arrow_schema(tail)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(tail_schema.names).cast(tail_schema)
+
+    return head.map_batches(project, batch_format="pyarrow").union(tail)
 
 
 def topk_llm_compare(

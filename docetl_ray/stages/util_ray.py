@@ -242,6 +242,41 @@ def exchange_map_groups(ds, part_col: str, nparts: int, fn, *, schema=None):
     return rd.from_arrow_refs(out_refs)
 
 
+def _block_nrows(t) -> int:
+    return len(t) if not isinstance(t, pa.Table) else t.num_rows
+
+
+def _block_with_index(t, col: str, offset: int):
+    import pandas as pd
+
+    if isinstance(t, pd.DataFrame):
+        t = pa.Table.from_pandas(t, preserve_index=False)
+    idx = pa.array(np.arange(offset, offset + t.num_rows, dtype=np.int64))
+    return t.append_column(col, idx)
+
+
+def zip_with_index(ds, col: str = "_idx", *, start: int = 0):
+    """Assign each row its global position in dataset order as ``col`` —
+    the two-pass block-offset scan: pass 1 reads per-block row counts in
+    worker tasks (blocks never leave the object store), the driver holds
+    only the O(num_blocks) prefix sums, pass 2 appends the index column
+    per block.  The distributed alternative to pulling a sorted dataset
+    to the driver to enumerate it."""
+    import ray
+    import ray.data as rd
+
+    refs = list(ds.to_arrow_refs())
+    if not refs:
+        return ds
+    nrows = ray.remote(_block_nrows)
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(counts)[:-1])) + start
+    withidx = ray.remote(_block_with_index)
+    return rd.from_arrow_refs(
+        [withidx.remote(r, col, int(o)) for r, o in zip(refs, offsets)]
+    )
+
+
 def collect_small(ds) -> pa.Table:
     """Materialize a small result Dataset into one Arrow table (skips
     Ray's occasional zero-column empty blocks)."""

@@ -764,3 +764,60 @@ def test_runner_gather_reference_dispatch(ray_session):
     })).sort_by([("num", "ascending")])
     r2 = out["text_rendered"].to_pylist()[1]
     assert "<<<" in r2 and ">>>" in r2 and "[Chunk 1]" in r2
+
+
+# ---------------------------------------------------------------------------
+# zip_with_index + full-dataset rank (two-pass block-offset scan)
+# ---------------------------------------------------------------------------
+
+def test_zip_with_index_dataset_order(ray_session):
+    import ray.data as rd
+    from docetl_ray.stages.util_ray import collect_small, zip_with_index
+
+    vals = list(range(1000))
+    ds = rd.from_arrow(pa.table({"v": pa.array(vals, pa.int64())}))
+    # sort descending, then index: _idx must equal the sorted position
+    out = collect_small(
+        zip_with_index(ds.sort("v", descending=True), "_idx", start=1)
+    ).sort_by([("_idx", "ascending")])
+    assert out["_idx"].to_pylist() == list(range(1, 1001))
+    assert out["v"].to_pylist() == sorted(vals, reverse=True)
+
+
+def test_rank_return_all_full_dataset(ray_session):
+    import ray.data as rd
+    from docetl_ray.stages.rank import rank
+    from docetl_ray.stages.util_ray import collect_small
+
+    n = 200
+    t = pa.table({
+        "id": pa.array(list(range(n)), pa.int64()),
+        "text": [f"doc {i % 13}" for i in range(n)],
+    })
+
+    def score(row):
+        return float(row["id"] % 41)
+
+    kw = dict(criteria="score order", input_keys=["text"], direction="desc",
+              k=10, initial_ordering_method="score", score_fn=score,
+              id_col="id", rerank_call_budget=4)
+    full = collect_small(rank(rd.from_arrow(t), return_all=True, **kw))
+    assert full.num_rows == n
+    ranks = sorted(full["_rank"].to_pylist())
+    assert ranks == list(range(1, n + 1))
+    assert "_rating" not in full.column_names
+
+    # prefix agrees with the driver-only path; tail keeps sorted order
+    topk = collect_small(rank(rd.from_arrow(t), **kw)).sort_by(
+        [("_rank", "ascending")])
+    full_sorted = full.sort_by([("_rank", "ascending")])
+    assert full_sorted["id"].to_pylist()[:10] == topk["id"].to_pylist()
+    tail_ids = full_sorted["id"].to_pylist()[10:]
+    tail_scores = [i % 41 for i in tail_ids]
+    # descending by score with ascending id tiebreak
+    assert tail_scores == sorted(tail_scores, reverse=True) or all(
+        (tail_scores[j] > tail_scores[j + 1])
+        or (tail_scores[j] == tail_scores[j + 1]
+            and tail_ids[j] < tail_ids[j + 1])
+        for j in range(len(tail_ids) - 1)
+    )
