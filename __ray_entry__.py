@@ -100,13 +100,14 @@ def _q_reduce_groupby_pricing(sf_dir):
     # division — no rounding needed for the oracle compare.
     return grouped_aggregate(
         ds,
-        ["l_returnflag", "l_linestatus"],
+        ["l_returnflag", "l_linestatus"],  # 6 groups -> tree combine
         [
             ("l_quantity", "sum", "sum_qty"),
             ("l_quantity", "mean", "avg_qty"),
             ("l_quantity", "count", "count_order"),
             ("l_extendedprice", "max", "max_price"),
         ],
+        combine="tree",
     )
 
 
@@ -391,7 +392,10 @@ def _q_distinct_segments(sf_dir):
     from docetl_ray.stages import grouped_aggregate
 
     ds = _rp(sf_dir, "customer", ["c_mktsegment", "c_custkey"])
-    return grouped_aggregate(ds, ["c_mktsegment"], [("c_custkey", "count", "n_customers")])
+    # 5 market segments: tree combine (no final sort-shuffle)
+    return grouped_aggregate(ds, ["c_mktsegment"],
+                             [("c_custkey", "count", "n_customers")],
+                             combine="tree")
 
 
 def _q_cdc_lww_latest(sf_dir):
@@ -420,9 +424,13 @@ def _q_window_tumbling(sf_dir):
     from docetl_ray.stages.window import tumbling_window_aggregate
 
     ev = _rp(sf_dir, "events", ["user_id", "ts", "value"])
+    # users x days is bounded at this fixture's span/key range: tree
+    # combine (no final sort-shuffle); unbounded-key rollups keep the
+    # default shuffle combine
     return tumbling_window_aggregate(
         ev, "ts", "user_id", window_seconds=86400,
         aggs=[("value", "count", "n_events"), ("value", "min", "min_value")],
+        combine="tree",
     )
 
 

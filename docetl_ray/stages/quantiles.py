@@ -74,8 +74,22 @@ def _multi_select(ds, col: str, ks: list[int] | None = None, *,
     non-null values of ``col``), all ranks refined in lockstep.  Pass
     ``qs`` instead to derive the ranks from the count the minmax pass
     itself produces (no extra pass): ``k = max(1, ceil(q * n))``."""
-    from .reduces import grouped_aggregate
-    from .util_ray import collect_small
+    from .util_ray import tree_aggregate
+
+    # The refinement makes 3-5 streaming passes; a lazy `ds` would
+    # RE-EXECUTE its whole upstream (read + transforms) per pass.
+    # Project to the one needed column and pin it in the object store
+    # once: at 10^10 rows a float64 column is ~80 GB across the cluster
+    # (spillable), and 4 passes over that beat 4 re-reads of the full
+    # table.  Skip the projection when the caller already pruned.
+    try:
+        names = ds.schema(fetch_if_missing=False)
+        names = list(names.names) if names is not None else None
+    except TypeError:
+        names = None
+    if names is not None and names != [col]:
+        ds = ds.select_columns([col])
+    ds = ds.materialize()
 
     def minmax(batch: pa.Table) -> pa.Table:
         v = _values(batch, col)
@@ -92,11 +106,9 @@ def _multi_select(ds, col: str, ks: list[int] | None = None, *,
         )
 
     minmax.__name__ = "quantile_minmax"
-    mm = collect_small(
-        grouped_aggregate(
-            ds.map_batches(minmax, batch_format="pyarrow"),
-            ["_g"], [("lo", "min", "lo"), ("hi", "max", "hi"), ("n", "sum", "n")],
-        )
+    mm = tree_aggregate(
+        ds.map_batches(minmax, batch_format="pyarrow"),
+        ["_g"], [("lo", "min", "lo"), ("hi", "max", "hi"), ("n", "sum", "n")],
     )
     if mm.num_rows == 0:
         return {k: None for k in (ks or [])}, 0
@@ -143,11 +155,9 @@ def _multi_select(ds, col: str, ks: list[int] | None = None, *,
             )
 
         hist.__name__ = "quantile_hist"
-        t = collect_small(
-            grouped_aggregate(
-                ds.map_batches(hist, batch_format="pyarrow"),
-                ["qi", "bin"], [("cnt", "sum", "cnt")],
-            )
+        t = tree_aggregate(
+            ds.map_batches(hist, batch_format="pyarrow"),
+            ["qi", "bin"], [("cnt", "sum", "cnt")],
         ).sort_by([("qi", "ascending"), ("bin", "ascending")])
         tq = t["qi"].to_numpy(zero_copy_only=False)
         tb = t["bin"].to_numpy(zero_copy_only=False)
@@ -197,11 +207,9 @@ def _multi_select(ds, col: str, ks: list[int] | None = None, *,
         )
 
     vcount.__name__ = "quantile_value_count"
-    vc = collect_small(
-        grouped_aggregate(
-            ds.map_batches(vcount, batch_format="pyarrow"),
-            ["qi", "val"], [("cnt", "sum", "cnt")],
-        )
+    vc = tree_aggregate(
+        ds.map_batches(vcount, batch_format="pyarrow"),
+        ["qi", "val"], [("cnt", "sum", "cnt")],
     ).sort_by([("qi", "ascending"), ("val", "ascending")])
     vq = vc["qi"].to_numpy(zero_copy_only=False)
     vv = vc["val"].to_numpy(zero_copy_only=False)

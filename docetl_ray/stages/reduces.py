@@ -41,12 +41,21 @@ def _partial_exprs(aggs):
     return cols
 
 
-def grouped_aggregate(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
+def grouped_aggregate(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+                      *, combine: str = "shuffle"):
     """Hash-grouped aggregate with per-batch partial combine.
 
     ``aggs``: list of ``(input_col, fn, output_name)`` with
     fn ∈ {sum,count,min,max,mean}.  Returns a Dataset with columns
     ``keys + [output_name...]``.
+
+    ``combine="shuffle"`` (default) merges partials through Ray's
+    ``groupby().aggregate()`` — right when the GROUP CARDINALITY itself
+    is large (the result must stay distributed).  ``combine="tree"``
+    merges them through a shuffle-free task tree
+    (``util_ray.tree_aggregate``) — right when groups are few (keys ×
+    aggregates fits one block: pricing flags, windows, hourly rollups),
+    where the sort-shuffle's seconds of fixed cost dominate.
     """
     from ray.data.aggregate import Max, Min, Sum
 
@@ -67,6 +76,35 @@ def grouped_aggregate(ds, keys: list[str], aggs: list[tuple[str, str, str]]):
         return pa.table(cols)
 
     partial_ds = ds.map_batches(partial, batch_format="pyarrow")
+
+    if combine == "tree":
+        import ray.data as rd
+
+        from .util_ray import tree_aggregate
+
+        tree_aggs = []
+        for _, fn, out in aggs:
+            if fn == "mean":
+                tree_aggs.append((f"__{out}_sum", "sum", f"__{out}_sum_f"))
+                tree_aggs.append((f"__{out}_cnt", "sum", f"__{out}_cnt_f"))
+            elif fn in ("sum", "count"):
+                suffix = "sum" if fn == "sum" else "cnt"
+                tree_aggs.append((f"__{out}_{suffix}", "sum", out))
+            else:
+                tree_aggs.append((f"__{out}_{fn}", fn, out))
+        merged = tree_aggregate(partial_ds, keys, tree_aggs)
+        import pyarrow.compute as pc
+
+        for _, fn, out in aggs:
+            if fn == "mean":
+                mean = pc.divide(
+                    pc.cast(merged[f"__{out}_sum_f"], pa.float64()),
+                    pc.cast(merged[f"__{out}_cnt_f"], pa.float64()),
+                )
+                merged = merged.append_column(out, mean).drop_columns(
+                    [f"__{out}_sum_f", f"__{out}_cnt_f"]
+                )
+        return rd.from_arrow(merged)
 
     final_aggs = []
     for _, fn, out in aggs:

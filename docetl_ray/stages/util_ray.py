@@ -242,6 +242,51 @@ def exchange_map_groups(ds, part_col: str, nparts: int, fn, *, schema=None):
     return rd.from_arrow_refs(out_refs)
 
 
+def _combine_partials(keys: list, aggs: list, *tabs):
+    import pandas as pd
+
+    ts = []
+    for t in tabs:
+        if isinstance(t, pd.DataFrame):
+            t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_columns > 0 and t.num_rows > 0:
+            ts.append(t)
+    if not ts:
+        return tabs[0] if len(tabs) else pa.table({})
+    merged = pa.concat_tables(ts, promote_options="permissive")
+    agg = merged.group_by(keys).aggregate([(c, f) for c, f, _ in aggs])
+    cols = {k: agg[k] for k in keys}
+    for c, f, out in aggs:
+        cols[out] = agg[f"{c}_{f}"]
+    return pa.table(cols)
+
+
+def tree_aggregate(ds, keys: list[str], aggs: list[tuple[str, str, str]],
+                   *, fanin: int = 64) -> pa.Table:
+    """Grouped aggregate of a dataset of SMALL per-block partials WITHOUT
+    a shuffle: tree-combine the block refs (Arrow ``group_by`` inside
+    remote tasks, fan-in ``fanin`` per level), returning the final table
+    to the driver.  ``aggs``: ``(col, arrow_fn, out_name)`` with fn ∈
+    {sum, min, max}.  Use when per-block partials are bounded (histogram
+    bins, minmax rows) — a ``groupby().aggregate()`` would pay a full
+    sort-shuffle with seconds of fixed cost per invocation, and at 10^6
+    blocks the tree is O(log_fanin) levels of tiny tasks instead."""
+    import ray
+
+    refs = list(ds.to_arrow_refs())
+    if not refs:
+        return pa.table({})
+    combine = ray.remote(max_retries=3, retry_exceptions=True)(_combine_partials)
+    first = True
+    while len(refs) > 1 or first:
+        refs = [
+            combine.remote(keys, aggs, *refs[i:i + fanin])
+            for i in range(0, len(refs), fanin)
+        ]
+        first = False
+    return ray.get(refs[0])
+
+
 def _block_nrows(t) -> int:
     return len(t) if not isinstance(t, pa.Table) else t.num_rows
 

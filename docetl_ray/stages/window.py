@@ -34,14 +34,19 @@ def add_tumbling_window(ds, ts_col: str, *, window_seconds: int, out_col: str = 
 
 
 def tumbling_window_aggregate(
-    ds, ts_col: str, key_cols, *, window_seconds: int, aggs, window_col: str = "window_start"
+    ds, ts_col: str, key_cols, *, window_seconds: int, aggs,
+    window_col: str = "window_start", combine: str = "shuffle",
 ):
-    """Tumbling-window grouped aggregate with per-batch partial combine."""
+    """Tumbling-window grouped aggregate with per-batch partial combine.
+
+    ``combine="tree"`` skips the final sort-shuffle (see
+    ``grouped_aggregate``) — right when keys × windows is bounded (the
+    window count grows with the TIME SPAN, not the data volume)."""
     from .reduces import grouped_aggregate
 
     key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
     withw = add_tumbling_window(ds, ts_col, window_seconds=window_seconds, out_col=window_col)
-    out = grouped_aggregate(withw, key_cols + [window_col], aggs)
+    out = grouped_aggregate(withw, key_cols + [window_col], aggs, combine=combine)
 
     # Ray's groupby round-trips keys through numpy and can downgrade the
     # timestamp precision; restore the canonical timestamp[us] schema.
