@@ -444,6 +444,23 @@ def _apply_op(ds, op: dict):
         return rd.from_arrow(
             quantiles(ds, op["key"], op.get("qs", [0.25, 0.5, 0.75]))
         )
+    if t == "window":
+        method = op.get("method", "tumbling")
+        if method == "tumbling":
+            from .stages.window import tumbling_window_aggregate
+
+            return tumbling_window_aggregate(
+                ds, op["ts_key"], op.get("keys", []),
+                window_seconds=op["window_seconds"],
+                aggs=[tuple(a) for a in op["aggs"]],
+                combine=op.get("combine", "shuffle"),
+            )
+        if method == "session":
+            from .stages.window import session_windows
+
+            return session_windows(ds, op["ts_key"], op["key"],
+                                   gap_seconds=op["gap_seconds"])
+        raise ValueError(f"unknown window method {method}")
     raise ValueError(f"unknown operation type {t!r}")
 
 
@@ -537,6 +554,23 @@ class PipelineRunner:
                             right_on=op.get("right_on"),
                             how=op.get("how", "inner"),
                         )
+                elif op["type"] == "asof_join":
+                    # two-input temporal join: latest right row per key
+                    # at-or-before each left timestamp
+                    right_name = op["right"]
+                    if right_name not in self.datasets:
+                        raise ValueError(
+                            f"asof_join {op_name!r}: unknown right dataset "
+                            f"{right_name!r} (datasets: {sorted(self.datasets)})"
+                        )
+                    from .stages.asof import asof_join
+
+                    ds = asof_join(
+                        ds, self.datasets[right_name],
+                        on=op["on"], by=op["by"],
+                        how=op.get("how", "left"),
+                        num_buckets=op.get("num_buckets", 32),
+                    )
                 else:
                     ds = _apply_op(ds, op)
                 if ckpt_dir:

@@ -415,3 +415,58 @@ def test_runner_pii_scrub_and_quantiles(tmp_path):
     cfg["pipeline"]["steps"][0]["operations"] = ["q"]
     out2 = _collect(PipelineRunner(cfg).run()).sort_by([("q", "ascending")])
     assert out2["value"].to_pylist() == [1.0, 9.0]
+
+
+def test_runner_window_and_asof_ops(tmp_path):
+    """window (tumbling/session) and two-input asof_join YAML surfaces."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+    from docetl_ray.runner import PipelineRunner
+
+    def ts(m):
+        return dt.datetime(2026, 1, 1, 0, m)
+
+    pq.write_table(pa.table({
+        "uid": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([ts(0), ts(1), ts(40), ts(2)], pa.timestamp("us")),
+        "v": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+    }), tmp_path / "ev.parquet")
+    pq.write_table(pa.table({
+        "uid": pa.array([1, 1, 2], pa.int64()),
+        "ts": pa.array([ts(0), ts(30), ts(0)], pa.timestamp("us")),
+        "state": pa.array(["a", "b", "c"]),
+    }), tmp_path / "st.parquet")
+
+    cfg = {
+        "datasets": {
+            "ev": {"type": "file", "path": str(tmp_path / "ev.parquet")},
+            "st": {"type": "file", "path": str(tmp_path / "st.parquet")},
+        },
+        "operations": [
+            {"name": "w", "type": "window", "method": "tumbling",
+             "ts_key": "ts", "keys": ["uid"], "window_seconds": 600,
+             "aggs": [["v", "sum", "total"]], "combine": "tree"},
+            {"name": "sess", "type": "window", "method": "session",
+             "ts_key": "ts", "key": "uid", "gap_seconds": 600},
+            {"name": "aj", "type": "asof_join", "right": "st",
+             "on": "ts", "by": "uid", "how": "left"},
+        ],
+        "pipeline": {"steps": [
+            {"name": "tumble", "input": "ev", "operations": ["w"]},
+            {"name": "sessions", "input": "ev", "operations": ["sess"]},
+            {"name": "enriched", "input": "ev", "operations": ["aj"]},
+        ]},
+    }
+    r = PipelineRunner(cfg)
+    r.run()
+    tumble = _collect(r.datasets["tumble"]).sort_by(
+        [("uid", "ascending"), ("window_start", "ascending")])
+    assert tumble["total"].to_pylist() == [3.0, 3.0, 4.0]
+    sess = _collect(r.datasets["sessions"])
+    # user 1 splits into two sessions (39-min gap); user 2 has one
+    assert sess.num_rows == 3
+    assert sorted(sess["n_events"].to_pylist()) == [1, 1, 2]
+    aj = _collect(r.datasets["enriched"]).sort_by(
+        [("uid", "ascending"), ("ts", "ascending")])
+    assert aj["state"].to_pylist() == ["a", "a", "b", "c"]
