@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     # round-3 late additions
     "ann_topk_ivf",
     "pii_scrub_documents",
+    "quantiles_lineitem",
+    "asof_join_events",
 ]
 
 N10M_EVENTS = int(os.environ.get("GRAFT_BENCH_N10M_EVENTS", "10000000"))
