@@ -167,10 +167,21 @@ def run_bench() -> dict:
         "GRAFT_BENCH_SKIP_QUERIES"
     ):
         wal10 = prepare_wal(N10M_EVENTS)
-        rd.read_parquet(wal10).map_batches(
-            lambda t: pa.table({"n": [t.num_rows]}), batch_format="pyarrow"
-        ).count()  # page-cache warm (untimed; first pass of 13 GB is disk-bound)
         lake10 = f"/tmp/docetl_ray_bench_lake10m_{NCPU}"
+        # COLD-START pass (reported separately): the first apply over a
+        # WAL in a session consistently pays ~2-3x wall vs steady state
+        # (measured: 3 identical back-to-back 10M merges = 171s / 44s /
+        # 44s — page-cache + object-store + worker-pool warm-up combined;
+        # a read-only warming pass does NOT remove it, only a real apply
+        # does).  The steady-state number is the honest throughput for a
+        # continuously-running CDC ingester; the cold number is the
+        # honest first-epoch-after-restart cost.  Report both.
+        shutil.rmtree(lake10, ignore_errors=True)
+        t0 = time.perf_counter()
+        table10 = LakeTable(lake10, num_partitions=max(64, NCPU * 2))
+        apply_events(table10, rd.read_parquet(wal10), epoch=0)
+        cold10 = time.perf_counter() - t0
+        # steady-state merge: identical fresh-table epoch-0 apply
         shutil.rmtree(lake10, ignore_errors=True)
         t0 = time.perf_counter()
         table10 = LakeTable(lake10, num_partitions=max(64, NCPU * 2))
@@ -181,6 +192,8 @@ def run_bench() -> dict:
         delta10 = time.perf_counter() - t0
         n10m = {
             "n_events": N10M_EVENTS,
+            "cold_start_merge_sec": round(cold10, 3),
+            "cold_start_events_per_sec": round(N10M_EVENTS / cold10),
             "merge_sec": round(merge10, 3),
             "merge_events_per_sec": round(N10M_EVENTS / merge10),
             "delta_sec": round(delta10, 3),
