@@ -407,11 +407,18 @@ def _exchange_and_apply(partial_ds, nparts: int, apply_obj) -> list[dict]:
         if len(split_rows) % (ncpus * 2) == 0:
             target *= 2
 
+    # accumulate PER BLOCK, not per bundle: a materialized upstream can
+    # deliver the whole dataset as one ref bundle, and packing it into a
+    # single split task overflows Arrow's int32 string offsets (>2 GiB
+    # concat) besides serializing the split phase
     for bundle in partial_ds.iter_internal_ref_bundles():
-        acc.extend(bundle.block_refs)
-        acc_bytes += bundle.size_bytes() or 0
-        if acc_bytes >= target:
-            flush()
+        metas = getattr(bundle, "metadata", None) or [None] * len(bundle.block_refs)
+        for block_ref, meta in zip(bundle.block_refs, metas):
+            acc.append(block_ref)
+            sz = getattr(meta, "size_bytes", None) if meta is not None else None
+            acc_bytes += sz if sz else (8 << 20)  # unknown -> assume 8 MB
+            if acc_bytes >= target:
+                flush()
     flush()
     # wait for the split phase, then drop map inputs before reducing
     # (bounds peak object-store footprint to ~2x the combined winners)
