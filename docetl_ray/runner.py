@@ -246,7 +246,7 @@ def _apply_op(ds, op: dict):
             num_splits_to_group=kw.get("num_splits_to_group", 1),
         )
     if t == "gather":
-        pc_cfg = op.get("peripheral_chunks", {})
+        pc_cfg = op.get("peripheral_chunks") or {}
         # reference-style config: per-direction head/middle/tail section
         # dicts (gather.py:30-42) -> full-parity renderer; plain ints ->
         # the simplified previous/next-count surface

@@ -197,12 +197,19 @@ def _hierarchy_headers(
     hierarchy: dict[int, str | None] = {}
     for row in prefix_rows:
         for h in _header_list(row.get(doc_header_key)):
-            header, level = (h or {}).get("header"), (h or {}).get("level")
-            if header and level:
-                hierarchy[level] = header
+            try:
+                header, level = h["header"], h["level"]
+                if header and level:
+                    hierarchy[level] = header
+                # reference (gather.py:305-315) runs the lower-level clear
+                # for EVERY entry — an entry with empty header text but a
+                # valid level still clears levels below it; a missing key
+                # or non-int level aborts the whole render with "".
                 for lower in range(level + 1, len(hierarchy) + 1):
                     if lower in hierarchy:
                         hierarchy[lower] = None
+            except Exception:
+                return ""
     rendered = " > ".join(
         f"{'#' * lvl} {hdr}"
         for lvl, hdr in sorted(hierarchy.items())

@@ -246,13 +246,29 @@ def _combine_partials(keys: list, aggs: list, *tabs):
     import pandas as pd
 
     ts = []
+    base = None  # first non-zero-column input, for empty-schema derivation
     for t in tabs:
         if isinstance(t, pd.DataFrame):
             t = pa.Table.from_pandas(t, preserve_index=False)
+        if t.num_columns > 0 and base is None:
+            base = t
         if t.num_columns > 0 and t.num_rows > 0:
             ts.append(t)
     if not ts:
-        return tabs[0] if len(tabs) else pa.table({})
+        # All inputs empty: normalize to an empty Arrow table carrying the
+        # expected keys + output columns (renamed), so downstream tree
+        # levels / mean-finishing code see a stable schema instead of a raw
+        # zero-column table or pandas DataFrame.
+        fields = []
+        names = set(base.schema.names) if base is not None else set()
+        for k in keys:
+            ftype = base.schema.field(k).type if k in names else pa.large_string()
+            fields.append(pa.field(k, ftype))
+        for c, f, out in aggs:
+            src = c if c in names else (out if out in names else None)
+            ftype = base.schema.field(src).type if src is not None else pa.float64()
+            fields.append(pa.field(out, ftype))
+        return pa.schema(fields).empty_table()
     merged = pa.concat_tables(ts, promote_options="permissive")
     agg = merged.group_by(keys).aggregate([(c, f) for c, f, _ in aggs])
     cols = {k: agg[k] for k in keys}
@@ -278,12 +294,19 @@ def tree_aggregate(ds, keys: list[str], aggs: list[tuple[str, str, str]],
         return pa.table({})
     combine = ray.remote(max_retries=3, retry_exceptions=True)(_combine_partials)
     first = True
+    level_aggs = aggs
     while len(refs) > 1 or first:
         refs = [
-            combine.remote(keys, aggs, *refs[i:i + fanin])
+            combine.remote(keys, level_aggs, *refs[i:i + fanin])
             for i in range(0, len(refs), fanin)
         ]
         first = False
+        # level 1 renamed input_col -> out; later levels must aggregate the
+        # RENAMED columns or Arrow raises a missing-field error once block
+        # count exceeds fanin.  count folds into sum after the first level.
+        level_aggs = [
+            (out, "sum" if fn == "count" else fn, out) for _, fn, out in aggs
+        ]
     return ray.get(refs[0])
 
 
