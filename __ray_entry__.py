@@ -1162,60 +1162,14 @@ def _q_rank_likert(sf_dir):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Ordering note: the correctness driver records only the FIRST 50
+    # entries of this dict.  Queries that have never had a driver-side
+    # oracle row lead the registry; staples with green rows in BOTH the
+    # r2 and r3 CORRECTNESS artifacts sit in the tail (they are still
+    # sweep-checked by tests/test_ray_entry.py, which parametrizes over
+    # every entry).
     return {
-        "map_filter_revenue": _q_map_filter_revenue,
-        "reduce_groupby_pricing": _q_reduce_groupby_pricing,
-        "reduce_global": _q_reduce_global,
-        "join_broadcast_customer_nation": _q_join_broadcast,
-        "join_hash_lineitem_orders": _q_join_hash,
-        "join_semi_customers_with_orders": _q_join_semi,
-        "join_anti_customers_without_orders": _q_join_anti,
-        "topk_orders": _q_topk_orders,
-        "topk_stratified_orders": _q_topk_stratified,
-        "sample_uniform_hash_orders": _q_sample_uniform,
-        "sample_first_orders": _q_sample_first,
-        "sample_custom_nations": _q_sample_custom,
-        "sample_outliers_events": _q_sample_outliers,
-        "dedup_exact_documents": _q_dedup_exact,
-        "unnest_embeddings": _q_unnest_embeddings,
-        "split_documents_tokens": _q_split_tokens,
-        "token_count_documents": _q_token_count,
-        "bpe_token_count_documents": _q_bpe_token_count,
-        "text_ratios_documents": _q_text_ratios,
-        "doc_stats": _q_doc_stats,
-        "add_hash_id_documents": _q_add_hash_id,
-        "distinct_segments": _q_distinct_segments,
-        "cdc_lww_latest_events": _q_cdc_lww_latest,
-        "cdc_upsert_state_events": _q_cdc_upsert_state,
-        "window_tumbling_events": _q_window_tumbling,
-        "session_windows_events": _q_session_windows,
-        "ann_topk_bruteforce": _q_ann_bruteforce,
-        "extract_regex_documents": _q_extract_regex,
-        "rank_topk_orders": _q_rank_topk_orders,
-        "parallel_map_lineitem": _q_parallel_map,
-        "top_embedding_vectors": _q_top_embedding,
-        "cdc_flagship_delta": _q_cdc_flagship_delta,
-        "incremental_dedup_documents": _q_incremental_dedup,
-        "asof_join_events": _q_asof_join,
-        "quantiles_lineitem": _q_quantiles,
-        "sample_outliers_embedding": _q_sample_outliers_embedding,
-        "simhash_near_dedup_documents": _q_simhash_near_dedup,
-        "resolve_embedding_blocked": _q_resolve_embedding_blocked,
-        # probabilistic-recall ops (rows-only; exact-path counterparts
-        # are oracle-checked — see PARITY.md) plus oracle-checked ops
-        # registered later in oracle_sql()
-        "top_fts_documents": _q_top_fts,
-        "fuzzy_join_documents": _q_fuzzy_join,
-        "cdc_flagship": _q_cdc_flagship,
-        "gather_documents": _q_gather,
-        "minhash_dedup_documents": _q_minhash_dedup,
-        "simhash_documents": _q_simhash,
-        "embedding_dedup_embeddings": _q_embedding_dedup,
-        "lang_id_documents": _q_lang_id,
-        "quality_documents": _q_quality,
-        "fingerprint_documents": _q_fingerprint,
-        "resolve_fuzzy_documents": _q_resolve_fuzzy,
-        "ann_topk_lsh": _q_ann_lsh,
+        # --- never driver-recorded before round 4 ---
         "ann_topk_ivf": _q_ann_ivf,
         "cluster_threshold_embeddings": _q_cluster_threshold,
         "link_resolve_documents": _q_link_resolve,
@@ -1236,6 +1190,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats_documents": _q_host_stats,
         "paragraph_dedup_documents": _q_paragraph_dedup,
         "rank_qurk_documents": _q_rank_qurk,
+        # --- staples kept in the driver window (flagship / perf-tracked) ---
+        "map_filter_revenue": _q_map_filter_revenue,
+        "reduce_groupby_pricing": _q_reduce_groupby_pricing,
+        "reduce_global": _q_reduce_global,
+        "join_broadcast_customer_nation": _q_join_broadcast,
+        "join_hash_lineitem_orders": _q_join_hash,
+        "topk_orders": _q_topk_orders,
+        "dedup_exact_documents": _q_dedup_exact,
+        "split_documents_tokens": _q_split_tokens,
+        "token_count_documents": _q_token_count,
+        "cdc_lww_latest_events": _q_cdc_lww_latest,
+        "window_tumbling_events": _q_window_tumbling,
+        "ann_topk_bruteforce": _q_ann_bruteforce,
+        "rank_topk_orders": _q_rank_topk_orders,
+        "cdc_flagship_delta": _q_cdc_flagship_delta,
+        "incremental_dedup_documents": _q_incremental_dedup,
+        "asof_join_events": _q_asof_join,
+        "quantiles_lineitem": _q_quantiles,
+        "simhash_near_dedup_documents": _q_simhash_near_dedup,
+        # probabilistic-recall ops (rows-only; exact-path counterparts
+        # are oracle-checked — see PARITY.md) plus oracle-checked ops
+        # registered later in oracle_sql()
+        "top_fts_documents": _q_top_fts,
+        "fuzzy_join_documents": _q_fuzzy_join,
+        "cdc_flagship": _q_cdc_flagship,
+        "gather_documents": _q_gather,
+        "minhash_dedup_documents": _q_minhash_dedup,
+        "simhash_documents": _q_simhash,
+        "embedding_dedup_embeddings": _q_embedding_dedup,
+        "resolve_fuzzy_documents": _q_resolve_fuzzy,
+        "ann_topk_lsh": _q_ann_lsh,
+        # --- tail: green driver rows in r2 AND r3 artifacts ---
+        "join_semi_customers_with_orders": _q_join_semi,
+        "join_anti_customers_without_orders": _q_join_anti,
+        "topk_stratified_orders": _q_topk_stratified,
+        "sample_uniform_hash_orders": _q_sample_uniform,
+        "sample_first_orders": _q_sample_first,
+        "sample_custom_nations": _q_sample_custom,
+        "sample_outliers_events": _q_sample_outliers,
+        "unnest_embeddings": _q_unnest_embeddings,
+        "bpe_token_count_documents": _q_bpe_token_count,
+        "text_ratios_documents": _q_text_ratios,
+        "doc_stats": _q_doc_stats,
+        "add_hash_id_documents": _q_add_hash_id,
+        "distinct_segments": _q_distinct_segments,
+        "cdc_upsert_state_events": _q_cdc_upsert_state,
+        "session_windows_events": _q_session_windows,
+        "extract_regex_documents": _q_extract_regex,
+        "parallel_map_lineitem": _q_parallel_map,
+        "top_embedding_vectors": _q_top_embedding,
+        "sample_outliers_embedding": _q_sample_outliers_embedding,
+        "lang_id_documents": _q_lang_id,
+        "quality_documents": _q_quality,
+        "fingerprint_documents": _q_fingerprint,
+        "resolve_embedding_blocked": _q_resolve_embedding_blocked,
     }
 
 
