@@ -1138,6 +1138,58 @@ def _q_llm_resolve(sf_dir):
     return out.map_batches(fin, batch_format="pyarrow")
 
 
+def _q_llm_resolve_blocked(sf_dir):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from docetl_ray.stages.resolve import llm_resolve
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def add_blk(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "blk", pc.cast(pc.bit_wise_and(t["doc_id"], 63), pa.int64())
+        )
+
+    # eval'd pair-predicate blocking (reference resolve.py:290-294): only
+    # pairs whose texts share a 4-char prefix are LLM-compared
+    out = llm_resolve(
+        docs.map_batches(add_blk, batch_format="pyarrow"),
+        blocking_col="blk",
+        id_col="doc_id",
+        comparison_prompt="Same?\nA: {{ input1.text }}\nB: {{ input2.text }}",
+        blocking_conditions=['input1["text"][:4] == input2["text"][:4]'],
+    )
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["doc_id"], "_canonical": t["_canonical"]})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+def _q_condition_blocked_join(sf_dir):
+    import pyarrow as pa
+
+    from docetl_ray.stages.fuzzy_join import condition_blocked_pairs, llm_equijoin
+
+    docs = _rp(sf_dir, "documents", ["doc_id", "text"])
+
+    def ren(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["r_id", "r_text"])
+
+    right = docs.sort("doc_id").limit(50).map_batches(ren, batch_format="pyarrow")
+    pairs = condition_blocked_pairs(
+        docs, right,
+        ['left["text"][:6] == right["r_text"][:6]'],
+        left_id="doc_id", right_id="r_id",
+    )
+    return llm_equijoin(
+        docs, right, pairs,
+        left_id="doc_id", right_id="r_id",
+        comparison_prompt="Join?\nL: {{ input1.text }}\nR: {{ input2.r_text }}",
+    )
+
+
 def _q_rank_likert(sf_dir):
     from docetl_ray.stages.rank import rank
 
@@ -1183,6 +1235,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "llm_reduce_lang_documents": _q_llm_reduce,
         "rank_likert_documents": _q_rank_likert,
         "llm_resolve_documents": _q_llm_resolve,
+        "llm_resolve_blocked_documents": _q_llm_resolve_blocked,
+        "condition_blocked_join_documents": _q_condition_blocked_join,
         "gopher_quality_documents": _q_gopher_quality,
         "repetition_stats_documents": _q_repetition_stats,
         "pii_scrub_documents": _q_pii_scrub,
@@ -2394,6 +2448,45 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN r.sz > 1 THEN r.ct ELSE '' END AS canonical_text,
                    '{}' AS _kv_pairs_preresolve_resolve
             FROM d JOIN lab l USING (doc_id) JOIN res r ON r.canon = l.canon
+        """,
+        # LLM resolve with eval'd blocking_conditions: identical edge
+        # derivation, but a pair is only compared (and can only match)
+        # when the texts share a 4-char prefix — the predicate appears as
+        # an extra join condition in edges.
+        "llm_resolve_blocked_documents": r"""
+            WITH RECURSIVE d AS (
+              SELECT doc_id, text, doc_id & 63 AS blk FROM documents),
+            edges AS (
+              SELECT a.doc_id AS u, b.doc_id AS v
+              FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+                   AND substr(a.text, 1, 4) = substr(b.text, 1, 4)
+              WHERE ('0x' || substr(md5('Same?' || chr(10) || 'A: ' || a.text
+                                        || chr(10) || 'B: ' || b.text), 1, 8))::UBIGINT
+                    % 2 = 1),
+            sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),
+            cc AS (
+              SELECT doc_id, doc_id AS lbl FROM d
+              UNION
+              SELECT s.v AS doc_id, cc.lbl
+              FROM cc JOIN sym s ON s.u = cc.doc_id
+              WHERE cc.lbl < s.v),
+            lab AS (SELECT doc_id, min(lbl) AS canon FROM cc GROUP BY doc_id)
+            SELECT doc_id, canon AS _canonical FROM lab
+        """,
+        # condition-blocked LLM equijoin: candidates = eval'd pair
+        # predicate (6-char text prefix match) over documents x the 50
+        # lowest-id documents; is_match = md5(rendered compare prompt)
+        # parity with the FakeDeterministicClient.
+        "condition_blocked_join_documents": r"""
+            WITH r AS (
+              SELECT doc_id AS r_id, text AS r_text FROM documents
+              ORDER BY doc_id LIMIT 50)
+            SELECT d.doc_id, d.text, r.r_id, r.r_text
+            FROM documents d, r
+            WHERE substr(d.text, 1, 6) = substr(r.r_text, 1, 6)
+              AND ('0x' || substr(md5('Join?' || chr(10) || 'L: ' || d.text
+                                      || chr(10) || 'R: ' || r.r_text), 1, 8))::UBIGINT
+                  % 2 = 1
         """,
         # LLM rank, likert + one refinement window: rating = f(md5('Rate
         # 1-7 for: <criteria>\n' + content)), normalized into 1..7; order

@@ -139,16 +139,23 @@ def run_bench() -> dict:
 
     qfns = entrymod.queries()
     qtimes = {}
+    qdetail = {}
     bench_queries = (
         [] if os.environ.get("GRAFT_BENCH_SKIP_QUERIES") else BENCH_QUERIES
     )
     # median of N repeats per query: single-shot timings on this shared
     # host swing 30-70% during hypervisor noisy-neighbor episodes; the
-    # per-query median makes the recorded artifact ambient-load-resistant
+    # per-query median makes the recorded artifact ambient-load-resistant.
+    # NB: the first repeat of a heavy query in a session pays worker-pool
+    # / page-cache cold-start (observed ~2x), which the median absorbs at
+    # reps>=3 — query_detail records every repeat + 1-min load average so
+    # driver-vs-builder discrepancies are attributable from the artifact.
     reps = int(os.environ.get("GRAFT_BENCH_QUERY_REPEATS", "3"))
     for name in bench_queries:
         times = []
+        loads = []
         for _ in range(reps):
+            loads.append(round(os.getloadavg()[0], 2))
             t0 = time.perf_counter()
             res = qfns[name](SF_DIR)
             if hasattr(res, "iter_batches"):
@@ -159,6 +166,7 @@ def run_bench() -> dict:
                     pass
             times.append(time.perf_counter() - t0)
         qtimes[name] = round(sorted(times)[len(times) // 2], 3)
+        qdetail[name] = {"times": [round(t, 3) for t in times], "load1": loads}
 
     # 10x-scale apply block (structured, replaces BASELINE.md prose):
     # fixed costs amortize and the O(state)-vs-O(epoch) modes separate
@@ -168,38 +176,101 @@ def run_bench() -> dict:
     ):
         wal10 = prepare_wal(N10M_EVENTS)
         lake10 = f"/tmp/docetl_ray_bench_lake10m_{NCPU}"
-        # COLD-START pass (reported separately): the first apply over a
-        # WAL in a session consistently pays ~2-3x wall vs steady state
-        # (measured: 3 identical back-to-back 10M merges = 171s / 44s /
-        # 44s — page-cache + object-store + worker-pool warm-up combined;
-        # a read-only warming pass does NOT remove it, only a real apply
-        # does).  The steady-state number is the honest throughput for a
-        # continuously-running CDC ingester; the cold number is the
-        # honest first-epoch-after-restart cost.  Report both.
-        shutil.rmtree(lake10, ignore_errors=True)
-        t0 = time.perf_counter()
-        table10 = LakeTable(lake10, num_partitions=max(64, NCPU * 2))
-        apply_events(table10, rd.read_parquet(wal10), epoch=0)
-        cold10 = time.perf_counter() - t0
-        # steady-state merge: identical fresh-table epoch-0 apply
-        shutil.rmtree(lake10, ignore_errors=True)
-        t0 = time.perf_counter()
-        table10 = LakeTable(lake10, num_partitions=max(64, NCPU * 2))
-        apply_events(table10, rd.read_parquet(wal10), epoch=0)
-        merge10 = time.perf_counter() - t0
+        # N identical back-to-back fresh-table merges, EVERY pass
+        # recorded (merge_secs vector + load average per pass).  The
+        # first pass in a session tends to pay page-cache / object-store
+        # / worker-pool warm-up, but single runs on this shared host also
+        # hit multi-minute noisy-neighbor episodes, so neither "first =
+        # cold" nor "last = steady" is assumed: the artifact reports the
+        # raw vector, cold = pass 0, steady = median of the rest.
+        n10m_passes = int(os.environ.get("GRAFT_BENCH_N10M_PASSES", "3"))
+        merge_secs = []
+        merge_loads = []
+        for _ in range(n10m_passes):
+            merge_loads.append(round(os.getloadavg()[0], 2))
+            shutil.rmtree(lake10, ignore_errors=True)
+            t0 = time.perf_counter()
+            table10 = LakeTable(lake10, num_partitions=max(64, NCPU * 2))
+            apply_events(table10, rd.read_parquet(wal10), epoch=0)
+            merge_secs.append(time.perf_counter() - t0)
+        steady = sorted(merge_secs[1:])[len(merge_secs[1:]) // 2] \
+            if len(merge_secs) > 1 else merge_secs[0]
         t0 = time.perf_counter()
         apply_events(table10, rd.read_parquet(wal10), epoch=1, mode="delta")
         delta10 = time.perf_counter() - t0
         n10m = {
             "n_events": N10M_EVENTS,
-            "cold_start_merge_sec": round(cold10, 3),
-            "cold_start_events_per_sec": round(N10M_EVENTS / cold10),
-            "merge_sec": round(merge10, 3),
-            "merge_events_per_sec": round(N10M_EVENTS / merge10),
+            "merge_secs": [round(s, 3) for s in merge_secs],
+            "merge_load1": merge_loads,
+            "cold_start_merge_sec": round(merge_secs[0], 3),
+            "cold_start_events_per_sec": round(N10M_EVENTS / merge_secs[0]),
+            "merge_sec": round(steady, 3),
+            "merge_events_per_sec": round(N10M_EVENTS / steady),
             "delta_sec": round(delta10, 3),
             "delta_events_per_sec": round(N10M_EVENTS / delta10),
         }
         shutil.rmtree(lake10, ignore_errors=True)
+
+    # 1M-row dedup/ANN block: the dedup/ANN family is oracle-checked on
+    # ~5k-row fixtures; this measures the advertised scale paths
+    # (distributed CC + keyed-shuffle verify, IVF probed reads) at 200x
+    # fixture size so the design claims carry a data point.
+    scale1m = None
+    if not os.environ.get("GRAFT_BENCH_SKIP_SCALE1M") and not os.environ.get(
+        "GRAFT_BENCH_SKIP_QUERIES"
+    ):
+        from docetl_ray import synth
+
+        n_docs = int(os.environ.get("GRAFT_BENCH_SCALE1M_DOCS", "1000000"))
+        n_vecs = int(os.environ.get("GRAFT_BENCH_SCALE1M_VECS", "1000000"))
+        docs_dir = f"/tmp/docetl_ray_bench_docs_{n_docs}"
+        vecs_dir = f"/tmp/docetl_ray_bench_vecs_{n_vecs}"
+        for d, maker in ((docs_dir, lambda: synth.docs_dataset(
+                n_docs, parallelism=max(NCPU * 4, 64))),
+                (vecs_dir, lambda: synth.vectors_dataset(
+                n_vecs, parallelism=max(NCPU * 4, 64)))):
+            if not os.path.exists(os.path.join(d, "_SUCCESS")):
+                shutil.rmtree(d, ignore_errors=True)
+                maker().write_parquet(d)
+                open(os.path.join(d, "_SUCCESS"), "w").close()
+
+        from docetl_ray.stages.ann import ann_topk_ivf
+        from docetl_ray.stages.dedup import minhash_dedup
+
+        load_dedup = round(os.getloadavg()[0], 2)
+        t0 = time.perf_counter()
+        docs = rd.read_parquet(docs_dir, columns=["doc_id", "text"])
+        deduped, _labels = minhash_dedup(
+            docs, "text", "doc_id", threshold=0.8, distributed=True
+        )
+        kept = deduped.count()
+        dedup_sec = time.perf_counter() - t0
+
+        import numpy as np
+
+        queries = np.asarray(
+            synth.vectors_for_indices(np.arange(8))["embedding"].to_pylist(),
+            dtype=np.float64,
+        )
+        load_ann = round(os.getloadavg()[0], 2)
+        t0 = time.perf_counter()
+        vecs = rd.read_parquet(vecs_dir, columns=["vec_id", "embedding"])
+        ann = ann_topk_ivf(vecs, "embedding", "vec_id", queries, k=10,
+                           nlist=64, nprobe=8)
+        ann_rows = ann.count()
+        ann_sec = time.perf_counter() - t0
+        scale1m = {
+            "dedup_docs": n_docs,
+            "dedup_sec": round(dedup_sec, 3),
+            "dedup_docs_per_sec": round(n_docs / dedup_sec),
+            "dedup_kept_rows": kept,
+            "dedup_load1": load_dedup,
+            "ann_vectors": n_vecs,
+            "ann_sec": round(ann_sec, 3),
+            "ann_vectors_per_sec": round(n_vecs / ann_sec),
+            "ann_rows": ann_rows,
+            "ann_load1": load_ann,
+        }
 
     result = {
         "metric": "cdc_apply_wal_to_committed_parquet",
@@ -210,8 +281,10 @@ def run_bench() -> dict:
         "delta_epoch_sec": round(delta_sec, 3),
         "delta_events_per_sec": round(N_EVENTS / delta_sec),
         "queries": qtimes,
+        "query_detail": qdetail,
         "query_repeats": reps,
         "n10m": n10m,
+        "scale1m": scale1m,
         "sf": SF_DIR,
         "num_cpus": NCPU,
     }

@@ -208,6 +208,7 @@ def _apply_op(ds, op: dict):
                 resolution_prompt=op.get("resolution_prompt"),
                 output_schema=(op.get("output") or {}).get("schema"),
                 limit_comparisons=op.get("limit_comparisons"),
+                blocking_conditions=op.get("blocking_conditions"),
                 observability=op.get("enable_observability", False),
                 op_name=name,
             )
@@ -516,23 +517,32 @@ class PipelineRunner:
                             f"{right_name!r} (datasets: {sorted(self.datasets)})"
                         )
                     if op.get("comparison_prompt"):
-                        # LLM-verified equijoin: embedding blocking +
-                        # pluggable-client compare + per-side limits
-                        # (equijoin.py:300-509 parity)
+                        # LLM-verified equijoin: embedding or eval'd
+                        # pair-predicate blocking + pluggable-client
+                        # compare + per-side limits (equijoin.py:38-43,
+                        # 300-509 parity)
                         from .stages.fuzzy_join import (
+                            condition_blocked_pairs,
                             embedding_blocked_join,
                             llm_equijoin,
                         )
 
                         rds = self.datasets[right_name]
-                        pairs = embedding_blocked_join(
-                            ds, rds,
-                            left_emb=op["left_embedding_key"],
-                            right_emb=op["right_embedding_key"],
-                            left_id=op["left_id"], right_id=op["right_id"],
-                            blocking_threshold=op.get("blocking_threshold", 0.5),
-                            limit_comparisons=op.get("limit_comparisons"),
-                        )
+                        if op.get("blocking_conditions"):
+                            pairs = condition_blocked_pairs(
+                                ds, rds, op["blocking_conditions"],
+                                left_id=op["left_id"],
+                                right_id=op["right_id"],
+                            )
+                        else:
+                            pairs = embedding_blocked_join(
+                                ds, rds,
+                                left_emb=op["left_embedding_key"],
+                                right_emb=op["right_embedding_key"],
+                                left_id=op["left_id"], right_id=op["right_id"],
+                                blocking_threshold=op.get("blocking_threshold", 0.5),
+                                limit_comparisons=op.get("limit_comparisons"),
+                            )
                         ds = llm_equijoin(
                             ds, rds, pairs,
                             left_id=op["left_id"], right_id=op["right_id"],

@@ -30,17 +30,13 @@ import pyarrow as pa
 
 _MERSENNE = (1 << 61) - 1
 
-_SIG_CACHE: dict = {}
-
-
 def _broadcast_sig_cache(ref):
-    """Per-worker-process cache for the broadcast signature map."""
-    import ray
+    """Per-worker-process cache for the broadcast signature map (the
+    shared bounded LRU — an unbounded dict pins every repeat's plasma
+    object forever and degrades the whole session; see util_ray)."""
+    from .util_ray import broadcast_cached
 
-    key = ref.hex()
-    if key not in _SIG_CACHE:
-        _SIG_CACHE[key] = ray.get(ref)
-    return _SIG_CACHE[key]
+    return broadcast_cached(ref)
 
 
 def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:

@@ -426,6 +426,65 @@ def embedding_blocked_join(
     )
 
 
+def condition_blocked_pairs(
+    left,
+    right,
+    conditions: list[str],
+    *,
+    left_id: str,
+    right_id: str,
+):
+    """Candidate ``(left_id, right_id)`` pairs where ANY eval'd pair
+    predicate holds — the reference equijoin's ``blocking_conditions``
+    surface (``/root/reference/docetl/operations/equijoin.py:38-43``:
+    ``eval(condition, {"left": item1, "right": item2})``), recast with
+    ``_safe_eval`` (no builtins) instead of bare ``eval``.
+
+    Physical shape: the right side is collected once and broadcast
+    (``ray.put`` + per-worker cache); each left batch evaluates the
+    predicates against every right row — O(|L|x|R|) predicate evals,
+    exactly the reference's cost (its multiprocessing starmap over the
+    cross product), but distributed over left blocks with no shuffle.
+    This is inherently a small-side blocking strategy: at scale use LSH
+    (``minhash_candidates``) or ``embedding_blocked_join`` and reserve
+    predicates for the compare stage."""
+    import ray
+
+    from .joins import _broadcast_cache_get
+    from .llm import _safe_eval
+    from .util_ray import collect_small
+
+    if left_id == right_id:
+        raise ValueError(
+            "condition_blocked_pairs needs distinct left_id/right_id "
+            "column names (rename one side first)"
+        )
+    rt = collect_small(right)
+    right_rows = rt.to_pylist()
+    rref = ray.put(right_rows)
+    rid_type = rt.schema.field(right_id).type  # type only — never close
+    del rt, right  # over the table (it would ship with every task)
+
+    def block(batch: pa.Table) -> pa.Table:
+        rrows = _broadcast_cache_get(rref)
+        out_l, out_r = [], []
+        for lrow in batch.to_pylist():
+            for rrow in rrows:
+                if any(
+                    _safe_eval(c, {"left": lrow, "right": rrow})
+                    for c in conditions
+                ):
+                    out_l.append(lrow[left_id])
+                    out_r.append(rrow[right_id])
+        lt = batch.schema.field(left_id).type
+        return pa.table(
+            {left_id: pa.array(out_l, lt), right_id: pa.array(out_r, rid_type)}
+        )
+
+    block.__name__ = "condition_block"
+    return left.map_batches(block, batch_format="pyarrow")
+
+
 def llm_equijoin(
     left,
     right,

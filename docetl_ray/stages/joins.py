@@ -33,17 +33,13 @@ import pyarrow as pa
 
 from .util_ray import bucket_codes
 
-_BCAST_CACHE: dict = {}
-
-
 def _broadcast_cache_get(ref):
-    """Per-worker-process cache for ray.put broadcast objects."""
-    import ray
+    """Per-worker-process cache for ray.put broadcast objects (shared
+    bounded LRU — an unbounded dict pins every ref's plasma object for
+    the worker's lifetime; see util_ray.broadcast_cached)."""
+    from .util_ray import broadcast_cached
 
-    key = ref.hex()
-    if key not in _BCAST_CACHE:
-        _BCAST_CACHE[key] = ray.get(ref)
-    return _BCAST_CACHE[key]
+    return broadcast_cached(ref)
 
 
 def _as_arrow(obj) -> pa.Table:

@@ -311,6 +311,7 @@ def llm_resolve(
     output_schema: dict | None = None,
     client_factory=None,
     limit_comparisons: int | None = None,
+    blocking_conditions: list[str] | None = None,
     observability: bool = False,
     op_name: str = "resolve",
 ):
@@ -324,6 +325,12 @@ def llm_resolve(
        (``resolve.py:441-477``).  ``limit_comparisons`` caps the pair
        count per block deterministically (first pairs in sorted-id
        order — the reference caps globally, ``resolve.py:484-516``).
+       ``blocking_conditions``: eval'd pair predicates over
+       ``input1``/``input2`` (reference ``resolve.py:290-294``) — a pair
+       is only LLM-compared if ANY condition holds; evaluated through
+       ``_safe_eval`` (no builtins), and skipped pairs do not consume
+       the comparison budget (matching the reference, which filters
+       blocked pairs before capping).
     2. per multi-row cluster: ``resolution_prompt`` rendered with the
        cluster ``inputs``; the output-schema keys are merged over EVERY
        cluster row, and overwritten keys' prior values are preserved
@@ -341,7 +348,7 @@ def llm_resolve(
     import json as _json
 
     from .grouped import grouped_map
-    from .llm import FakeDeterministicClient, render_prompt
+    from .llm import FakeDeterministicClient, _safe_eval, render_prompt
 
     blocking_cols = (
         [blocking_col] if isinstance(blocking_col, str) else list(blocking_col)
@@ -358,6 +365,11 @@ def llm_resolve(
             for j in range(i + 1, n):
                 if limit_comparisons is not None and done >= limit_comparisons:
                     break
+                if blocking_conditions and not any(
+                    _safe_eval(c, {"input1": rows[i], "input2": rows[j]})
+                    for c in blocking_conditions
+                ):
+                    continue
                 rendered = render_prompt(
                     comparison_prompt, {"input1": rows[i], "input2": rows[j]}
                 )

@@ -375,18 +375,13 @@ def repetition_stats(ds, text_col: str):
 
 # --- paragraph-level dedup (CCNet-style boilerplate removal) ----------
 
-_PARA_HOT_CACHE: dict = {}
-
-
 def _hot_value_set(ref):
     """Per-worker cache: the broadcast hot-paragraph set, materialized
-    once per process as an Arrow array usable with ``pc.is_in``."""
-    import ray
+    once per process as an Arrow array usable with ``pc.is_in`` (shared
+    bounded LRU; see util_ray.broadcast_cached)."""
+    from .util_ray import broadcast_cached
 
-    key = ref.hex()
-    if key not in _PARA_HOT_CACHE:
-        _PARA_HOT_CACHE[key] = ray.get(ref)
-    return _PARA_HOT_CACHE[key]
+    return broadcast_cached(ref)
 
 
 def paragraph_counts(ds, text_col: str, *, sep: str = "\n"):

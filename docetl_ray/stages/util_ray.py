@@ -8,21 +8,38 @@ import pyarrow as pa
 _MIX = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd constant
 
 
-_BROADCAST_CACHE: dict = {}
+from collections import OrderedDict
+
+_BROADCAST_CACHE: "OrderedDict[str, object]" = OrderedDict()
+# A zero-copy ``ray.get`` of a numpy-bearing object keeps its plasma
+# object PINNED for as long as the Python view lives, so an UNBOUNDED
+# per-worker cache turns repeated pipeline invocations into monotonic
+# object-store pressure: every repeat's ``ray.put`` stays pinned in every
+# worker that touched it, the store fills, and ALL later queries in the
+# session degrade through spilling (measured: back-to-back minhash runs
+# grew 6.6s -> 38s and slowed the following ANN query 3x).  A small LRU
+# covers every concurrent broadcast one pipeline legitimately uses while
+# unpinning finished pipelines' objects on eviction.
+_BROADCAST_CACHE_MAX = 8
 
 
 def broadcast_cached(ref):
-    """Per-worker-process cache for ``ray.put`` broadcast objects: the
-    first task on a worker pays one zero-copy ``ray.get``; later batches
-    hit the dict.  Use from STATELESS ``map_batches`` functions instead
-    of an actor pool when the only state is a broadcast object (actor
-    pools pay seconds of process startup per invocation)."""
+    """Per-worker-process bounded LRU for ``ray.put`` broadcast objects:
+    the first task on a worker pays one zero-copy ``ray.get``; later
+    batches hit the dict.  Use from STATELESS ``map_batches`` functions
+    instead of an actor pool when the only state is a broadcast object
+    (actor pools pay seconds of process startup per invocation)."""
     import ray
 
     key = ref.hex()
-    if key not in _BROADCAST_CACHE:
-        _BROADCAST_CACHE[key] = ray.get(ref)
-    return _BROADCAST_CACHE[key]
+    if key in _BROADCAST_CACHE:
+        _BROADCAST_CACHE.move_to_end(key)
+        return _BROADCAST_CACHE[key]
+    val = ray.get(ref)
+    _BROADCAST_CACHE[key] = val
+    while len(_BROADCAST_CACHE) > _BROADCAST_CACHE_MAX:
+        _BROADCAST_CACHE.popitem(last=False)
+    return val
 
 
 _CLOSURE_BCAST_THRESHOLD = 4 * 1024 * 1024

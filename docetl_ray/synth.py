@@ -165,3 +165,71 @@ def pages_dataset(n: int, *, parallelism: int = -1):
 
     ds = rd.range(n, override_num_blocks=parallelism) if parallelism > 0 else rd.range(n)
     return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def _distinct_text(i: int) -> str:
+    """GENUINELY distinct text per index (``body_text`` repeats with
+    period 1000 — fine for the CDC fixtures where urls cycle anyway, but
+    a dedup benchmark over it would be ~1000 distinct docs pretending to
+    be a corpus).  Tokens are full-range hash hexes, NOT the 1000-word
+    vocabulary: with a tiny vocab two random docs share ~0.16 char-5-gram
+    Jaccard, which at 16x4 banding is a ~1% band-collision rate per pair
+    — quadratic candidate blowup at 10^6 docs.  Hash tokens push random
+    cross-doc Jaccard to ~0 while true near-dup pairs stay ~0.99."""
+    n = 60 + int(_h32(np.array([i]), 11)[0] % 140)
+    j = np.arange(n, dtype=np.int64)
+    toks = _h32(i * np.int64(1_000_003) + j, 13)
+    return f"doc{i} " + " ".join(format(int(t), "08x") for t in toks)
+
+
+def docs_for_indices(idx: np.ndarray) -> pa.Table:
+    """Near-dup document corpus rows ``(doc_id, text)``: every index with
+    ``i % 10 == 1`` is a light suffix mutation of doc ``i-1`` (char-5-gram
+    Jaccard ≈ 0.9+, a true near-duplicate pair), the rest distinct.
+    Pure function of the absolute index — chunking-invariant."""
+    texts = []
+    for i in idx:
+        i = int(i)
+        base = i - 1 if i % 10 == 1 else i
+        t = _distinct_text(base)
+        if base != i:
+            t = t + " dupmark" + str(i % 7)
+        texts.append(t)
+    return pa.table(
+        {"doc_id": pa.array(idx, pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+
+def docs_dataset(n: int, *, parallelism: int = -1):
+    """Distributed deterministic near-dup corpus (scale benchmarking)."""
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return docs_for_indices(batch["id"].to_numpy())
+
+    ds = rd.range(n, override_num_blocks=parallelism) if parallelism > 0 else rd.range(n)
+    return ds.map_batches(gen, batch_format="pyarrow")
+
+
+def vectors_for_indices(idx: np.ndarray, dim: int = 64) -> pa.Table:
+    """Deterministic pseudo-random unit-scale vectors ``(vec_id,
+    embedding list<float64>)`` — pure function of (index, dim)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    j = np.arange(dim, dtype=np.int64)
+    flat_idx = (idx[:, None] * np.int64(1_000_003) + j[None, :]).reshape(-1)
+    v = _h32(flat_idx).astype(np.float64) / 2**32 - 0.5
+    flat = pa.array(v, pa.float64())
+    col = pa.FixedSizeListArray.from_arrays(flat, dim).cast(pa.list_(pa.float64()))
+    return pa.table({"vec_id": pa.array(idx, pa.int64()), "embedding": col})
+
+
+def vectors_dataset(n: int, *, dim: int = 64, parallelism: int = -1):
+    """Distributed deterministic embedding corpus (scale benchmarking)."""
+    import ray.data as rd
+
+    def gen(batch: pa.Table) -> pa.Table:
+        return vectors_for_indices(batch["id"].to_numpy(), dim)
+
+    ds = rd.range(n, override_num_blocks=parallelism) if parallelism > 0 else rd.range(n)
+    return ds.map_batches(gen, batch_format="pyarrow")

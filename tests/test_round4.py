@@ -103,6 +103,159 @@ def test_hierarchy_headers_missing_key_aborts():
     assert _hierarchy_headers(current, prefix, "h") == ""
 
 
+def _collect(ds) -> pa.Table:
+    import ray
+
+    tabs = [t for t in ray.get(ds.to_arrow_refs()) if t.num_columns]
+    return pa.concat_tables(tabs, promote_options="permissive") if tabs \
+        else pa.table({})
+
+
+def test_llm_resolve_blocking_conditions(ray_session):
+    """Pairs failing every blocking condition are never compared
+    (reference resolve.py:290-294): with an always-match client, clusters
+    form only within predicate-passing pairs."""
+    from docetl_ray.stages.resolve import llm_resolve
+
+    rows = [
+        {"eid": 1, "blk": "x", "text": "aaaa one"},
+        {"eid": 2, "blk": "x", "text": "aaaa two"},
+        {"eid": 3, "blk": "x", "text": "bbbb one"},
+        {"eid": 4, "blk": "x", "text": "bbbb two"},
+    ]
+    ds = rd.from_items(rows).map_batches(
+        lambda t: pa.table({k: t[k] for k in ("eid", "blk", "text")}),
+        batch_format="pyarrow",
+    )
+
+    class AlwaysMatch:
+        model = "always"
+
+        def complete(self, prompt, schema):
+            return {"is_match": True}
+
+    out = _collect(llm_resolve(
+        ds, blocking_col="blk", id_col="eid",
+        comparison_prompt="{{ input1.text }} vs {{ input2.text }}",
+        client_factory=AlwaysMatch,
+        blocking_conditions=['input1["text"][:4] == input2["text"][:4]'],
+    ))
+    canon = dict(zip(out["eid"].to_pylist(), out["_canonical"].to_pylist()))
+    assert canon == {1: 1, 2: 1, 3: 3, 4: 3}
+
+    # without conditions the always-match client merges the whole block
+    out2 = _collect(llm_resolve(
+        ds, blocking_col="blk", id_col="eid",
+        comparison_prompt="{{ input1.text }} vs {{ input2.text }}",
+        client_factory=AlwaysMatch,
+    ))
+    canon2 = dict(zip(out2["eid"].to_pylist(), out2["_canonical"].to_pylist()))
+    assert canon2 == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_llm_resolve_blocked_pairs_do_not_consume_budget(ray_session):
+    """Skipped (condition-failing) pairs must not count toward
+    limit_comparisons — the reference filters blocked pairs BEFORE
+    capping."""
+    from docetl_ray.stages.resolve import llm_resolve
+
+    # sorted-id pair order: (1,2) fails, (1,3) passes, (1,4) fails,
+    # (2,3) fails, (2,4) passes ... with limit=2 the two PASSING pairs
+    # must both be compared even though earlier pairs were skipped
+    rows = [
+        {"eid": 1, "blk": "x", "g": "a"},
+        {"eid": 2, "blk": "x", "g": "b"},
+        {"eid": 3, "blk": "x", "g": "a"},
+        {"eid": 4, "blk": "x", "g": "b"},
+    ]
+    ds = rd.from_items(rows).map_batches(
+        lambda t: pa.table({k: t[k] for k in ("eid", "blk", "g")}),
+        batch_format="pyarrow",
+    )
+
+    class AlwaysMatch:
+        model = "always"
+
+        def complete(self, prompt, schema):
+            return {"is_match": True}
+
+    out = _collect(llm_resolve(
+        ds, blocking_col="blk", id_col="eid",
+        comparison_prompt="{{ input1.eid }} vs {{ input2.eid }}",
+        client_factory=AlwaysMatch,
+        blocking_conditions=['input1["g"] == input2["g"]'],
+        limit_comparisons=2,
+    ))
+    canon = dict(zip(out["eid"].to_pylist(), out["_canonical"].to_pylist()))
+    assert canon == {1: 1, 3: 1, 2: 2, 4: 2}
+
+
+def test_condition_blocked_pairs(ray_session):
+    from docetl_ray.stages.fuzzy_join import condition_blocked_pairs
+
+    left = rd.from_items([{"lid": i, "k": i % 3} for i in range(6)])
+    right = rd.from_items([{"rid": 10 + j, "rk": j} for j in range(3)])
+    pairs = _collect(condition_blocked_pairs(
+        left, right, ['left["k"] == right["rk"]'],
+        left_id="lid", right_id="rid",
+    ))
+    got = sorted(zip(pairs["lid"].to_pylist(), pairs["rid"].to_pylist()))
+    assert got == [(0, 10), (1, 11), (2, 12), (3, 10), (4, 11), (5, 12)]
+
+
+def test_condition_blocked_pairs_same_id_name_raises(ray_session):
+    import pytest as _pytest
+
+    from docetl_ray.stages.fuzzy_join import condition_blocked_pairs
+
+    left = rd.from_items([{"id": 1}])
+    with _pytest.raises(ValueError, match="distinct"):
+        condition_blocked_pairs(left, left, ["True"], left_id="id",
+                                right_id="id")
+
+
+def test_runner_equijoin_blocking_conditions(tmp_path, ray_session):
+    """YAML equijoin with blocking_conditions + comparison_prompt routes
+    through condition_blocked_pairs -> llm_equijoin."""
+    import pyarrow.parquet as pq
+
+    from docetl_ray.runner import PipelineRunner
+    from docetl_ray.stages.llm import FakeDeterministicClient
+
+    pq.write_table(
+        pa.table({"lid": [1, 2, 3], "name": ["acme", "acme", "zeta"]}),
+        tmp_path / "l.parquet",
+    )
+    pq.write_table(
+        pa.table({"rid": [7, 8], "rname": ["acme", "beta"]}),
+        tmp_path / "r.parquet",
+    )
+    cfg = {
+        "datasets": {
+            "left": {"type": "file", "path": str(tmp_path / "l.parquet")},
+            "right": {"type": "file", "path": str(tmp_path / "r.parquet")},
+        },
+        "operations": [
+            {"name": "j", "type": "equijoin", "right": "right",
+             "left_id": "lid", "right_id": "rid",
+             "blocking_conditions": ['left["name"] == right["rname"]'],
+             "comparison_prompt": "M?\nA: {{ input1.name }}\nB: {{ input2.rname }}"},
+        ],
+        "pipeline": {"steps": [{"name": "s1", "input": "left",
+                                "operations": ["j"]}]},
+    }
+    out = _collect(PipelineRunner(cfg).run())
+    # blocked candidates are exactly (1,7) and (2,7); the fake client's
+    # md5 verdict is shared by both (identical rendered prompt)
+    expect = bool(FakeDeterministicClient().complete(
+        "M?\nA: acme\nB: acme", {"is_match": "bool"}).get("is_match"))
+    if expect:
+        assert sorted(out["lid"].to_pylist()) == [1, 2]
+        assert set(out["rid"].to_pylist()) == {7}
+    else:
+        assert out.num_rows == 0
+
+
 def test_runner_gather_null_peripheral_chunks(ray_session):
     """YAML `peripheral_chunks:` with explicit null must not AttributeError
     (ADVICE: runner.py pc_cfg)."""
