@@ -322,13 +322,52 @@ def llm_filter(ds, prompt: str, *, filter_key: str = "keep", client_factory=None
     )
 
 
+def _kmeans_labels(embs, k: int, iters: int = 20):
+    """Deterministic k-means: centroids seeded from the first k rows
+    (input order), euclidean assignment with lowest-centroid tie-break
+    (``np.argmin``), fixed iteration count, empty clusters keep their
+    centroid.  The offline stand-in for the reference's sklearn KMeans
+    inside cluster_documents (``utils.py``)."""
+    import numpy as np
+
+    embs = np.asarray(embs, dtype=np.float64)
+    cents = embs[:k].copy()
+    labels = np.zeros(len(embs), dtype=np.int64)
+    for _ in range(iters):
+        d = ((embs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        new_labels = np.argmin(d, axis=1)
+        if (new_labels == labels).all() and _ > 0:
+            break
+        labels = new_labels
+        for c in range(k):
+            m = labels == c
+            if m.any():
+                cents[c] = embs[m].mean(axis=0)
+    return labels
+
+
 def _value_sample(rows: list[dict], cfg: dict, keys: list[str]) -> list[dict]:
     """Deterministic recast of reduce value_sampling (reduce.py:298-322):
     bound the rows fed to the prompt.  ``first_n`` is verbatim;
     ``random`` replaces RNG with an md5-of-position keep-rule (stable
     across runs/parallelism), keeping original order like the reference's
-    post-sample re-sort; cluster/sem_sim need an embedding service and
-    raise here."""
+    post-sample re-sort.
+
+    ``cluster`` / ``sem_sim`` (reference reduce.py:403-464) are recast
+    with a CALLER-SUPPLIED embedding column (``cfg["embedding_col"]``,
+    the same pattern as rank's embedding ordering) instead of an
+    embedding-service call:
+
+    - ``cluster``: deterministic k-means into ``sample_size`` clusters
+      (seeded from the first k rows), then the reference's round-robin
+      cluster visit with its ``random.randint`` member pick replaced by
+      an md5-of-(visit, cluster-size) pick — stable across runs.
+    - ``sem_sim``: cosine against ``cfg["query_embedding"]`` (the
+      caller-computed embedding of the reference's rendered
+      ``query_text``), top ``sample_size`` via ``np.argsort`` keeping
+      the reference's ascending-similarity output order
+      (reduce.py:462-464).
+    """
     if not cfg or not cfg.get("enabled"):
         return rows
     n = min(cfg["sample_size"], len(rows))
@@ -341,9 +380,46 @@ def _value_sample(rows: list[dict], cfg: dict, keys: list[str]) -> list[dict]:
             key=lambda i: hashlib.md5(f"vs|{i}|{len(rows)}".encode()).hexdigest(),
         )[:n]
         return [rows[i] for i in sorted(keyed)]  # original order, reduce.py:305-306
+    if method in ("cluster", "sem_sim"):
+        import numpy as np
+
+        emb_col = cfg.get("embedding_col")
+        if not emb_col:
+            raise NotImplementedError(
+                f"value_sampling method {method!r} needs embeddings: supply "
+                "a precomputed embedding column via "
+                "value_sampling['embedding_col'] (the offline recast of the "
+                "reference's embedding-service call, reduce.py:309-321)"
+            )
+        embs = np.asarray([r[emb_col] for r in rows], dtype=np.float64)
+        if method == "sem_sim":
+            q = np.asarray(cfg["query_embedding"], dtype=np.float64)
+            qn = q / max(float(np.linalg.norm(q)), 1e-300)
+            en = embs / np.maximum(
+                np.linalg.norm(embs, axis=1, keepdims=True), 1e-300
+            )
+            sims = en @ qn
+            top = np.argsort(sims, kind="stable")[-n:]
+            return [rows[i] for i in top]
+        labels = _kmeans_labels(embs, n)
+        clusters = [np.flatnonzero(labels == c).tolist() for c in range(n)]
+        sampled: list[dict] = []
+        added: set[int] = set()
+        for i in range(n):
+            members = [m for m in clusters[i % n] if m not in added]
+            if not members:
+                continue
+            seed = int(
+                hashlib.md5(f"vsc|{i}|{len(members)}".encode()).hexdigest()[:8],
+                16,
+            )
+            pick = members[seed % len(members)]
+            added.add(pick)
+            sampled.append(rows[pick])
+        return sampled
     raise NotImplementedError(
-        f"value_sampling method {method!r} needs an embedding service "
-        "(reference reduce.py:309-321); use first_n/random offline"
+        f"unknown value_sampling method {method!r} "
+        "(reference reduce.py:298-322)"
     )
 
 

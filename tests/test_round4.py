@@ -256,6 +256,114 @@ def test_runner_equijoin_blocking_conditions(tmp_path, ray_session):
         assert out.num_rows == 0
 
 
+def test_value_sample_sem_sim():
+    """sem_sim: cosine vs caller-supplied query embedding, top-k in the
+    reference's ascending-similarity order (reduce.py:462-464)."""
+    from docetl_ray.stages.llm import _value_sample
+
+    rows = [
+        {"i": 0, "emb": [1.0, 0.0]},
+        {"i": 1, "emb": [0.0, 1.0]},
+        {"i": 2, "emb": [0.9, 0.1]},
+        {"i": 3, "emb": [-1.0, 0.0]},
+        {"i": 4, "emb": [0.7, 0.7]},
+    ]
+    cfg = {"enabled": True, "method": "sem_sim", "sample_size": 3,
+           "embedding_col": "emb", "query_embedding": [1.0, 0.0]}
+    out = _value_sample(rows, cfg, [])
+    # ascending similarity: 4 (0.707) < 2 (~0.994) < 0 (1.0)
+    assert [r["i"] for r in out] == [4, 2, 0]
+
+
+def test_value_sample_cluster_covers_clusters():
+    """cluster: deterministic k-means + round-robin pick — one member
+    from each of two well-separated clusters."""
+    from docetl_ray.stages.llm import _value_sample
+
+    rows = (
+        [{"i": i, "emb": [10.0 + 0.01 * i, 10.0]} for i in range(3)]
+        + [{"i": 10 + i, "emb": [-10.0 - 0.01 * i, -10.0]} for i in range(3)]
+    )
+    cfg = {"enabled": True, "method": "cluster", "sample_size": 2,
+           "embedding_col": "emb"}
+    out = _value_sample(rows, cfg, [])
+    assert len(out) == 2
+    groups = {r["i"] // 10 for r in out}
+    assert groups == {0, 1}  # one from each cluster
+    # deterministic across calls
+    assert [r["i"] for r in _value_sample(rows, cfg, [])] == [r["i"] for r in out]
+
+
+def test_value_sample_needs_embedding_col():
+    import pytest as _pytest
+
+    from docetl_ray.stages.llm import _value_sample
+
+    with _pytest.raises(NotImplementedError, match="embedding_col"):
+        _value_sample([{"i": 0}] * 5, {"enabled": True, "method": "cluster",
+                                       "sample_size": 2}, [])
+
+
+def test_llm_reduce_value_sampling_cluster(ray_session):
+    """llm_reduce end-to-end: value_sampling bounds the rows rendered into
+    the prompt while _counts_prereduce still counts the FULL group."""
+    from docetl_ray.stages.llm import llm_reduce
+
+    rows = []
+    for g in ("a", "b"):
+        for i in range(4):
+            sign = 1.0 if i < 2 else -1.0
+            rows.append({"g": g, "i": i, "emb": [sign * 5.0 + 0.1 * i, sign]})
+    ds = rd.from_items(rows)
+
+    class CountingClient:
+        model = "counting"
+
+        def complete(self, prompt, schema):
+            # the prompt renders one "row:" line per sampled input
+            return {"n_in_prompt": prompt.count("row:")}
+
+    out = _collect(llm_reduce(
+        ds, "g",
+        "{% for r in inputs %}row: {{ r.i }}\n{% endfor %}",
+        {"n_in_prompt": "int"},
+        client_factory=CountingClient,
+        value_sampling={"enabled": True, "method": "cluster",
+                        "sample_size": 2, "embedding_col": "emb"},
+    ))
+    got = dict(zip(out["g"].to_pylist(), out["n_in_prompt"].to_pylist()))
+    assert got == {"a": 2, "b": 2}
+    counts = dict(zip(out["g"].to_pylist(),
+                      out["_counts_prereduce"].to_pylist()))
+    assert counts == {"a": 4, "b": 4}
+
+
+def test_llm_reduce_value_sampling_sem_sim(ray_session):
+    from docetl_ray.stages.llm import llm_reduce
+
+    rows = [{"g": "a", "i": i, "emb": [float(i), 1.0]} for i in range(5)]
+    ds = rd.from_items(rows)
+
+    class EchoClient:
+        model = "echo"
+
+        def complete(self, prompt, schema):
+            ids = [int(x) for x in prompt.replace("row:", " ").split()]
+            return {"picked": ",".join(map(str, ids))}
+
+    out = _collect(llm_reduce(
+        ds, "g",
+        "{% for r in inputs %}row: {{ r.i }} {% endfor %}",
+        {"picked": "str"},
+        client_factory=EchoClient,
+        value_sampling={"enabled": True, "method": "sem_sim",
+                        "sample_size": 2, "embedding_col": "emb",
+                        "query_embedding": [1.0, 0.0]},
+    ))
+    # highest cosine with [1,0]: i=4 then i=3; ascending-sim order -> 3,4
+    assert out["picked"].to_pylist() == ["3,4"]
+
+
 def test_runner_gather_null_peripheral_chunks(ray_session):
     """YAML `peripheral_chunks:` with explicit null must not AttributeError
     (ADVICE: runner.py pc_cfg)."""
