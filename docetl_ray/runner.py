@@ -580,6 +580,7 @@ class PipelineRunner:
                         on=op["on"], by=op["by"],
                         how=op.get("how", "left"),
                         num_buckets=op.get("num_buckets", 32),
+                        salt=op.get("salt", 1),
                     )
                 else:
                     ds = _apply_op(ds, op)

@@ -32,6 +32,7 @@ def asof_join(
     by: str,
     how: str = "left",
     num_buckets: int = 32,
+    salt: int = 1,
     left_schema: pa.Schema | None = None,
     right_schema: pa.Schema | None = None,
 ):
@@ -40,6 +41,16 @@ def asof_join(
     not collide with a left column (rename upstream — explicit beats
     implicit suffixing in a lake pipeline).  ``how``: "left" keeps
     unmatched left rows (right columns null), "inner" drops them.
+
+    ``salt`` > 1 is the hot-key mitigation: without it every row of one
+    ``by`` key lands in a single task (one host = millions of events in a
+    web corpus).  Salting splits the LEFT side of every bucket into
+    ``salt`` sub-tasks by a hash of ``on`` and REPLICATES the bucket's
+    right side to each — every left row still sees ALL right rows of its
+    key, so the backward match is unchanged; only the merge work fans
+    out.  Cost: right side shuffled ``salt``x (cheap when the right side
+    is bounded state, the CDC-enrichment norm).  Pick salt ~ hot-key
+    share x num CPUs; stays exact for any value.
     """
     from .joins import _ds_arrow_schema, _ds_arrow_schema_lazy
 
@@ -63,8 +74,11 @@ def asof_join(
     unified = pa.schema(list(out_schema) + [pa.field("__side", pa.string())])
     left_names = list(l_arrow.names)
 
+    salt = max(1, int(salt))
+
     def tag(side, names):
         def fn(batch: pa.Table) -> pa.Table:
+            import numpy as np
             import pyarrow.compute as pc
 
             b = bucket_codes(batch, [by], num_buckets)
@@ -77,7 +91,23 @@ def asof_join(
                 else:
                     arrays.append(pa.nulls(batch.num_rows, f.type))
             out = pa.table(dict(zip(unified.names, arrays)))
-            return out.append_column("__bucket", pa.array(b, pa.int32()))
+            if salt == 1:
+                return out.append_column("__bucket", pa.array(b, pa.int32()))
+            base = np.asarray(b, dtype=np.int64) * salt
+            if side == "l":
+                # left rows split across salt sub-buckets by an on-hash
+                s = np.asarray(bucket_codes(batch, [on], salt), dtype=np.int64)
+                return out.append_column(
+                    "__bucket", pa.array((base + s).astype(np.int32), pa.int32())
+                )
+            # right rows replicate into every sub-bucket of their key
+            parts = [
+                out.append_column(
+                    "__bucket", pa.array((base + s).astype(np.int32), pa.int32())
+                )
+                for s in range(salt)
+            ]
+            return pa.concat_tables(parts)
 
         fn.__name__ = f"asof_tag_{side}"
         return fn
@@ -117,4 +147,6 @@ def asof_join(
     join_bucket.__name__ = "asof_join_bucket"
     unioned = lb.union(rb)
     wire = pa.schema(list(unified) + [pa.field("__bucket", pa.int32())])
-    return exchange_map_groups(unioned, "__bucket", num_buckets, join_bucket, schema=wire)
+    return exchange_map_groups(
+        unioned, "__bucket", num_buckets * salt, join_bucket, schema=wire
+    )

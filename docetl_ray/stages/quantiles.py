@@ -68,8 +68,40 @@ class _Sel:
     refining: bool = True  # False -> resolved by the final value-count
 
 
+def _plan_op_names(ds) -> list[str] | None:
+    """Logical-plan operator class names (root first), or None if the
+    internal plan API is unavailable."""
+    try:
+        out = []
+        stack = [ds._logical_plan.dag]
+        while stack:
+            op = stack.pop()
+            out.append(type(op).__name__)
+            stack.extend(op.input_dependencies)
+        return out
+    except Exception:
+        return None
+
+
+def _pin_threshold_default() -> int:
+    """Default pin ceiling: half the cluster object store (pinning more
+    than that for 3-5 passes trades spill churn for every concurrent
+    stage), falling back to 8 GiB when the resource is unreported."""
+    try:
+        import ray
+
+        osm = ray.cluster_resources().get("object_store_memory")
+        if osm:
+            return int(osm) // 2
+    except Exception:
+        pass
+    return 8 << 30
+
+
 def _multi_select(ds, col: str, ks: list[int] | None = None, *,
-                  qs=None, collect_threshold: int):
+                  qs=None, collect_threshold: int,
+                  pin: bool | str = "auto",
+                  pin_threshold_bytes: int | None = None):
     """Exact values at 1-indexed ranks ``ks`` (sorted multiset of the
     non-null values of ``col``), all ranks refined in lockstep.  Pass
     ``qs`` instead to derive the ranks from the count the minmax pass
@@ -77,11 +109,31 @@ def _multi_select(ds, col: str, ks: list[int] | None = None, *,
     from .util_ray import tree_aggregate
 
     # The refinement makes 3-5 streaming passes; a lazy `ds` would
-    # RE-EXECUTE its whole upstream (read + transforms) per pass.
-    # Project to the one needed column and pin it in the object store
-    # once: at 10^10 rows a float64 column is ~80 GB across the cluster
-    # (spillable), and 4 passes over that beat 4 re-reads of the full
-    # table.  Skip the projection when the caller already pruned.
+    # RE-EXECUTE its whole upstream (read + transforms) per pass, so by
+    # default the one needed column is projected and pinned in the object
+    # store once.  BUT pinning is itself a trade: at 10^10 rows a float64
+    # column is ~80 GB across the cluster — spillable, yet the spill
+    # churn taxes every concurrent stage for the whole refinement.
+    # ``pin="auto"``: when the upstream is a bare (pruned) read whose
+    # parquet metadata advertises a size above the threshold, SKIP the
+    # materialize and let each pass re-read the pruned source — at that
+    # scale 4 column-pruned reads beat pinning half the store.  Metadata
+    # estimation never triggers execution (``size_bytes()`` on any
+    # transformed dataset would execute it, i.e. pin exactly what auto
+    # mode tries to avoid), so transformed upstreams keep the pin.
+    if pin == "auto":
+        pin = True
+        if _plan_op_names(ds) == ["Read"]:
+            try:
+                est = ds.size_bytes()  # metadata-only for a bare read
+            except Exception:
+                est = None
+            if est is not None and est > (
+                pin_threshold_bytes
+                if pin_threshold_bytes is not None
+                else _pin_threshold_default()
+            ):
+                pin = False
     try:
         names = ds.schema(fetch_if_missing=False)
         names = list(names.names) if names is not None else None
@@ -89,7 +141,8 @@ def _multi_select(ds, col: str, ks: list[int] | None = None, *,
         names = None
     if names is not None and names != [col]:
         ds = ds.select_columns([col])
-    ds = ds.materialize()
+    if pin:
+        ds = ds.materialize()
 
     def minmax(batch: pa.Table) -> pa.Table:
         v = _values(batch, col)
@@ -223,21 +276,27 @@ def _multi_select(ds, col: str, ks: list[int] | None = None, *,
     return out, n
 
 
-def kth_smallest(ds, col: str, k: int, *, collect_threshold: int = 65536):
+def kth_smallest(ds, col: str, k: int, *, collect_threshold: int = 65536,
+                 pin: bool | str = "auto",
+                 pin_threshold_bytes: int | None = None):
     """Exact k-th smallest (1-indexed) non-null value of ``col``."""
     if k < 1:
         raise ValueError("k is 1-indexed")
-    out, _n = _multi_select(ds, col, [k], collect_threshold=collect_threshold)
+    out, _n = _multi_select(ds, col, [k], collect_threshold=collect_threshold,
+                            pin=pin, pin_threshold_bytes=pin_threshold_bytes)
     return out[k]
 
 
-def quantiles(ds, col: str, qs, *, collect_threshold: int = 65536):
+def quantiles(ds, col: str, qs, *, collect_threshold: int = 65536,
+              pin: bool | str = "auto",
+              pin_threshold_bytes: int | None = None):
     """Discrete quantiles (DuckDB ``quantile_disc`` semantics) as a
     pyarrow Table ``(q, value)``.  All quantiles share every scan."""
     for q in qs:
         if not 0.0 <= q <= 1.0:
             raise ValueError(f"quantile {q} outside [0, 1]")
-    vals, n = _multi_select(ds, col, qs=qs, collect_threshold=collect_threshold)
+    vals, n = _multi_select(ds, col, qs=qs, collect_threshold=collect_threshold,
+                            pin=pin, pin_threshold_bytes=pin_threshold_bytes)
     if n == 0:
         return pa.table(
             {"q": pa.array([float(q) for q in qs], pa.float64()),
