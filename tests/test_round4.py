@@ -460,6 +460,36 @@ def test_asof_join_salted_hot_key(ray_session):
     assert hot.loc[1999] == "hot@1500"
 
 
+def test_synth_docs_vectors_deterministic():
+    """Scale-bench generators are pure functions of the absolute index —
+    identical regardless of chunk boundaries."""
+    import numpy as np
+
+    from docetl_ray import synth
+
+    whole = synth.docs_for_indices(np.arange(0, 40))
+    parts = pa.concat_tables([
+        synth.docs_for_indices(np.arange(0, 7)),
+        synth.docs_for_indices(np.arange(7, 25)),
+        synth.docs_for_indices(np.arange(25, 40)),
+    ])
+    assert whole.equals(parts)
+
+    vw = synth.vectors_for_indices(np.arange(0, 20), dim=16)
+    vp = pa.concat_tables([
+        synth.vectors_for_indices(np.arange(0, 3), dim=16),
+        synth.vectors_for_indices(np.arange(3, 20), dim=16),
+    ])
+    assert vw.equals(vp)
+
+    # near-dup structure: i%10==1 is a suffix mutation of i-1
+    t10 = whole["text"][10].as_py()
+    t11 = whole["text"][11].as_py()
+    assert t11.startswith(t10) and t11 != t10
+    # non-dup neighbors are unrelated
+    assert not whole["text"][3].as_py().startswith(whole["text"][2].as_py()[:20])
+
+
 def test_runner_gather_null_peripheral_chunks(ray_session):
     """YAML `peripheral_chunks:` with explicit null must not AttributeError
     (ADVICE: runner.py pc_cfg)."""
