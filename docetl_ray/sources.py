@@ -20,6 +20,40 @@ import pyarrow as pa
 # -- readers (docetl Dataset type=file; json/csv + parquet/text extra) -----
 
 
+def _metadata_free_schema(path: str, columns):
+    """Pruned, metadata-stripped parquet schema — or None to let Ray
+    infer.  Pandas-written parquet carries schema metadata that makes
+    ``pa.Schema`` unhashable, defeating Ray's schema-dedup fast path in
+    every union/concat downstream (measured 4x wall on a shuffle-heavy
+    pipeline) and flooding a warning per block.  Only returns a schema
+    when the file actually carries metadata, so heterogeneous-schema
+    directories keep Ray's own inference."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    p = path
+    if os.path.isdir(path):
+        cand = sorted(
+            f for f in os.listdir(path) if f.endswith((".parquet", ".pq"))
+        )
+        if not cand:
+            return None
+        p = os.path.join(path, cand[0])
+    try:
+        schema = pq.read_schema(p)
+    except Exception:
+        return None
+    if not schema.metadata:
+        return None
+    schema = schema.remove_metadata()
+    if columns is not None:
+        try:
+            schema = pa.schema([schema.field(c) for c in columns])
+        except KeyError:
+            return None
+    return schema
+
+
 def read_dataset(path: str, *, columns=None):
     """Format-dispatched reader (json / csv / parquet / txt / jsonl)."""
     import ray.data as rd
@@ -33,7 +67,8 @@ def read_dataset(path: str, *, columns=None):
         return rd.read_csv(path)
     if ext in (".txt", ".md"):
         return rd.read_text(path)
-    return rd.read_parquet(path, columns=columns)
+    schema = _metadata_free_schema(path, columns)
+    return rd.read_parquet(path, schema=schema, columns=columns)
 
 
 # -- parsing tools (docetl.parser plugin group) ----------------------------

@@ -490,6 +490,30 @@ def test_synth_docs_vectors_deterministic():
     assert not whole["text"][3].as_py().startswith(whole["text"][2].as_py()[:20])
 
 
+def test_read_dataset_strips_pandas_metadata(tmp_path, ray_session):
+    """Pandas-written parquet (schema metadata) reads through the library
+    with a metadata-free schema — the 4x shuffle slow-path guard."""
+    import pandas as pd
+
+    from docetl_ray.sources import _metadata_free_schema, read_dataset
+
+    df = pd.DataFrame({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    df.to_parquet(tmp_path / "p.parquet")
+    sch = _metadata_free_schema(str(tmp_path / "p.parquet"), None)
+    assert sch is not None and not sch.metadata
+    ds = read_dataset(str(tmp_path / "p.parquet"), columns=["a"])
+    tab = _collect(ds)
+    assert tab.column_names == ["a"]
+    assert not tab.schema.metadata
+    assert sorted(tab["a"].to_pylist()) == [1, 2, 3]
+
+    # metadata-free parquet keeps Ray's own inference (schema=None)
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"c": [1]}), tmp_path / "clean.parquet")
+    assert _metadata_free_schema(str(tmp_path / "clean.parquet"), None) is None
+
+
 def test_runner_gather_null_peripheral_chunks(ray_session):
     """YAML `peripheral_chunks:` with explicit null must not AttributeError
     (ADVICE: runner.py pc_cfg)."""
