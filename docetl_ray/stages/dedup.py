@@ -198,6 +198,7 @@ def minhash_candidates(
     shingle_k: int = 5,
     threshold: float = 0.7,
     verify: str = "broadcast",
+    sparse_text_pairs: int = 10_000,
 ):
     """MinHash+LSH candidate pairs with signature-estimated Jaccard.
 
@@ -340,6 +341,69 @@ def minhash_candidates(
             ["id_a", "id_b"],
             [("_one", "count", "_n")],
         )
+        # materializing the PAIRS is bounded by the prefiltered candidate
+        # count (~true near-dup pairs, far smaller than the corpus) and
+        # lets the sparse/dense decision below read the count for free
+        uniq = uniq.materialize()
+        n_pairs = uniq.count()
+
+        if n_pairs <= sparse_text_pairs:
+            # SPARSE fast path: few enough survivors that their texts fit
+            # a broadcast — one map-only ``is_in`` pass fetches exactly
+            # the needed texts (no corpus shuffle at all), then the exact
+            # verify runs over the pair table with dict lookups.  Skips
+            # both keyed-shuffle text joins (~2 s fixed cost each at
+            # small scale; at web scale the dense path below streams).
+            pt = _cs(uniq)
+            need = sorted(
+                set(pt["id_a"].to_pylist()) | set(pt["id_b"].to_pylist())
+            )
+            need_arr = pa.array(need)
+
+            def pick(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                t = batch.filter(pc.is_in(batch[id_col], value_set=need_arr))
+                return pa.table({"_pid": t[id_col], "_ptxt": t[text_col]})
+
+            pick.__name__ = "minhash_pick_texts"
+            small = _cs(ds.map_batches(pick, batch_format="pyarrow"))
+            text_map = dict(
+                zip(small["_pid"].to_pylist(), small["_ptxt"].to_pylist())
+            )
+            tref = ray.put(text_map)
+
+            def verify_sparse(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                texts = _broadcast_sig_cache(tref)
+                cache: dict = {}
+
+                def sh(i):
+                    s = cache.get(i)
+                    if s is None:
+                        s = set(shingles(texts.get(i) or "", shingle_k).tolist())
+                        cache[i] = s
+                    return s
+
+                jac = []
+                for ia, ib in zip(
+                    batch["id_a"].to_pylist(), batch["id_b"].to_pylist()
+                ):
+                    sa, sb = sh(ia), sh(ib)
+                    if not sa and not sb:
+                        jac.append(1.0)
+                        continue
+                    inter = len(sa & sb)
+                    jac.append(inter / (len(sa) + len(sb) - inter))
+                out = pa.table(
+                    {"id_a": batch["id_a"], "id_b": batch["id_b"],
+                     "est_jaccard": pa.array(jac, pa.float64())}
+                )
+                return out.filter(pc.greater_equal(out["est_jaccard"], threshold))
+
+            verify_sparse.__name__ = "minhash_verify_exact_sparse"
+            return uniq.map_batches(verify_sparse, batch_format="pyarrow")
 
         def proj(out_id, out_text):
             def fn(batch: pa.Table) -> pa.Table:

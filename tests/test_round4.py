@@ -460,6 +460,30 @@ def test_asof_join_salted_hot_key(ray_session):
     assert hot.loc[1999] == "hot@1500"
 
 
+def test_minhash_exact_sparse_matches_dense(ray_session):
+    """The sparse broadcast-text verify and the dense keyed-shuffle-join
+    verify must produce identical exact-Jaccard pairs."""
+    import numpy as np
+
+    from docetl_ray import synth
+    from docetl_ray.stages.dedup import minhash_candidates
+
+    docs = rd.from_arrow(synth.docs_for_indices(np.arange(300)))
+
+    def pairs_with(thr):
+        out = _collect(minhash_candidates(
+            docs, "text", "doc_id", threshold=0.8, verify="exact",
+            sparse_text_pairs=thr,
+        ))
+        return sorted(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist(),
+                          [round(j, 12) for j in out["est_jaccard"].to_pylist()]))
+
+    sparse = pairs_with(10_000)   # all pairs fit the broadcast path
+    dense = pairs_with(0)         # force the keyed-shuffle join path
+    assert sparse == dense
+    assert len(sparse) == 30      # the planted i%10==1 near-dup pairs
+
+
 def test_synth_docs_vectors_deterministic():
     """Scale-bench generators are pure functions of the absolute index —
     identical regardless of chunk boundaries."""
