@@ -347,6 +347,16 @@ def minhash_candidates(
         uniq = uniq.materialize()
         n_pairs = uniq.count()
 
+        if n_pairs == 0:
+            import ray.data as rd
+
+            sig_schema0 = _ds_arrow_schema_lazy(sig_ds)
+            idt0 = sig_schema0.field(id_col).type
+            return rd.from_arrow(pa.schema(
+                [("id_a", idt0), ("id_b", idt0),
+                 ("est_jaccard", pa.float64())]
+            ).empty_table())
+
         if n_pairs <= sparse_text_pairs:
             # SPARSE fast path: few enough survivors that their texts fit
             # a broadcast — one map-only ``is_in`` pass fetches exactly
