@@ -941,20 +941,26 @@ def simhash_near_dedup(
         .groupby("_bpart", num_partitions=32)
         .map_groups(pairs, batch_format="pandas")
     )
-    # same pair can surface from several bands: dedup with a grouped count
-    uniq = grouped_aggregate(
-        cand.map_batches(
-            lambda t: t.append_column("_one", pa.array([1] * t.num_rows, pa.int8())),
-            batch_format="pyarrow",
-        ),
-        ["id_a", "id_b"],
-        [("_one", "count", "_n")],
-    )
     if distributed:
+        # same pair can surface from several bands: dedup with a grouped
+        # count so label propagation sees each edge once
+        uniq = grouped_aggregate(
+            cand.map_batches(
+                lambda t: t.append_column(
+                    "_one", pa.array([1] * t.num_rows, pa.int8())
+                ),
+                batch_format="pyarrow",
+            ),
+            ["id_a", "id_b"],
+            [("_one", "count", "_n")],
+        )
         labels = connected_components_distributed(uniq)
         return _attach_labels_join(ds, id_col, labels, output_col), labels
 
-    cmap = connected_components(collect_small(uniq))
+    # driver path: union-find is idempotent under duplicate edges, so the
+    # cross-band pair-dedup shuffle is pure overhead — collect the raw
+    # candidates (≤ bands x the deduped volume, still sparse) directly
+    cmap = connected_components(collect_small(cand))
     return _attach_labels_broadcast(ds, id_col, cmap, output_col), cmap
 
 

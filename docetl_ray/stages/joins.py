@@ -49,7 +49,9 @@ def _as_arrow(obj) -> pa.Table:
         return pa.Table.from_pandas(obj, preserve_index=False)
     import ray
 
-    return pa.concat_tables(ray.get(obj.to_arrow_refs()), promote_options="permissive")
+    from .util_ray import arrow_refs
+
+    return pa.concat_tables(ray.get(arrow_refs(obj)), promote_options="permissive")
 
 
 def _convert_ray_schema(s) -> pa.Schema:

@@ -42,6 +42,16 @@ def broadcast_cached(ref):
     return val
 
 
+def arrow_refs(ds) -> list:
+    """``ds.to_arrow_refs()`` without the hidden DOUBLE execution: on a
+    non-materialized dataset Ray 2.49's ``to_arrow_refs`` runs the full
+    plan and then re-executes it behind a ``limit(1)`` schema probe
+    (observed on both arrow- and pandas-block pipelines).  Materializing
+    first makes both reads hit the cached bundle — one execution, and
+    the blocks were going to live in the object store either way."""
+    return list(ds.materialize().to_arrow_refs())
+
+
 _CLOSURE_BCAST_THRESHOLD = 4 * 1024 * 1024
 
 
@@ -233,7 +243,7 @@ def exchange_map_groups(ds, part_col: str, nparts: int, fn, *, schema=None):
     import ray
     import ray.data as rd
 
-    block_refs = list(ds.to_arrow_refs())
+    block_refs = arrow_refs(ds)
     if not block_refs:
         # no blocks at all (fully-empty upstream): nothing to exchange
         return rd.from_arrow(schema.empty_table() if schema is not None else pa.table({}))
@@ -306,7 +316,7 @@ def tree_aggregate(ds, keys: list[str], aggs: list[tuple[str, str, str]],
     blocks the tree is O(log_fanin) levels of tiny tasks instead."""
     import ray
 
-    refs = list(ds.to_arrow_refs())
+    refs = arrow_refs(ds)
     if not refs:
         return pa.table({})
     combine = ray.remote(max_retries=3, retry_exceptions=True)(_combine_partials)
@@ -350,7 +360,7 @@ def zip_with_index(ds, col: str = "_idx", *, start: int = 0):
     import ray
     import ray.data as rd
 
-    refs = list(ds.to_arrow_refs())
+    refs = arrow_refs(ds)
     if not refs:
         return ds
     nrows = ray.remote(_block_nrows)
@@ -368,7 +378,7 @@ def collect_small(ds) -> pa.Table:
     import pandas as pd
     import ray
 
-    blocks = ray.get(ds.to_arrow_refs())
+    blocks = ray.get(arrow_refs(ds))
     tables = []
     for t in blocks:
         if isinstance(t, pd.DataFrame):  # pandas-format blocks pass through

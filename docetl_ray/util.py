@@ -16,7 +16,9 @@ def collect(ds) -> pa.Table:
     import pandas as pd
     import ray
 
-    blocks = ray.get(ds.to_arrow_refs())
+    from .stages.util_ray import arrow_refs
+
+    blocks = ray.get(arrow_refs(ds))
     tables = []
     for t in blocks:
         if isinstance(t, pd.DataFrame):  # pandas-format blocks pass through
