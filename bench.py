@@ -151,6 +151,8 @@ def run_bench() -> dict:
     # reps>=3 — query_detail records every repeat + 1-min load average so
     # driver-vs-builder discrepancies are attributable from the artifact.
     reps = int(os.environ.get("GRAFT_BENCH_QUERY_REPEATS", "3"))
+    import gc
+
     for name in bench_queries:
         times = []
         loads = []
@@ -165,6 +167,12 @@ def run_bench() -> dict:
                 for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
                     pass
             times.append(time.perf_counter() - t0)
+            # drop the result's lineage (which can hold materialized
+            # bundles) BEFORE the next repeat so plasma frees promptly —
+            # 50+ back-to-back executions otherwise accumulate enough
+            # pinned blocks to inflate the tail of the suite
+            del res
+            gc.collect()
         qtimes[name] = round(sorted(times)[len(times) // 2], 3)
         qdetail[name] = {"times": [round(t, 3) for t in times], "load1": loads}
 

@@ -530,6 +530,33 @@ def test_fuzzy_join_paths_equivalent(ray_session):
         assert out.num_rows == 0
 
 
+def test_arrow_refs_single_execution(tmp_path, ray_session):
+    """util_ray.arrow_refs must execute the pipeline exactly once —
+    Ray's bare to_arrow_refs re-executes it behind a limit(1) schema
+    probe (the bug this helper exists to avoid)."""
+    import os as _os
+
+    from docetl_ray.stages.util_ray import arrow_refs
+
+    marker = str(tmp_path / "execs")
+
+    def bump(t: pa.Table) -> pa.Table:
+        with open(marker, "a") as f:
+            f.write("x\n")
+            f.flush()
+            _os.fsync(f.fileno())
+        return t
+
+    ds = rd.range(1000, override_num_blocks=4).map_batches(
+        bump, batch_format="pyarrow"
+    )
+    refs = arrow_refs(ds)
+    assert sum(t.num_rows for t in __import__("ray").get(refs)) == 1000
+    with open(marker) as f:
+        n = len(f.readlines())
+    assert n == 4  # one bump per block, exactly one pipeline execution
+
+
 def test_synth_docs_vectors_deterministic():
     """Scale-bench generators are pure functions of the absolute index —
     identical regardless of chunk boundaries."""
