@@ -187,18 +187,21 @@ def lww_latest(ds, key_col: str, order_cols):
         # whole-bucket LWW in one vectorized sort+filter — NOT per distinct
         # key: groupby(key).map_groups pays ~ms of task/pandas overhead per
         # key, which dominates on high-cardinality keys
+        if "_kbucket" in group.column_names:  # exchange drops it already
+            group = group.drop_columns(["_kbucket"])
         return last_per_key(
-            group.drop_columns(["_kbucket"]).replace_schema_metadata(None),
-            key_col,
-            order_cols,
+            group.replace_schema_metadata(None), key_col, order_cols
         )
 
     final.__name__ = "lww_final"
     pre = ds.map_batches(partial, batch_format="pyarrow")
-    return (
-        pre.groupby("_kbucket", num_partitions=num_buckets)
-        .map_groups(final, batch_format="pyarrow")
-    )
+    # the take()-based task exchange, not ds.groupby: Ray's sort shuffle
+    # slices map blocks and sliced Arrow tables pickle their FULL parent
+    # buffers, so payload rows would ship ~num_buckets times (the same
+    # reason the CDC apply and asof_join use it)
+    from ..stages.util_ray import exchange_map_groups
+
+    return exchange_map_groups(pre, "_kbucket", num_buckets, final)
 
 
 def _atomic_write_parquet(t: pa.Table, path: str):
