@@ -44,7 +44,8 @@ def grouped_map(
         return batch.append_column("_gbucket", pa.array(b, pa.int32()))
 
     def per_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        bucket_df = bucket_df.drop(columns=["_gbucket"])
+        if "_gbucket" in bucket_df.columns:  # the exchange drops it already
+            bucket_df = bucket_df.drop(columns=["_gbucket"])
         outs = []
         for _, g in bucket_df.groupby(keys, sort=True, dropna=False):
             out = fn(g)
@@ -56,12 +57,29 @@ def grouped_map(
             return pd.DataFrame()
         return pd.concat(outs, ignore_index=True)
 
+    def per_bucket_arrow(group: pa.Table) -> pa.Table:
+        out = per_bucket(group.to_pandas())
+        if not len(out.columns):
+            # no-column empty table: collect()/union skip it; fn's output
+            # schema is unknown when every group yielded nothing
+            return pa.table({})
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
     per_bucket.__name__ = getattr(fn, "__name__", "grouped_map")
-    # No repartition barrier here: bounding the REDUCE side via
-    # num_partitions is what matters; callers whose map side has hundreds
-    # of blocks (the CDC apply path) coalesce explicitly before calling.
-    return (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("_gbucket", num_partitions=num_partitions)
-        .map_groups(per_bucket, batch_format="pandas")
+    per_bucket_arrow.__name__ = per_bucket.__name__
+    # The take()-based task exchange instead of ds.groupby: Ray's sort
+    # shuffle slices map blocks, and sliced Arrow tables pickle their
+    # FULL parent buffers — payload rows (texts) would ship
+    # ~num_partitions times, plus the sort pays seconds of fixed cost
+    # per invocation (same reasoning as the CDC apply / asof_join /
+    # lww_latest exchanges).
+    from .util_ray import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_gbucket",
+        num_partitions,
+        per_bucket_arrow,
     )

@@ -243,7 +243,18 @@ def exchange_map_groups(ds, part_col: str, nparts: int, fn, *, schema=None):
     import ray
     import ray.data as rd
 
-    block_refs = arrow_refs(ds)
+    mds = ds.materialize()
+    block_refs = list(mds.to_arrow_refs())
+    if schema is None:
+        # the dataset is materialized, so its schema is free — and the
+        # split tasks need it whenever a bundle holds only empty blocks
+        try:
+            from .joins import _convert_ray_schema
+
+            s = mds.schema()
+            schema = _convert_ray_schema(s) if s is not None else None
+        except Exception:
+            schema = None
     if not block_refs:
         # no blocks at all (fully-empty upstream): nothing to exchange
         return rd.from_arrow(schema.empty_table() if schema is not None else pa.table({}))
