@@ -60,6 +60,25 @@ BENCH_QUERIES = [
 N10M_EVENTS = int(os.environ.get("GRAFT_BENCH_N10M_EVENTS", "10000000"))
 
 
+def _cpu_sample():
+    """(steal, total) jiffies from /proc/stat — hypervisor CPU steal is
+    invisible to load average but inflates every wall-clock timing on
+    this shared host (observed 30% steal at load 0.1, a 1.5-3x
+    slowdown).  Each timed block records steal%% so driver-vs-builder
+    discrepancies are attributable from the artifact alone."""
+    try:
+        with open("/proc/stat") as f:
+            vals = [int(x) for x in f.readline().split()[1:]]
+        return vals[7] if len(vals) > 7 else 0, sum(vals)
+    except Exception:
+        return 0, 0
+
+
+def _steal_pct(before, after):
+    ds, dt = after[0] - before[0], after[1] - before[1]
+    return round(100.0 * ds / dt, 1) if dt > 0 else 0.0
+
+
 def _wal_dir(n_events: int | None = None) -> str:
     return f"/tmp/docetl_ray_bench_wal_{n_events or N_EVENTS}"
 
@@ -124,16 +143,20 @@ def run_bench() -> dict:
 
     lake = f"/tmp/docetl_ray_bench_lake_{NCPU}"
     shutil.rmtree(lake, ignore_errors=True)
+    c0 = _cpu_sample()
     t0 = time.perf_counter()
     table = LakeTable(lake, num_partitions=max(32, NCPU * 2))
     apply_events(table, rd.read_parquet(wal), epoch=0)
     headline = time.perf_counter() - t0
+    headline_steal = _steal_pct(c0, _cpu_sample())
 
     # secondary: LSM/delta-mode apply of a follow-up epoch (bounded cost
     # per epoch regardless of accumulated state)
+    c0 = _cpu_sample()
     t0 = time.perf_counter()
     apply_events(table, rd.read_parquet(wal), epoch=1, mode="delta")
     delta_sec = time.perf_counter() - t0
+    delta_steal = _steal_pct(c0, _cpu_sample())
 
     import __ray_entry__ as entrymod
 
@@ -156,8 +179,10 @@ def run_bench() -> dict:
     for name in bench_queries:
         times = []
         loads = []
+        steals = []
         for _ in range(reps):
             loads.append(round(os.getloadavg()[0], 2))
+            c0 = _cpu_sample()
             t0 = time.perf_counter()
             res = qfns[name](SF_DIR)
             if hasattr(res, "iter_batches"):
@@ -167,6 +192,7 @@ def run_bench() -> dict:
                 for _ in res.iter_batches(batch_size=65536, batch_format="pyarrow"):
                     pass
             times.append(time.perf_counter() - t0)
+            steals.append(_steal_pct(c0, _cpu_sample()))
             # drop the result's lineage (which can hold materialized
             # bundles) BEFORE the next repeat so plasma frees promptly —
             # 50+ back-to-back executions otherwise accumulate enough
@@ -174,7 +200,8 @@ def run_bench() -> dict:
             del res
             gc.collect()
         qtimes[name] = round(sorted(times)[len(times) // 2], 3)
-        qdetail[name] = {"times": [round(t, 3) for t in times], "load1": loads}
+        qdetail[name] = {"times": [round(t, 3) for t in times],
+                         "load1": loads, "steal_pct": steals}
 
     # 10x-scale apply block (structured, replaces BASELINE.md prose):
     # fixed costs amortize and the O(state)-vs-O(epoch) modes separate
@@ -194,13 +221,16 @@ def run_bench() -> dict:
         n10m_passes = int(os.environ.get("GRAFT_BENCH_N10M_PASSES", "3"))
         merge_secs = []
         merge_loads = []
+        merge_steals = []
         for _ in range(n10m_passes):
             merge_loads.append(round(os.getloadavg()[0], 2))
             shutil.rmtree(lake10, ignore_errors=True)
+            c0 = _cpu_sample()
             t0 = time.perf_counter()
             table10 = LakeTable(lake10, num_partitions=max(64, NCPU * 2))
             apply_events(table10, rd.read_parquet(wal10), epoch=0)
             merge_secs.append(time.perf_counter() - t0)
+            merge_steals.append(_steal_pct(c0, _cpu_sample()))
         steady = sorted(merge_secs[1:])[len(merge_secs[1:]) // 2] \
             if len(merge_secs) > 1 else merge_secs[0]
         t0 = time.perf_counter()
@@ -210,6 +240,7 @@ def run_bench() -> dict:
             "n_events": N10M_EVENTS,
             "merge_secs": [round(s, 3) for s in merge_secs],
             "merge_load1": merge_loads,
+            "merge_steal_pct": merge_steals,
             "cold_start_merge_sec": round(merge_secs[0], 3),
             "cold_start_events_per_sec": round(N10M_EVENTS / merge_secs[0]),
             "merge_sec": round(steady, 3),
@@ -246,6 +277,7 @@ def run_bench() -> dict:
         from docetl_ray.stages.dedup import minhash_dedup
 
         load_dedup = round(os.getloadavg()[0], 2)
+        c0 = _cpu_sample()
         t0 = time.perf_counter()
         docs = rd.read_parquet(docs_dir, columns=["doc_id", "text"])
         deduped, _labels = minhash_dedup(
@@ -253,6 +285,7 @@ def run_bench() -> dict:
         )
         kept = deduped.count()
         dedup_sec = time.perf_counter() - t0
+        dedup_steal = _steal_pct(c0, _cpu_sample())
 
         import numpy as np
 
@@ -261,23 +294,27 @@ def run_bench() -> dict:
             dtype=np.float64,
         )
         load_ann = round(os.getloadavg()[0], 2)
+        c0 = _cpu_sample()
         t0 = time.perf_counter()
         vecs = rd.read_parquet(vecs_dir, columns=["vec_id", "embedding"])
         ann = ann_topk_ivf(vecs, "embedding", "vec_id", queries, k=10,
                            nlist=64, nprobe=8)
         ann_rows = ann.count()
         ann_sec = time.perf_counter() - t0
+        ann_steal = _steal_pct(c0, _cpu_sample())
         scale1m = {
             "dedup_docs": n_docs,
             "dedup_sec": round(dedup_sec, 3),
             "dedup_docs_per_sec": round(n_docs / dedup_sec),
             "dedup_kept_rows": kept,
             "dedup_load1": load_dedup,
+            "dedup_steal_pct": dedup_steal,
             "ann_vectors": n_vecs,
             "ann_sec": round(ann_sec, 3),
             "ann_vectors_per_sec": round(n_vecs / ann_sec),
             "ann_rows": ann_rows,
             "ann_load1": load_ann,
+            "ann_steal_pct": ann_steal,
         }
 
     result = {
@@ -286,8 +323,10 @@ def run_bench() -> dict:
         "unit": "sec",
         "n_events": N_EVENTS,
         "events_per_sec": round(N_EVENTS / headline),
+        "headline_steal_pct": headline_steal,
         "delta_epoch_sec": round(delta_sec, 3),
         "delta_events_per_sec": round(N_EVENTS / delta_sec),
+        "delta_steal_pct": delta_steal,
         "queries": qtimes,
         "query_detail": qdetail,
         "query_repeats": reps,
@@ -336,7 +375,9 @@ def run_scaling():
         pairs.append({"sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
                       "eff": round(eff, 3),
                       "eps_lo": r_lo["events_per_sec"],
-                      "eps_hi": r_hi["events_per_sec"]})
+                      "eps_hi": r_hi["events_per_sec"],
+                      "steal_lo": r_lo.get("headline_steal_pct"),
+                      "steal_hi": r_hi.get("headline_steal_pct")})
     best = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]  # median
     print(
         json.dumps(
@@ -348,6 +389,8 @@ def run_scaling():
                 f"events_per_sec_{hi}": best["eps_hi"],
                 "scaling_efficiency": best["eff"],
                 "pair_efficiencies": [p["eff"] for p in pairs],
+                "pair_steal_pct": [[p["steal_lo"], p["steal_hi"]]
+                                   for p in pairs],
                 "n_events": N_EVENTS,
                 "cpus": [lo, hi],
             }
