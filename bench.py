@@ -367,18 +367,30 @@ def run_scaling():
     # the min wall per leg independently can pair a lucky-fast lo leg
     # with a normal hi leg and bias the ratio down.  The median over
     # pairs is the standard robust estimator.
+    # A pair whose leg ran under hypervisor CPU steal measures the
+    # neighbor, not the job (observed: 26-30% steal on the hi leg turns
+    # a 0.95-efficiency apply into 0.6-0.7).  Steal is recorded per leg;
+    # pairs with either leg >= steal_ok are kept in the artifact but
+    # excluded from the headline median, and extra pairs run (bounded)
+    # until `repeats` clean pairs exist.
+    steal_ok = float(os.environ.get("GRAFT_SCALE_STEAL_OK", "10"))
+    max_pairs = repeats * 2 + 2
     pairs = []
-    for _ in range(repeats):
+    while len([p for p in pairs if p["clean"]]) < repeats \
+            and len(pairs) < max_pairs:
         r_lo = run_level(lo)
         r_hi = run_level(hi)
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
+        s_lo = r_lo.get("headline_steal_pct") or 0.0
+        s_hi = r_hi.get("headline_steal_pct") or 0.0
         pairs.append({"sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
                       "eff": round(eff, 3),
                       "eps_lo": r_lo["events_per_sec"],
                       "eps_hi": r_hi["events_per_sec"],
-                      "steal_lo": r_lo.get("headline_steal_pct"),
-                      "steal_hi": r_hi.get("headline_steal_pct")})
-    best = sorted(pairs, key=lambda p: p["eff"])[len(pairs) // 2]  # median
+                      "steal_lo": s_lo, "steal_hi": s_hi,
+                      "clean": max(s_lo, s_hi) < steal_ok})
+    clean = [p for p in pairs if p["clean"]] or pairs
+    best = sorted(clean, key=lambda p: p["eff"])[len(clean) // 2]  # median
     print(
         json.dumps(
             {
@@ -391,6 +403,8 @@ def run_scaling():
                 "pair_efficiencies": [p["eff"] for p in pairs],
                 "pair_steal_pct": [[p["steal_lo"], p["steal_hi"]]
                                    for p in pairs],
+                "clean_pairs": len([p for p in pairs if p["clean"]]),
+                "steal_ok_pct": steal_ok,
                 "n_events": N_EVENTS,
                 "cpus": [lo, hi],
             }
