@@ -40,36 +40,64 @@ def agglomerative_merges(matrix: np.ndarray) -> list[tuple[int, int, float]]:
     determines every cut.  Deterministic tie-breaks: smallest distance,
     ties -> smallest (i, j) in sorted-active-key order.
 
-    O(n^2) memory/time: a driver-side global op, intended for matrices up
-    to ~10k rows (sample or pre-bucket larger inputs — the reference has
-    the same constraint, ``cluster.py:134-157``)."""
+    O(n^2) memory/time via the Lance-Williams UPGMA update
+    (``d(i∪j, k) = (|i|·d(i,k) + |j|·d(j,k)) / (|i|+|j|)`` — exactly the
+    mean over raw member pairs): a driver-side global op, intended for
+    matrices up to ~10k rows (sample or pre-bucket larger inputs — the
+    reference has the same constraint, ``cluster.py:134-157``)."""
     n = len(matrix)
     if n <= 1:
         return []
-    d = np.linalg.norm(matrix[:, None, :] - matrix[None, :, :], axis=2)
-    np.fill_diagonal(d, np.inf)
-    active = {i: [i] for i in range(n)}
-    dist = d.copy()
+    matrix = np.ascontiguousarray(matrix, dtype=np.float64)
+    # gram-trick euclidean distances: O(n^2) memory, no n x n x dim
+    # broadcast intermediate (which costs seconds and gigabytes by n=2k)
+    sq = (matrix * matrix).sum(axis=1)
+    dist = np.sqrt(
+        np.maximum(sq[:, None] + sq[None, :] - 2.0 * (matrix @ matrix.T), 0.0)
+    )
+    np.fill_diagonal(dist, np.inf)
+    size = np.ones(n)
+    alive = np.ones(n, dtype=bool)
+    # per-row nearest-neighbor cache: the global (ci, cj) equals the
+    # row-major full-matrix argmin — first row attaining the global min
+    # (which is the smallest member over every tied pair, so ci < cj),
+    # then the first column within it.  rowarg is maintained to always
+    # equal np.argmin(dist[k]) so tie-breaks match that scan exactly.
+    rowmin = dist.min(axis=1)
+    rowarg = dist.argmin(axis=1)
     merges: list[tuple[int, int, float]] = []
-    while len(active) > 1:
-        keys = sorted(active)
-        sub = dist[np.ix_(keys, keys)]
-        flat = np.argmin(sub)
-        i, j = divmod(flat, len(keys))
-        if i > j:
-            i, j = j, i
-        ci, cj = keys[i], keys[j]
+    for _ in range(n - 1):
+        ci = int(np.argmin(np.where(alive, rowmin, np.inf)))
+        cj = int(rowarg[ci])
         merges.append((ci, cj, float(dist[ci, cj])))
-        members = active[ci] + active[cj]
-        del active[cj]
-        active[ci] = members
-        for ck in active:
-            if ck == ci:
-                continue
-            dm = d[np.ix_(members, active[ck])].mean()
-            dist[ci, ck] = dist[ck, ci] = dm
+        si, sj = size[ci], size[cj]
+        new = (si * dist[ci] + sj * dist[cj]) / (si + sj)  # inf stays inf
+        dist[ci, :] = new
+        dist[:, ci] = new
+        dist[ci, ci] = np.inf
         dist[cj, :] = np.inf
         dist[:, cj] = np.inf
+        size[ci] = si + sj
+        alive[cj] = False
+        rowmin[cj] = np.inf
+        # stale rows (their cached argmin pointed at a changed column, or
+        # are the merged row itself) get an exact recompute; other rows
+        # only improve if the new ci column beats — or first-occurrence-
+        # ties — their cached min
+        stale = alive & ((rowarg == ci) | (rowarg == cj))
+        stale[ci] = True
+        better = (
+            alive & ~stale
+            & ((new < rowmin) | ((new == rowmin) & (ci < rowarg)))
+        )
+        rowmin[better] = new[better]
+        rowarg[better] = ci
+        idx = np.flatnonzero(stale)
+        if len(idx):
+            sub = dist[idx]
+            args = sub.argmin(axis=1)
+            rowarg[idx] = args
+            rowmin[idx] = sub[np.arange(len(idx)), args]
     return merges
 
 
