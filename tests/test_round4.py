@@ -676,3 +676,52 @@ def test_bench_steal_helpers():
     assert t0 >= s0 >= 0
     assert bench._steal_pct((0, 0), (0, 0)) == 0.0
     assert bench._steal_pct((10, 100), (30, 300)) == 10.0
+
+
+def test_agglomerative_nn_cache_matches_full_argmin():
+    """The nearest-neighbor row cache must reproduce the exact merge
+    sequence (ids, order, distances) of a full-matrix-argmin
+    Lance-Williams loop, including first-occurrence tie-breaks."""
+    import numpy as np
+
+    from docetl_ray.stages.cluster import agglomerative_merges
+
+    def plain_lw(matrix):
+        matrix = np.ascontiguousarray(matrix, dtype=np.float64)
+        n = len(matrix)
+        if n <= 1:
+            return []
+        sq = (matrix * matrix).sum(axis=1)
+        dist = np.sqrt(np.maximum(
+            sq[:, None] + sq[None, :] - 2.0 * (matrix @ matrix.T), 0.0))
+        np.fill_diagonal(dist, np.inf)
+        size = np.ones(n)
+        merges = []
+        for _ in range(n - 1):
+            flat = int(np.argmin(dist))
+            ci, cj = divmod(flat, n)
+            if ci > cj:
+                ci, cj = cj, ci
+            merges.append((ci, cj, float(dist[ci, cj])))
+            si, sj = size[ci], size[cj]
+            new = (si * dist[ci] + sj * dist[cj]) / (si + sj)
+            dist[ci, :] = new
+            dist[:, ci] = new
+            dist[ci, ci] = np.inf
+            dist[cj, :] = np.inf
+            dist[:, cj] = np.inf
+            size[ci] = si + sj
+        return merges
+
+    rng = np.random.default_rng(23)
+    for _ in range(15):
+        n = int(rng.integers(2, 50))
+        m = rng.normal(size=(n, int(rng.integers(1, 8))))
+        assert plain_lw(m) == agglomerative_merges(m)
+    # exact ties: duplicates, grids, equally-spaced lines
+    for m in (
+        np.zeros((7, 2)),
+        np.array([[float(i % 3), float(i // 3)] for i in range(9)]),
+        np.array([[float(i)] for i in range(6)]),
+    ):
+        assert plain_lw(m) == agglomerative_merges(m)
