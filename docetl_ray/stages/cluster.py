@@ -254,10 +254,20 @@ def cluster_dendrogram(
     ids = small[id_col].to_pylist()
     m = np.asarray(small[emb_col].to_pylist(), dtype=np.float64)
     tree = build_dendrogram(m)
-    if collapse is not None:
-        tree = collapse_tree(tree, collapse)
-    annotate_tree(tree, m, ids)
-    paths = leaf_paths(tree, output_key)
+    # the tree helpers recurse; a pathologically unbalanced dendrogram
+    # (chain-shaped merges) can exceed Python's default 1000-frame limit
+    # well inside max_driver_rows, so raise it for the traversals
+    import sys
+
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 2 * small.num_rows + 1000))
+    try:
+        if collapse is not None:
+            tree = collapse_tree(tree, collapse)
+        annotate_tree(tree, m, ids)
+        paths = leaf_paths(tree, output_key)
+    finally:
+        sys.setrecursionlimit(old_limit)
     by_id = {ids[i]: p for i, p in paths.items()}
     get_map = closure_broadcast(by_id)
 
