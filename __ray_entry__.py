@@ -1215,35 +1215,41 @@ def _q_rank_likert(sf_dir):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering note: the correctness driver records only the FIRST 50
-    # entries of this dict.  Queries that have never had a driver-side
-    # oracle row lead the registry; staples with green rows in BOTH the
-    # r2 and r3 CORRECTNESS artifacts sit in the tail (they are still
-    # sweep-checked by tests/test_ray_entry.py, which parametrizes over
-    # every entry).
+    # entries of this dict, so the registry order is a ROTATION POLICY:
+    # each round, the entries whose last driver-side oracle row is
+    # OLDEST lead the dict, and the entries green in the immediately
+    # preceding round's artifact sit in the tail.  That way the union of
+    # any two consecutive CORRECTNESS_r{N}.json artifacts covers all 72
+    # entries.  (Every entry is additionally sweep-checked each round by
+    # tests/test_ray_entry.py, which parametrizes over the whole dict.)
+    # Round-5 rotation: the 22 entries below were last driver-recorded
+    # in r2/r3 (they sat in the tail during r4); the 22 entries first
+    # recorded in r4 now hold the tail.
     return {
-        # --- never driver-recorded before round 4 ---
-        "ann_topk_ivf": _q_ann_ivf,
-        "cluster_threshold_embeddings": _q_cluster_threshold,
-        "link_resolve_documents": _q_link_resolve,
-        "embedding_blocked_join_embeddings": _q_embedding_blocked_join,
-        "multimodal_image_features": _q_multimodal_image,
-        "multimodal_audio_frames": _q_multimodal_audio,
-        "multimodal_video_keyframes": _q_multimodal_video,
-        "llm_map_documents": _q_llm_map,
-        "llm_map_gleaning_documents": _q_llm_map_gleaning,
-        "llm_filter_documents": _q_llm_filter,
-        "llm_reduce_lang_documents": _q_llm_reduce,
-        "rank_likert_documents": _q_rank_likert,
-        "llm_resolve_documents": _q_llm_resolve,
-        "llm_resolve_blocked_documents": _q_llm_resolve_blocked,
-        "condition_blocked_join_documents": _q_condition_blocked_join,
-        "gopher_quality_documents": _q_gopher_quality,
-        "repetition_stats_documents": _q_repetition_stats,
-        "pii_scrub_documents": _q_pii_scrub,
-        "url_normalize_documents": _q_url_normalize,
-        "host_stats_documents": _q_host_stats,
-        "paragraph_dedup_documents": _q_paragraph_dedup,
-        "rank_qurk_documents": _q_rank_qurk,
+        # --- last driver rows in r2+r3; rotated into the r5 window ---
+        "join_semi_customers_with_orders": _q_join_semi,
+        "join_anti_customers_without_orders": _q_join_anti,
+        "topk_stratified_orders": _q_topk_stratified,
+        "sample_uniform_hash_orders": _q_sample_uniform,
+        "sample_first_orders": _q_sample_first,
+        "sample_custom_nations": _q_sample_custom,
+        "sample_outliers_events": _q_sample_outliers,
+        "unnest_embeddings": _q_unnest_embeddings,
+        "bpe_token_count_documents": _q_bpe_token_count,
+        "text_ratios_documents": _q_text_ratios,
+        "doc_stats": _q_doc_stats,
+        "add_hash_id_documents": _q_add_hash_id,
+        "distinct_segments": _q_distinct_segments,
+        "cdc_upsert_state_events": _q_cdc_upsert_state,
+        "session_windows_events": _q_session_windows,
+        "extract_regex_documents": _q_extract_regex,
+        "parallel_map_lineitem": _q_parallel_map,
+        "top_embedding_vectors": _q_top_embedding,
+        "sample_outliers_embedding": _q_sample_outliers_embedding,
+        "lang_id_documents": _q_lang_id,
+        "quality_documents": _q_quality,
+        "fingerprint_documents": _q_fingerprint,
+        "resolve_embedding_blocked": _q_resolve_embedding_blocked,
         # --- staples kept in the driver window (flagship / perf-tracked) ---
         "map_filter_revenue": _q_map_filter_revenue,
         "reduce_groupby_pricing": _q_reduce_groupby_pricing,
@@ -1275,30 +1281,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_embeddings": _q_embedding_dedup,
         "resolve_fuzzy_documents": _q_resolve_fuzzy,
         "ann_topk_lsh": _q_ann_lsh,
-        # --- tail: green driver rows in r2 AND r3 artifacts ---
-        "join_semi_customers_with_orders": _q_join_semi,
-        "join_anti_customers_without_orders": _q_join_anti,
-        "topk_stratified_orders": _q_topk_stratified,
-        "sample_uniform_hash_orders": _q_sample_uniform,
-        "sample_first_orders": _q_sample_first,
-        "sample_custom_nations": _q_sample_custom,
-        "sample_outliers_events": _q_sample_outliers,
-        "unnest_embeddings": _q_unnest_embeddings,
-        "bpe_token_count_documents": _q_bpe_token_count,
-        "text_ratios_documents": _q_text_ratios,
-        "doc_stats": _q_doc_stats,
-        "add_hash_id_documents": _q_add_hash_id,
-        "distinct_segments": _q_distinct_segments,
-        "cdc_upsert_state_events": _q_cdc_upsert_state,
-        "session_windows_events": _q_session_windows,
-        "extract_regex_documents": _q_extract_regex,
-        "parallel_map_lineitem": _q_parallel_map,
-        "top_embedding_vectors": _q_top_embedding,
-        "sample_outliers_embedding": _q_sample_outliers_embedding,
-        "lang_id_documents": _q_lang_id,
-        "quality_documents": _q_quality,
-        "fingerprint_documents": _q_fingerprint,
-        "resolve_embedding_blocked": _q_resolve_embedding_blocked,
+        # --- tail: green driver rows in the round-4 artifact ---
+        "ann_topk_ivf": _q_ann_ivf,
+        "cluster_threshold_embeddings": _q_cluster_threshold,
+        "link_resolve_documents": _q_link_resolve,
+        "embedding_blocked_join_embeddings": _q_embedding_blocked_join,
+        "multimodal_image_features": _q_multimodal_image,
+        "multimodal_audio_frames": _q_multimodal_audio,
+        "multimodal_video_keyframes": _q_multimodal_video,
+        "llm_map_documents": _q_llm_map,
+        "llm_map_gleaning_documents": _q_llm_map_gleaning,
+        "llm_filter_documents": _q_llm_filter,
+        "llm_reduce_lang_documents": _q_llm_reduce,
+        "rank_likert_documents": _q_rank_likert,
+        "llm_resolve_documents": _q_llm_resolve,
+        "llm_resolve_blocked_documents": _q_llm_resolve_blocked,
+        "condition_blocked_join_documents": _q_condition_blocked_join,
+        "gopher_quality_documents": _q_gopher_quality,
+        "repetition_stats_documents": _q_repetition_stats,
+        "pii_scrub_documents": _q_pii_scrub,
+        "url_normalize_documents": _q_url_normalize,
+        "host_stats_documents": _q_host_stats,
+        "paragraph_dedup_documents": _q_paragraph_dedup,
+        "rank_qurk_documents": _q_rank_qurk,
     }
 
 
