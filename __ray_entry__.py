@@ -2457,15 +2457,22 @@ def oracle_sql() -> dict[str, str]:
         # LLM resolve with eval'd blocking_conditions: identical edge
         # derivation, but a pair is only compared (and can only match)
         # when the texts share a 4-char prefix — the predicate appears as
-        # an extra join condition in edges.
+        # an extra join condition in edges.  Blocks where NO pair shares
+        # a prefix fall back to comparing ALL pairs (reference
+        # resolve.py:411-412), expressed as the anti-join on `adm`.
         "llm_resolve_blocked_documents": r"""
             WITH RECURSIVE d AS (
               SELECT doc_id, text, doc_id & 63 AS blk FROM documents),
+            adm AS (
+              SELECT DISTINCT a.blk
+              FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+                   AND substr(a.text, 1, 4) = substr(b.text, 1, 4)),
             edges AS (
               SELECT a.doc_id AS u, b.doc_id AS v
               FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
-                   AND substr(a.text, 1, 4) = substr(b.text, 1, 4)
-              WHERE ('0x' || substr(md5('Same?' || chr(10) || 'A: ' || a.text
+              WHERE (substr(a.text, 1, 4) = substr(b.text, 1, 4)
+                     OR a.blk NOT IN (SELECT blk FROM adm))
+                AND ('0x' || substr(md5('Same?' || chr(10) || 'A: ' || a.text
                                         || chr(10) || 'B: ' || b.text), 1, 8))::UBIGINT
                     % 2 = 1),
             sym AS (SELECT u, v FROM edges UNION ALL SELECT v, u FROM edges),

@@ -31,21 +31,33 @@ def _metadata_free_schema(path: str, columns):
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    p = path
+    paths = [path]
     if os.path.isdir(path):
-        cand = sorted(
-            f for f in os.listdir(path) if f.endswith((".parquet", ".pq"))
+        paths = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith((".parquet", ".pq"))
         )
-        if not cand:
+        if not paths:
             return None
-        p = os.path.join(path, cand[0])
     try:
-        schema = pq.read_schema(p)
+        schema = pq.read_schema(paths[0])
     except Exception:
         return None
     if not schema.metadata:
         return None
     schema = schema.remove_metadata()
+    # a directory may hold heterogeneous-but-unifiable schemas (e.g.
+    # pandas writers with differing null-typed columns); forcing file 0's
+    # schema on every file would miscast or fail the read, so only force
+    # it when every file's metadata-stripped schema is identical —
+    # otherwise fall back to Ray's own inference/unification
+    for other in paths[1:]:
+        try:
+            if pq.read_schema(other).remove_metadata() != schema:
+                return None
+        except Exception:
+            return None
     if columns is not None:
         try:
             schema = pa.schema([schema.field(c) for c in columns])

@@ -98,6 +98,29 @@ def _pin_threshold_default() -> int:
     return 8 << 30
 
 
+def _auto_pin_size_estimate(ds):
+    """Estimated in-memory bytes of the SINGLE column a pin would hold.
+    ``size_bytes()`` on a bare read is metadata-only but estimates the
+    FULL read schema; only the projected column gets pinned, so the
+    estimate is scaled by the column's share — a wide table with one
+    small numeric column should take the (cheap) pin instead of 3-5
+    redundant re-reads.  Equal-share is a proxy (per-column parquet
+    stats aren't surfaced by the estimate); it errs toward pinning,
+    whose cost is bounded by the threshold."""
+    try:
+        est = ds.size_bytes()  # metadata-only for a bare read
+    except Exception:
+        return None
+    if est is None:
+        return None
+    try:
+        sch = ds.schema(fetch_if_missing=False)
+        ncols = len(sch.names) if sch is not None else 1
+    except Exception:
+        ncols = 1
+    return est // ncols if ncols > 1 else est
+
+
 def _multi_select(ds, col: str, ks: list[int] | None = None, *,
                   qs=None, collect_threshold: int,
                   pin: bool | str = "auto",
@@ -124,10 +147,7 @@ def _multi_select(ds, col: str, ks: list[int] | None = None, *,
     if pin == "auto":
         pin = True
         if _plan_op_names(ds) == ["Read"]:
-            try:
-                est = ds.size_bytes()  # metadata-only for a bare read
-            except Exception:
-                est = None
+            est = _auto_pin_size_estimate(ds)
             if est is not None and est > (
                 pin_threshold_bytes
                 if pin_threshold_bytes is not None

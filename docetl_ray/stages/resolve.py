@@ -330,7 +330,11 @@ def llm_resolve(
        is only LLM-compared if ANY condition holds; evaluated through
        ``_safe_eval`` (no builtins), and skipped pairs do not consume
        the comparison budget (matching the reference, which filters
-       blocked pairs before capping).
+       blocked pairs before capping).  When no condition admits ANY
+       pair in a block, ALL of that block's pairs are compared
+       (reference ``resolve.py:411-412`` falls back to the full pair
+       set; scoped per block here since the blocking key already
+       partitions the pair space).
     2. per multi-row cluster: ``resolution_prompt`` rendered with the
        cluster ``inputs``; the output-schema keys are merged over EVERY
        cluster row, and overwritten keys' prior values are preserved
@@ -360,25 +364,29 @@ def llm_resolve(
         rows = g.to_dict("records")
         client = (client_factory or FakeDeterministicClient)()
         uf = _UnionFind(n)
-        done = 0
-        for i in range(n):
-            for j in range(i + 1, n):
-                if limit_comparisons is not None and done >= limit_comparisons:
-                    break
-                if blocking_conditions and not any(
+        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+        if blocking_conditions:
+            admitted = [
+                (i, j)
+                for (i, j) in pairs
+                if any(
                     _safe_eval(c, {"input1": rows[i], "input2": rows[j]})
                     for c in blocking_conditions
-                ):
-                    continue
-                rendered = render_prompt(
-                    comparison_prompt, {"input1": rows[i], "input2": rows[j]}
                 )
-                done += 1
-                if client.complete(rendered, {"is_match": "bool"}).get("is_match"):
-                    uf.union(i, j)
-            else:
-                continue
-            break
+            ]
+            # reference resolve.py:411-412: when no blocker admits ANY
+            # pair, fall back to comparing all pairs (here: within this
+            # block — the reference has no hard blocking key, so its
+            # "all comparison pairs" is this block's pair set)
+            pairs = admitted or pairs
+        if limit_comparisons is not None:
+            pairs = pairs[:limit_comparisons]
+        for i, j in pairs:
+            rendered = render_prompt(
+                comparison_prompt, {"input1": rows[i], "input2": rows[j]}
+            )
+            if client.complete(rendered, {"is_match": "bool"}).get("is_match"):
+                uf.union(i, j)
         ids = g[id_col].to_numpy()
         return pd.DataFrame(
             {id_col: ids, "_canonical": ids[[uf.find(i) for i in range(n)]]}

@@ -303,6 +303,13 @@ def _combine_partials(keys: list, aggs: list, *tabs):
             ftype = base.schema.field(k).type if k in names else pa.large_string()
             fields.append(pa.field(k, ftype))
         for c, f, out in aggs:
+            if f == "count":
+                # a count output is int64 regardless of the source
+                # column's type (a string-typed empty count column would
+                # poison a later tree level that mixes it with real
+                # int64 counts, or reach callers on a fully-empty input)
+                fields.append(pa.field(out, pa.int64()))
+                continue
             src = c if c in names else (out if out in names else None)
             ftype = base.schema.field(src).type if src is not None else pa.float64()
             fields.append(pa.field(out, ftype))
