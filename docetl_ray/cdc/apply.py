@@ -437,9 +437,12 @@ def _exchange_and_apply(partial_ds, nparts: int, apply_obj) -> list[dict]:
     return [r for r in ray.get(lineage_refs) if r is not None]
 
 
+AUTO_COMPACT_LEVELS = 4
+
+
 def apply_events(
     table: LakeTable, events, epoch: int, *, extract: bool = True,
-    mode: str = "merge", compact_after: int | None = None,
+    mode: str = "merge", compact_after: int | None | str = "auto",
     exchange: str = "tasks",
 ) -> dict:
     """Apply one WAL segment (a Dataset of event rows) as one epoch.
@@ -450,13 +453,19 @@ def apply_events(
     written and stacked as a new level — O(epoch) per epoch; reads merge
     levels by LWW and ``compact()`` folds levels back to one file.
     ``compact_after``: in delta mode, auto-compact partitions whose level
-    count exceeds this.
+    count exceeds this (``"auto"`` = ``AUTO_COMPACT_LEVELS``; ``None``/0
+    disables), so read-side level-merge cost stays bounded without
+    manual ``compact()`` calls — the 50M-event table read 99 s with 4
+    stacked levels vs 5.6 s after one compact.
 
     Exactly-once: if ``epoch`` is already committed this is a no-op; a
     crash before commit leaves the previous manifest state; re-applying
     duplicate events is idempotent under LWW.  Returns the new manifest.
     """
     import ray
+
+    if compact_after == "auto":
+        compact_after = AUTO_COMPACT_LEVELS
 
     if epoch in table.committed_epochs():
         return table.manifest()

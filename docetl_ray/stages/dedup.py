@@ -188,6 +188,63 @@ def jaccard_ngram(a: str, b: str, k: int = 5) -> float:
     return inter / (len(sa) + len(sb) - inter)
 
 
+def _sig_est_join(pairs_ds, sig_ds, id_col: str, thr: float, *,
+                  left_schema=None, name: str = "minhash_est_join"):
+    """Signature-estimated Jaccard per pair with the signatures routed
+    TO the pairs by two keyed-shuffle hash joins — no driver-side
+    id->signature map, so the path has no corpus-size ceiling.  Returns
+    ``(id_a, id_b, est_jaccard)`` filtered to ``est_jaccard >= thr``.
+    Shared by ``verify="shuffle"`` (thr = threshold) and the
+    ``verify="exact"`` prefilter (thr = threshold - margin)."""
+    from .joins import _ds_arrow_schema_lazy, hash_join
+
+    def ren(suffix):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {f"_sid{suffix}": batch[id_col], f"_sig{suffix}": batch["_sig"]}
+            )
+
+        fn.__name__ = f"sig{suffix}"
+        return fn
+
+    sig_schema = _ds_arrow_schema_lazy(sig_ds)  # materialized -> cheap
+    idt = sig_schema.field(id_col).type
+    sigt = sig_schema.field("_sig").type
+    if left_schema is None:
+        left_schema = pa.schema([("id_a", idt), ("id_b", idt)])
+    with_a = hash_join(
+        pairs_ds, sig_ds.map_batches(ren("a"), batch_format="pyarrow"),
+        on="id_a", right_on="_sida",
+        left_schema=left_schema,
+        right_schema=pa.schema([("_sida", idt), ("_siga", sigt)]),
+    )
+    with_ab = hash_join(
+        with_a, sig_ds.map_batches(ren("b"), batch_format="pyarrow"),
+        on="id_b", right_on="_sidb",
+        left_schema=pa.schema(
+            list(left_schema) + [pa.field("_sida", idt), pa.field("_siga", sigt)]
+        ),
+        right_schema=pa.schema([("_sidb", idt), ("_sigb", sigt)]),
+    )
+
+    def est_pair(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.schema(
+                [("id_a", idt), ("id_b", idt), ("est_jaccard", pa.float64())]
+            ).empty_table()
+        sa = np.asarray(batch["_siga"].to_pylist(), dtype=np.int64)
+        sb = np.asarray(batch["_sigb"].to_pylist(), dtype=np.int64)
+        est = (sa == sb).mean(axis=1)
+        out = pa.table(
+            {"id_a": batch["id_a"], "id_b": batch["id_b"],
+             "est_jaccard": pa.array(est, pa.float64())}
+        )
+        return out.filter(pa.compute.greater_equal(out["est_jaccard"], thr))
+
+    est_pair.__name__ = name
+    return with_ab.map_batches(est_pair, batch_format="pyarrow")
+
+
 def minhash_candidates(
     ds,
     text_col: str,
@@ -199,6 +256,7 @@ def minhash_candidates(
     threshold: float = 0.7,
     verify: str = "broadcast",
     sparse_text_pairs: int = 10_000,
+    sig_broadcast_pairs: int = 2_000_000,
 ):
     """MinHash+LSH candidate pairs with signature-estimated Jaccard.
 
@@ -209,7 +267,9 @@ def minhash_candidates(
     ``ray.put`` (right up to ~10M docs at 64 perms ≈ 5 GB);
     ``verify="shuffle"`` instead routes signatures TO the candidate
     pairs with two keyed-shuffle hash joins — no driver materialization,
-    the 100-TB path.
+    the 100-TB path.  ``verify="exact"`` uses the same keyed-shuffle
+    signature routing for its prefilter (then keyed-shuffle text joins
+    for the true-Jaccard decision), so it is ceiling-free too.
     """
     rows_per_band = num_perm // bands
     a, b = _perm_params(num_perm)
@@ -247,19 +307,13 @@ def minhash_candidates(
                                             rows_per_band)
         return pa.table({"bucket": bucket, id_col: ids_rep})
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch["bucket"].to_numpy(zero_copy_only=False) % 32).astype(np.int32)
-        return batch.append_column("part", pa.array(part, pa.int32()))
+    banded = sig_ds.map_batches(band_rows, batch_format="pyarrow")
 
-    banded = sig_ds.map_batches(band_rows, batch_format="pyarrow").map_batches(
-        add_part, batch_format="pyarrow"
-    )
-
-    # ONE map_groups group per shuffle partition (not per bucket): a
+    # ONE task per hash partition of `bucket` (not per bucket): a
     # per-bucket map_groups pays ~ms pandas overhead per LSH bucket and
-    # there are ~#docs × bands buckets; grouping by `bucket % P` keeps
-    # whole buckets co-located while the per-bucket pair generation runs
-    # vectorized inside the task.
+    # there are ~#docs × bands buckets; partitioned_map keeps whole
+    # buckets co-located through the take()-based exchange while the
+    # pair generation runs vectorized across buckets inside the task.
     def pairs(group: pd.DataFrame) -> pd.DataFrame:
         # FULLY vectorized across all buckets in the partition: generate
         # each bucket's full n x n cross product via index arithmetic and
@@ -288,11 +342,9 @@ def minhash_candidates(
         m = ia < ib  # strict upper triangle (ids sorted within bucket)
         return pd.DataFrame({"id_a": ia[m], "id_b": ib[m]})
 
-    cand = (
-        banded.repartition(32)
-        .groupby("part", num_partitions=32)
-        .map_groups(pairs, batch_format="pandas")
-    )
+    from .grouped import partitioned_map
+
+    cand = partitioned_map(banded, "bucket", pairs, num_partitions=32)
 
     # stage 2: estimate Jaccard per candidate pair from the signatures.
     if verify == "exact":
@@ -308,46 +360,26 @@ def minhash_candidates(
         # threshold (miss prob (1 - j^rows)^bands per pair) the result
         # equals the exact all-pairs answer, which is what makes the
         # DuckDB oracle for minhash_dedup_documents exact.
+        # The prefilter's signature lookup is O(CANDIDATE PAIRS), never
+        # O(corpus): below ``sig_broadcast_pairs`` the sigs of exactly
+        # the ids appearing in some pair are fetched with a map-only
+        # ``is_in`` pass and broadcast (the pair set is LSH-sparse by
+        # construction); above it the sigs are routed to the distinct
+        # pairs by the same two keyed-shuffle joins the texts use.
+        # Either way no driver-side corpus structure exists on the
+        # exact path (the old full id->sig map capped it at ~10M docs).
         import ray
 
         from .joins import _ds_arrow_schema_lazy, hash_join
-        from .reduces import grouped_aggregate as _ga
         from .util_ray import collect_small as _cs
 
         pre_thr = max(0.0, threshold - 0.25)
-        sig_small = _cs(sig_ds)
-        sig_map = {
-            i: np.asarray(s, dtype=np.int64)
-            for i, s in zip(sig_small[id_col].to_pylist(), sig_small["_sig"].to_pylist())
-        }
-        pre_ref = ray.put(sig_map)
+        # id-only pairs: materializing is bounded by the banded candidate
+        # count and lets every decision below read counts for free
+        cand_mat = cand.materialize()
+        n_cand = cand_mat.count()
 
-        def prefilter(batch: pa.Table) -> pa.Table:
-            sigs = _broadcast_sig_cache(pre_ref)
-            ia = batch["id_a"].to_pylist()
-            if not ia:
-                return batch
-            sa = np.stack([sigs[x] for x in ia])
-            sb = np.stack([sigs[y] for y in batch["id_b"].to_pylist()])
-            est = (sa == sb).mean(axis=1)
-            return batch.filter(pa.array(est >= pre_thr))
-
-        prefilter.__name__ = "minhash_exact_prefilter"
-        uniq = _ga(
-            cand.map_batches(prefilter, batch_format="pyarrow").map_batches(
-                lambda t: t.append_column("_one", pa.array([1] * t.num_rows, pa.int8())),
-                batch_format="pyarrow",
-            ),
-            ["id_a", "id_b"],
-            [("_one", "count", "_n")],
-        )
-        # materializing the PAIRS is bounded by the prefiltered candidate
-        # count (~true near-dup pairs, far smaller than the corpus) and
-        # lets the sparse/dense decision below read the count for free
-        uniq = uniq.materialize()
-        n_pairs = uniq.count()
-
-        if n_pairs == 0:
+        def _empty_pairs():
             import ray.data as rd
 
             sig_schema0 = _ds_arrow_schema_lazy(sig_ds)
@@ -357,13 +389,96 @@ def minhash_candidates(
                  ("est_jaccard", pa.float64())]
             ).empty_table())
 
+        if n_cand == 0:
+            return _empty_pairs()
+
+        if n_cand <= sig_broadcast_pairs:
+            # prefilter via broadcast of the PAIR-TOUCHED sig subset:
+            # collect the (id-only) pairs, is_in-fetch just those ids'
+            # signatures, broadcast, then one map-only filter pass —
+            # cross-band duplicate pairs are collapsed afterwards, when
+            # the survivor set is already tiny
+            pt0 = _cs(cand_mat)
+            need0 = sorted(
+                set(pt0["id_a"].to_pylist()) | set(pt0["id_b"].to_pylist())
+            )
+            need0_arr = pa.array(need0)
+
+            def pick_sigs(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
+                t = batch.filter(pc.is_in(batch[id_col], value_set=need0_arr))
+                return pa.table({"_pid": t[id_col], "_psig": t["_sig"]})
+
+            pick_sigs.__name__ = "minhash_pick_pair_sigs"
+            small_sig = _cs(sig_ds.map_batches(pick_sigs, batch_format="pyarrow"))
+            sub_map = {
+                i: np.asarray(s, dtype=np.int64)
+                for i, s in zip(small_sig["_pid"].to_pylist(),
+                                small_sig["_psig"].to_pylist())
+            }
+            pre_ref = ray.put(sub_map)
+
+            def prefilter(batch: pa.Table) -> pa.Table:
+                sigs = _broadcast_sig_cache(pre_ref)
+                ia = batch["id_a"].to_pylist()
+                if not ia:
+                    return batch
+                sa = np.stack([sigs[x] for x in ia])
+                sb = np.stack([sigs[y] for y in batch["id_b"].to_pylist()])
+                est = (sa == sb).mean(axis=1)
+                return batch.filter(pa.array(est >= pre_thr))
+
+            prefilter.__name__ = "minhash_exact_prefilter"
+            pre = cand_mat.map_batches(prefilter, batch_format="pyarrow")
+            # collapse cross-band duplicates on the (tiny) prefiltered
+            # survivor set: local-combine + take()-exchange
+            from .grouped import partitioned_map as _pm
+
+            def dd(df):
+                return df.drop_duplicates(subset=["id_a", "id_b"])
+
+            dd.__name__ = "pair_dedup"
+            uniq = _pm(
+                pre.map_batches(dd, batch_format="pandas"),
+                ["id_a", "id_b"], dd, num_partitions=8,
+            ).materialize()
+        else:
+            # pair volume too large to hold pair ids on the driver:
+            # collapse cross-band duplicates with the take()-exchange
+            # (they would multiply the join volume by up to the band
+            # count), then keyed-shuffle the sigs to the distinct pairs
+            from .grouped import partitioned_map as _pm
+
+            def dd(df):
+                return df.drop_duplicates(subset=["id_a", "id_b"])
+
+            dd.__name__ = "pair_dedup"
+            uniq0 = _pm(
+                cand_mat.map_batches(dd, batch_format="pandas"),
+                ["id_a", "id_b"], dd,
+            )
+            # pairs are already distinct after the dedup exchange
+            uniq = _sig_est_join(
+                uniq0, sig_ds, id_col, pre_thr, name="minhash_exact_prefilter"
+            ).map_batches(
+                lambda t: t.select(["id_a", "id_b"]), batch_format="pyarrow"
+            ).materialize()
+
+        n_pairs = uniq.count()
+
+        if n_pairs == 0:
+            return _empty_pairs()
+
         if n_pairs <= sparse_text_pairs:
-            # SPARSE fast path: few enough survivors that their texts fit
+            # SPARSE fast path: few enough candidates that their texts fit
             # a broadcast — one map-only ``is_in`` pass fetches exactly
             # the needed texts (no corpus shuffle at all), then the exact
             # verify runs over the pair table with dict lookups.  Skips
             # both keyed-shuffle text joins (~2 s fixed cost each at
             # small scale; at web scale the dense path below streams).
+            # (The est-prefilter above already ran; survivors here are
+            # ~true near-dup pairs.)
             pt = _cs(uniq)
             need = sorted(
                 set(pt["id_a"].to_pylist()) | set(pt["id_b"].to_pylist())
@@ -415,6 +530,9 @@ def minhash_candidates(
             verify_sparse.__name__ = "minhash_verify_exact_sparse"
             return uniq.map_batches(verify_sparse, batch_format="pyarrow")
 
+        # DENSE text-verify path: prefiltered survivors too numerous for
+        # a text broadcast — route the texts to the pairs with two
+        # keyed-shuffle hash joins (same shape as fuzzy_join).
         def proj(out_id, out_text):
             def fn(batch: pa.Table) -> pa.Table:
                 return pa.table({out_id: batch[id_col], out_text: batch[text_col]})
@@ -433,9 +551,7 @@ def minhash_candidates(
         idt = sig_schema.field(id_col).type
         in_schema = _ds_arrow_schema_lazy(ds)
         text_t = in_schema.field(text_col).type if in_schema is not None else pa.string()
-        pair_schema = pa.schema(
-            [(c, idt) for c in ("id_a", "id_b")] + [("_n", pa.int64())]
-        )
+        pair_schema = pa.schema([(c, idt) for c in ("id_a", "id_b")])
         # prefiltered pairs are sparse — 8 buckets keeps task overhead
         # low while the texts still stream through the exchange
         with_a = hash_join(
@@ -488,52 +604,9 @@ def minhash_candidates(
     if verify == "shuffle":
         # keyed-shuffle verify: hash-join the signature table onto the
         # pairs (twice) — never materializes the sig map on the driver.
-        # Wire schemas passed explicitly: the lazy candidate pipeline
-        # must stream into the exchange, not hit the materialize fallback.
-        from .joins import _ds_arrow_schema_lazy, hash_join
-
-        def ren(suffix):
-            def fn(batch: pa.Table) -> pa.Table:
-                return pa.table(
-                    {f"_sid{suffix}": batch[id_col], f"_sig{suffix}": batch["_sig"]}
-                )
-
-            fn.__name__ = f"sig{suffix}"
-            return fn
-
-        sig_schema = _ds_arrow_schema_lazy(sig_ds)  # materialized -> cheap
-        idt = sig_schema.field(id_col).type
-        sigt = sig_schema.field("_sig").type
-        pair_schema = pa.schema([("id_a", idt), ("id_b", idt)])
-        with_a = hash_join(cand, sig_ds.map_batches(ren("a"), batch_format="pyarrow"),
-                           on="id_a", right_on="_sida",
-                           left_schema=pair_schema,
-                           right_schema=pa.schema([("_sida", idt), ("_siga", sigt)]))
-        with_ab = hash_join(with_a, sig_ds.map_batches(ren("b"), batch_format="pyarrow"),
-                            on="id_b", right_on="_sidb",
-                            left_schema=pa.schema(
-                                list(pair_schema)
-                                + [pa.field("_sida", idt), pa.field("_siga", sigt)]
-                            ),
-                            right_schema=pa.schema([("_sidb", idt), ("_sigb", sigt)]))
-
-        def est_pair(batch: pa.Table) -> pa.Table:
-            if batch.num_rows == 0:
-                return pa.table(
-                    {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
-                     "est_jaccard": pa.array([], pa.float64())}
-                )
-            sa = np.asarray(batch["_siga"].to_pylist(), dtype=np.int64)
-            sb = np.asarray(batch["_sigb"].to_pylist(), dtype=np.int64)
-            est = (sa == sb).mean(axis=1)
-            out = pa.table(
-                {"id_a": batch["id_a"], "id_b": batch["id_b"],
-                 "est_jaccard": pa.array(est, pa.float64())}
-            )
-            return out.filter(pa.compute.greater_equal(out["est_jaccard"], threshold))
-
-        est_pair.__name__ = "minhash_verify_shuffle"
-        survivors = with_ab.map_batches(est_pair, batch_format="pyarrow")
+        survivors = _sig_est_join(
+            cand, sig_ds, id_col, threshold, name="minhash_verify_shuffle"
+        )
     else:
         # broadcast verify: ray.put the id->sig map once, zero-copy read +
         # per-worker cache in every task (documented ~10M-doc ceiling)
@@ -731,13 +804,12 @@ def minhash_dedup(
     mode exists to protect).
 
     ``verify`` overrides the verification strategy: ``"broadcast"``
-    (signature estimate, driver sig map), ``"shuffle"`` (signature
-    estimate, keyed-shuffle routing — the 100-TB path), or ``"exact"``
-    (true char-k-gram Jaccard, texts routed to pairs by keyed-shuffle
-    joins; what the DuckDB oracle checks).  ``"exact"``'s est-prefilter
-    broadcasts the sig map (same ~10M-doc ceiling as ``"broadcast"``);
-    beyond that combine ``"shuffle"`` est-verify with a downstream exact
-    pass."""
+    (signature estimate, driver sig map — fastest under ~10M docs),
+    ``"shuffle"`` (signature estimate, keyed-shuffle routing — the
+    100-TB path), or ``"exact"`` (true char-k-gram Jaccard, signatures
+    AND texts both routed to the pairs by keyed-shuffle joins; what the
+    DuckDB oracle checks).  Both ``"shuffle"`` and ``"exact"`` build no
+    driver-side corpus structure and carry no size ceiling."""
     from .util_ray import collect_small
 
     if distributed == "auto":
@@ -927,20 +999,13 @@ def simhash_near_dedup(
         keep = ham <= max_hamming
         return pd.DataFrame({"id_a": ids[xi[keep]], "id_b": ids[yi[keep]]})
 
-    def add_bpart(batch: pa.Table) -> pa.Table:
-        part = (
-            batch["bkey"].to_numpy(zero_copy_only=False) % 32
-        ).astype(np.int32)
-        return batch.append_column("_bpart", pa.array(part, pa.int32()))
-
     banded = withsim.map_batches(band_rows, batch_format="pyarrow")
-    # group whole buckets per partition (bkey % P), not per distinct bkey
-    cand = (
-        banded.map_batches(add_bpart, batch_format="pyarrow")
-        .repartition(32)
-        .groupby("_bpart", num_partitions=32)
-        .map_groups(pairs, batch_format="pandas")
-    )
+    # whole buckets co-located per hash partition of bkey (not per
+    # distinct bkey): `pairs` is vectorized across buckets, the
+    # take()-exchange replaces the sort-shuffle fixed cost
+    from .grouped import partitioned_map
+
+    cand = partitioned_map(banded, "bkey", pairs, num_partitions=32)
     if distributed:
         # same pair can surface from several bands: dedup with a grouped
         # count so label propagation sees each edge once

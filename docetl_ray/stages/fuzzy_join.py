@@ -167,21 +167,15 @@ def fuzzy_join(
         rid = rv[rs[pb] + within % nr[pb]]
         return pd.DataFrame({"lid": lid, "rid_": rid})
 
-    # group by a PARTITION of buckets (bucket % P), not per distinct
-    # bucket: per-bucket map_groups pays ~ms task/pandas overhead per LSH
-    # bucket and there are ~docs x bands buckets; whole buckets stay
-    # co-located and cross_pairs iterates them with pandas' C groupby
-    def add_part(batch: pa.Table) -> pa.Table:
-        part = (batch["bucket"].to_numpy(zero_copy_only=False) % 32).astype(np.int32)
-        return batch.append_column("part", pa.array(part, pa.int32()))
+    # partition by hash(bucket), not per distinct bucket: per-bucket
+    # map_groups pays ~ms task/pandas overhead per LSH bucket and there
+    # are ~docs x bands buckets; partitioned_map co-locates whole
+    # buckets through the take()-based exchange and cross_pairs runs
+    # vectorized across them inside the task
+    from .grouped import partitioned_map
 
-    cand = (
-        lb.union(rb)
-        .map_batches(add_part, batch_format="pyarrow")
-        .repartition(32)
-        .groupby("part", num_partitions=32)
-        .map_groups(cross_pairs, batch_format="pandas")
-    )
+    cand = partitioned_map(lb.union(rb), "bucket", cross_pairs,
+                           num_partitions=32)
     # est-Jaccard prefilter BEFORE the pair aggregate (the same 0.25
     # margin as the minhash exact path — ≥4 sigma of the 64-perm
     # estimator at any threshold ≥ 0.5, and DETERMINISTIC: signatures
@@ -427,20 +421,26 @@ def _fuzzy_apply_limits(pairs, left_id: str, rid_col: str, limits):
     if lim_l is None and lim_r is None:
         return pairs
 
-    def cap(group: pd.DataFrame, key: str, n: int) -> pd.DataFrame:
-        return (
-            group.sort_values(["jaccard", key], ascending=[False, True], kind="mergesort")
-            .head(n)
-        )
+    from .grouped import partitioned_map
+
+    def cap(key: str, other: str, n: int):
+        # vectorized across every key in the partition: global sort once,
+        # then pandas' C-level groupby().head — join ids are
+        # high-cardinality, so per-key fn calls are the wrong altitude
+        def capper(group: pd.DataFrame) -> pd.DataFrame:
+            return (
+                group.sort_values(["jaccard", other],
+                                  ascending=[False, True], kind="mergesort")
+                .groupby(key, sort=False).head(n)
+            )
+
+        capper.__name__ = f"cap_{key}"
+        return capper
 
     if lim_l is not None:
-        pairs = pairs.groupby(left_id).map_groups(
-            lambda g: cap(g, rid_col, lim_l), batch_format="pandas"
-        )
+        pairs = partitioned_map(pairs, left_id, cap(left_id, rid_col, lim_l))
     if lim_r is not None:
-        pairs = pairs.groupby(rid_col).map_groups(
-            lambda g: cap(g, left_id, lim_r), batch_format="pandas"
-        )
+        pairs = partitioned_map(pairs, rid_col, cap(rid_col, left_id, lim_r))
     return pairs
 
 

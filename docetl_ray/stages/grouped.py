@@ -83,3 +83,44 @@ def grouped_map(
         num_partitions,
         per_bucket_arrow,
     )
+
+
+def partitioned_map(
+    ds,
+    keys,
+    fn: Callable[[pd.DataFrame], pd.DataFrame],
+    *,
+    num_partitions: int = 32,
+):
+    """Apply pandas ``fn`` to each hash partition of ``keys`` as a WHOLE
+    — not per key-group.  For fns already vectorized ACROSS key-groups
+    (LSH-bucket pair generation via index arithmetic, drop_duplicates
+    over keys) this is the right altitude: same-key rows are co-located
+    by the single take()-based exchange and ``fn`` runs once per
+    partition with zero per-key call overhead.  Replaces the
+    ``repartition(P).groupby(part % P).map_groups(fn)`` pattern, which
+    paid Ray's sort-shuffle fixed cost (seconds) per invocation and
+    shipped sliced blocks' full parent buffers."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_codes(batch, keys, num_partitions)
+        return batch.append_column("_gbucket", pa.array(b, pa.int32()))
+
+    def whole_partition(group: pa.Table) -> pa.Table:
+        out = fn(group.to_pandas())
+        if out is None or not len(out.columns):
+            return pa.table({})
+        return pa.Table.from_pandas(
+            out, preserve_index=False
+        ).replace_schema_metadata(None)
+
+    whole_partition.__name__ = getattr(fn, "__name__", "partitioned_map")
+    from .util_ray import exchange_map_groups
+
+    return exchange_map_groups(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_gbucket",
+        num_partitions,
+        whole_partition,
+    )

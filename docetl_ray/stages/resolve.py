@@ -39,9 +39,15 @@ def dedup_exact(ds, key_cols, *, tiebreak_col: str, keep: str = "min"):
         df = df.sort_values(tiebreak_col, ascending=asc, kind="mergesort")
         return df.drop_duplicates(subset=key_cols, keep="first")
 
-    # combiner: per-batch dedup before the shuffle (skew + volume control)
+    # combiner: per-batch dedup before the exchange (skew + volume
+    # control), then `local` runs once per hash partition of the keys —
+    # it is vectorized across keys (sort + drop_duplicates), so the
+    # whole-partition form avoids both per-key fn calls and the sort
+    # shuffle's fixed cost
+    from .grouped import partitioned_map
+
     pre = ds.map_batches(local, batch_format="pandas")
-    return pre.groupby(key_cols).map_groups(local, batch_format="pandas")
+    return partitioned_map(pre, key_cols, local)
 
 
 def auto_compare_batch_size(n_items: int, n_pairs: int, *, cap: int = 500) -> int:

@@ -70,10 +70,12 @@ def sample_stratified(ds, stratify_cols, n_per_group: int, order_by):
     def head(group: pd.DataFrame) -> pd.DataFrame:
         return group.sort_values(order_by, kind="mergesort").head(n_per_group)
 
-    # stratify keys are categorical (low-cardinality) -> per-key
-    # map_groups is cheapest; high-cardinality grouped ops use
-    # stages/grouped.grouped_map instead
-    return ds.groupby(stratify_cols).map_groups(head, batch_format="pandas")
+    # grouped_map's take()-based exchange instead of groupby.map_groups:
+    # stratify keys are categorical so per-key fn calls are cheap either
+    # way, but the sort shuffle pays seconds of fixed cost per invocation
+    from .grouped import grouped_map
+
+    return grouped_map(ds, stratify_cols, head)
 
 
 def topk(ds, sort_cols, k: int, *, descending: bool = True):
@@ -94,7 +96,9 @@ def topk_stratified(ds, stratify_cols, sort_col: str, k: int, *, descending: boo
             sort_col, ascending=not descending, kind="mergesort"
         ).head(k)
 
-    return ds.groupby(stratify_cols).map_groups(head, batch_format="pandas")
+    from .grouped import grouped_map
+
+    return grouped_map(ds, stratify_cols, head)
 
 
 def rank_topk(ds, sort_cols, k: int, *, descending: bool = True, rank_col: str = "_rank"):

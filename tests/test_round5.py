@@ -143,3 +143,81 @@ def test_quantiles_pin_auto_wide_table_still_exact(ray_session, tmp_path):
     s = np.sort(vals)
     exp = [s[max(1, math.ceil(q * n)) - 1] for q in (0.25, 0.5, 0.75)]
     assert out["value"].to_pylist() == exp
+
+
+def test_minhash_exact_builds_no_driver_sig_map(ray_session, monkeypatch):
+    """verify="exact" must never collect the signature table to the
+    driver — its est-prefilter routes signatures to the pairs with
+    keyed-shuffle joins (r4 verdict item 3 removed the ~10M-doc ceiling
+    from the exact path)."""
+    import ray.data as rd
+
+    import docetl_ray.stages.util_ray as util_ray
+    from docetl_ray.stages.dedup import minhash_candidates
+
+    real = util_ray.collect_small
+    collected_cols = []
+
+    def guard(ds, *a, **k):
+        t = real(ds, *a, **k)
+        collected_cols.append(list(t.column_names))
+        assert "_sig" not in t.column_names, \
+            "exact path materialized the signature table on the driver"
+        return t
+
+    monkeypatch.setattr(util_ray, "collect_small", guard)
+
+    base = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank every single morning before breakfast")
+    t = pa.table({
+        "doc_id": list(range(6)),
+        "text": [base, base + " today", base.replace("quick", "rapid"),
+                 "completely unrelated content about database query engines",
+                 "another distinct document covering distributed systems",
+                 "yet another unique text on stream processing backpressure"],
+    })
+    ds = rd.from_arrow(t)
+    out = _collect(minhash_candidates(ds, "text", "doc_id", threshold=0.6,
+                                      verify="exact"))
+    got = set(zip(out["id_a"].to_pylist(), out["id_b"].to_pylist()))
+    assert (0, 1) in got and (0, 2) in got
+    # the sparse text fast path IS allowed to collect survivor pairs/texts
+    assert collected_cols, "guard never exercised"
+
+    # force the DENSE path (keyed-shuffle est-prefilter + text joins):
+    # still no signature table on the driver
+    out_dense = _collect(minhash_candidates(
+        ds, "text", "doc_id", threshold=0.6, verify="exact",
+        sparse_text_pairs=0,
+    ))
+    got_dense = set(zip(out_dense["id_a"].to_pylist(),
+                        out_dense["id_b"].to_pylist()))
+    assert (0, 1) in got_dense and (0, 2) in got_dense
+
+
+def test_delta_auto_compaction_default_bounds_levels(tmp_path, ray_session):
+    """apply_events defaults to compact_after="auto": level count stays
+    <= AUTO_COMPACT_LEVELS + 1 across many delta epochs without any
+    manual compact() call, and state still matches the replay oracle
+    (r4 verdict item 6 — read-side level-merge cost stays bounded)."""
+    import ray.data as rd
+
+    from docetl_ray import synth
+    from docetl_ray.cdc import LakeTable, apply_events, replay_oracle, read_state
+    from docetl_ray.cdc.apply import AUTO_COMPACT_LEVELS
+    from docetl_ray.util import collect
+
+    table = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    segs = [synth.events_table(i * 400, 400) for i in range(10)]
+    for i, seg in enumerate(segs):
+        apply_events(table, rd.from_arrow(seg), epoch=i, mode="delta")
+        assert all(
+            len(p) <= AUTO_COMPACT_LEVELS + 1
+            for p in table.partition_map().values()
+        ), f"epoch {i} exceeded the auto-compaction level bound"
+
+    oracle = replay_oracle(pa.concat_tables(segs))
+    engine = collect(read_state(table)).sort_by([("url", "ascending")])
+    assert engine.num_rows == oracle.num_rows
+    for c in ("url", "lsn", "text"):
+        assert engine[c].to_pylist() == oracle[c].to_pylist(), c
