@@ -320,6 +320,87 @@ def run_bench() -> dict:
             "ann_steal_pct": ann_steal,
         }
 
+    # 10M-row scale points for the round-4 scale features: a SKEWED
+    # asof_join exercising salt>1 hot-key fan-out, and a quantiles run
+    # on the multi-pass pruned re-read path (pin=False — the route
+    # pin="auto" takes when the column would not fit half the object
+    # store).  Both were exactness-unit-tested only; this records their
+    # cost at 1000x the oracle fixtures.
+    scale10m_ops = None
+    if not os.environ.get("GRAFT_BENCH_SKIP_SCALE10M_OPS") and not os.environ.get(
+        "GRAFT_BENCH_SKIP_QUERIES"
+    ):
+        import numpy as np
+        import pyarrow as pa
+
+        n_rows = int(os.environ.get("GRAFT_BENCH_SCALE10M_ROWS", "10000000"))
+        n_users = 100_000
+
+        def gen_left(t: pa.Table) -> pa.Table:
+            i = t["id"].to_numpy()
+            # 30% of probes hit ONE hot user — the skew salt=8 exists for
+            hot = (i % 10) < 3
+            uid = np.where(hot, 0, (i * 2654435761) % n_users + 1)
+            ts = (i * 37) % 86_400_000
+            val = ((i * 1103515245 + 12345) % 1_000_000).astype(np.float64)
+            return pa.table({
+                "user_id": pa.array(uid.astype(np.int64)),
+                "ts": pa.array(ts.astype(np.int64)),
+                "value": pa.array(val),
+            })
+
+        left_dir = f"/tmp/docetl_ray_bench_ops_{n_rows}"
+        if not os.path.exists(os.path.join(left_dir, "_SUCCESS")):
+            shutil.rmtree(left_dir, ignore_errors=True)
+            rd.range(n_rows, override_num_blocks=max(NCPU * 4, 64)).map_batches(
+                gen_left, batch_format="pyarrow"
+            ).write_parquet(left_dir)
+            open(os.path.join(left_dir, "_SUCCESS"), "w").close()
+
+        def gen_right(t: pa.Table) -> pa.Table:
+            i = t["id"].to_numpy()
+            # bounded per-user state: 4 snapshots per user, distinct ts
+            return pa.table({
+                "user_id": pa.array((i % n_users).astype(np.int64)),
+                "ts": pa.array(((i // n_users) * 21_600_000).astype(np.int64)),
+                "state": pa.array((i * 7 % 1000).astype(np.int64)),
+            })
+
+        from docetl_ray.stages.asof import asof_join
+        from docetl_ray.stages.quantiles import quantiles
+
+        load_asof = round(os.getloadavg()[0], 2)
+        c0 = _cpu_sample()
+        t0 = time.perf_counter()
+        left = rd.read_parquet(left_dir, columns=["user_id", "ts", "value"])
+        right = rd.range(4 * n_users).map_batches(gen_right, batch_format="pyarrow")
+        joined = asof_join(left, right, on="ts", by="user_id", salt=8)
+        asof_rows = joined.count()
+        asof_sec = time.perf_counter() - t0
+        asof_steal = _steal_pct(c0, _cpu_sample())
+
+        load_q = round(os.getloadavg()[0], 2)
+        c0 = _cpu_sample()
+        t0 = time.perf_counter()
+        qt = quantiles(
+            rd.read_parquet(left_dir, columns=["value"]),
+            "value", [0.5, 0.9, 0.99], pin=False,
+        )
+        q_sec = time.perf_counter() - t0
+        q_steal = _steal_pct(c0, _cpu_sample())
+        scale10m_ops = {
+            "input_rows": n_rows,
+            "asof_skewed_salt8_sec": round(asof_sec, 3),
+            "asof_rows": asof_rows,
+            "asof_rows_per_sec": round(n_rows / asof_sec),
+            "asof_load1": load_asof,
+            "asof_steal_pct": asof_steal,
+            "quantiles_reread_sec": round(q_sec, 3),
+            "quantiles_values": qt["value"].to_pylist(),
+            "quantiles_load1": load_q,
+            "quantiles_steal_pct": q_steal,
+        }
+
     result = {
         "metric": "cdc_apply_wal_to_committed_parquet",
         "value": round(headline, 3),
@@ -335,6 +416,7 @@ def run_bench() -> dict:
         "query_repeats": reps,
         "n10m": n10m,
         "scale1m": scale1m,
+        "scale10m_ops": scale10m_ops,
         "sf": SF_DIR,
         "num_cpus": NCPU,
     }

@@ -238,12 +238,27 @@ def cluster_dendrogram(
     collapse: float | None = None,
     output_key: str = "clusters",
     max_driver_rows: int = 10_000,
+    coarse: bool | str = "auto",
 ):
     """Full reference-parity cluster op: dendrogram + optional collapse +
     deterministic node annotation + per-leaf root path under
-    ``output_key`` (a ``list<string>``, nearest ancestor first)."""
+    ``output_key`` (a ``list<string>``, nearest ancestor first).
+
+    Above ``max_driver_rows`` the exact driver dendrogram no longer
+    fits; with ``coarse`` truthy (default ``"auto"``) the op degrades
+    gracefully to ``cluster_dendrogram_coarse`` — distributed k-means
+    cells + exact per-cell dendrograms under a centroid top tree —
+    instead of raising (pass ``coarse=False`` to keep the hard error)."""
     from .util_ray import closure_broadcast, collect_small
 
+    if coarse:
+        # count BEFORE collecting: the whole point of the coarse path is
+        # that an over-cap corpus never lands on the driver
+        if ds.count() > max_driver_rows:
+            return cluster_dendrogram_coarse(
+                ds, emb_col, id_col, collapse=collapse,
+                output_key=output_key, max_driver_rows=max_driver_rows,
+            )
     small = collect_small(ds.select_columns([id_col, emb_col]))
     if small.num_rows > max_driver_rows:
         raise ValueError(
@@ -366,3 +381,226 @@ def cluster_threshold(
     edges = pa.table({"id_a": pa.array(ids[xs]), "id_b": pa.array(ids[ys])})
     cmap = connected_components(edges)
     return _attach_labels_broadcast(ds, id_col, cmap, output_col)
+
+
+# ---------------------------------------------------------------------------
+# Coarse (distributed) dendrogram above the driver cap
+# ---------------------------------------------------------------------------
+
+def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, dim) float64 view of a list<float> column (one combine, one
+    flatten — no per-row Python)."""
+    import pyarrow.compute as pc
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(
+        np.float64, copy=False
+    )
+    return flat.reshape(n, -1)
+
+
+def kmeans_cells(
+    ds,
+    emb_col: str,
+    id_col: str,
+    *,
+    num_cells: int,
+    iters: int = 8,
+    sample_rows: int = 4096,
+    cell_col: str = "_cell",
+):
+    """Distributed Lloyd k-means into ``num_cells`` coarse cells.
+
+    Returns ``(centroids (k, dim) ndarray, ds + cell_col:int64)``.
+    Seeding: the first ``sample_rows`` rows come to the driver once and
+    greedy farthest-point picks ``k`` spread seeds (deterministic — no
+    RNG).  Each Lloyd iteration is ONE streaming pass: per-batch argmin
+    assignment + per-cell partial (sum, count), collected (k x dim —
+    tiny, independent of corpus size) and reduced on the driver.  The
+    corpus itself is never materialized on the driver, so this is the
+    scale path the dendrogram cap routes to."""
+    from .util_ray import closure_broadcast, collect_small
+
+    seed_tbl = collect_small(
+        ds.select_columns([emb_col]).limit(max(sample_rows, num_cells))
+    )
+    S = _emb_matrix(seed_tbl[emb_col])
+    if len(S) == 0:
+        raise ValueError("kmeans_cells: empty input")
+    k = min(num_cells, len(S))
+    # greedy farthest-point seeding (k-means++ without the RNG)
+    chosen = [0]
+    d2min = ((S - S[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        nxt = int(d2min.argmax())
+        chosen.append(nxt)
+        d2min = np.minimum(d2min, ((S - S[nxt]) ** 2).sum(axis=1))
+    C = S[chosen].copy()
+
+    def partials_fn(get_c):
+        def partials(batch: pa.Table) -> pa.Table:
+            Cc = get_c()
+            X = _emb_matrix(batch[emb_col])
+            if len(X) == 0:
+                return pa.table({
+                    "cell": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "sum": pa.array([], pa.list_(pa.float64())),
+                })
+            d2 = (
+                (X * X).sum(axis=1)[:, None]
+                - 2.0 * (X @ Cc.T)
+                + (Cc * Cc).sum(axis=1)[None, :]
+            )
+            a = d2.argmin(axis=1)
+            sums = np.zeros_like(Cc)
+            np.add.at(sums, a, X)
+            cnt = np.bincount(a, minlength=len(Cc))
+            nz = np.flatnonzero(cnt)
+            return pa.table({
+                "cell": pa.array(nz, pa.int64()),
+                "cnt": pa.array(cnt[nz], pa.int64()),
+                "sum": pa.array(list(sums[nz]), pa.list_(pa.float64())),
+            })
+
+        partials.__name__ = "kmeans_assign_partials"
+        return partials
+
+    for _ in range(iters):
+        get_c = closure_broadcast(C)
+        part = collect_small(
+            ds.map_batches(partials_fn(get_c), batch_format="pyarrow")
+        )
+        cells = part["cell"].to_numpy()
+        cnts = part["cnt"].to_numpy()
+        sums = _emb_matrix(part["sum"])
+        tot_cnt = np.zeros(k, dtype=np.int64)
+        np.add.at(tot_cnt, cells, cnts)
+        tot_sum = np.zeros_like(C)
+        np.add.at(tot_sum, cells, sums)
+        nz = tot_cnt > 0
+        newC = C.copy()
+        newC[nz] = tot_sum[nz] / tot_cnt[nz, None]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
+
+    get_c = closure_broadcast(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        Cc = get_c()
+        X = _emb_matrix(batch[emb_col])
+        if len(X) == 0:
+            return batch.append_column(cell_col, pa.array([], pa.int64()))
+        d2 = (
+            (X * X).sum(axis=1)[:, None]
+            - 2.0 * (X @ Cc.T)
+            + (Cc * Cc).sum(axis=1)[None, :]
+        )
+        return batch.append_column(
+            cell_col, pa.array(d2.argmin(axis=1), pa.int64())
+        )
+
+    assign.__name__ = "kmeans_assign"
+    return C, ds.map_batches(assign, batch_format="pyarrow")
+
+
+def cluster_dendrogram_coarse(
+    ds,
+    emb_col: str,
+    id_col: str,
+    *,
+    collapse: float | None = None,
+    output_key: str = "clusters",
+    max_driver_rows: int = 10_000,
+    num_cells: int | None = None,
+    kmeans_iters: int = 8,
+):
+    """Dendrogram past the driver cap: distributed k-means into ~sqrt(n)
+    coarse cells, an EXACT per-cell dendrogram inside each cell (one
+    grouped task per cell through the take()-exchange), and a driver
+    dendrogram over the k cell centroids as the top of the hierarchy.
+
+    Every leaf's ``output_key`` path is its local ancestor chain
+    (nearest-first) followed by its cell's ancestor chain in the
+    centroid tree — a valid single tree (each cell subtree hangs off
+    its centroid leaf), coarser than the exact full dendrogram near the
+    cell boundaries (the documented degradation; within-cell structure
+    is exact).  The corpus never lands on the driver: k-means reduces
+    (k x dim) partials, the top tree sees only k <= max_driver_rows
+    centroids, and paths attach inside the per-cell tasks."""
+    import sys
+
+    import pandas as pd
+
+    from .grouped import grouped_map
+
+    n = ds.count()
+    if n <= max_driver_rows:
+        return cluster_dendrogram(
+            ds, emb_col, id_col, collapse=collapse, output_key=output_key,
+            max_driver_rows=max_driver_rows,
+        )
+    if num_cells is None:
+        # sqrt(n) cells, raised until the EXPECTED cell size fits the
+        # driver cap with 2x headroom (skew guard: oversized cells are
+        # further hash-split inside the task)
+        num_cells = int(max(
+            np.ceil(np.sqrt(n)), np.ceil(2.0 * n / max_driver_rows), 2
+        ))
+    if num_cells > max_driver_rows:
+        raise ValueError(
+            f"cluster_dendrogram_coarse: num_cells={num_cells} exceeds the "
+            f"driver cap {max_driver_rows}; raise max_driver_rows"
+        )
+
+    centroids, assigned = kmeans_cells(
+        ds, emb_col, id_col, num_cells=num_cells, iters=kmeans_iters
+    )
+    # top-of-hierarchy tree over the cell centroids (driver, k rows)
+    cell_ids = [f"cell{i}" for i in range(len(centroids))]
+    top = build_dendrogram(centroids)
+    old_limit = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old_limit, 2 * len(centroids) + 1000))
+    try:
+        if collapse is not None:
+            top = collapse_tree(top, collapse)
+        annotate_tree(top, centroids, cell_ids)
+        top_paths = leaf_paths(top, output_key)
+    finally:
+        sys.setrecursionlimit(old_limit)
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        cell = int(g["_cell"].iloc[0])
+        tpath = top_paths.get(cell, [])
+        out_chunks = []
+        # skew guard: a cell past the cap is hash-split positionally;
+        # each split keeps the shared cell path
+        for lo in range(0, len(g), max_driver_rows):
+            part = g.iloc[lo:lo + max_driver_rows]
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in part[emb_col]]
+            )
+            ids = part[id_col].tolist()
+            tree = build_dendrogram(m)
+            lim = sys.getrecursionlimit()
+            sys.setrecursionlimit(max(lim, 2 * len(part) + 1000))
+            try:
+                if collapse is not None:
+                    tree = collapse_tree(tree, collapse)
+                annotate_tree(tree, m, ids)
+                paths = leaf_paths(tree, output_key)
+            finally:
+                sys.setrecursionlimit(lim)
+            res = part.drop(columns=["_cell"]).copy()
+            res[output_key] = [paths.get(i, []) + tpath for i in range(len(part))]
+            out_chunks.append(res)
+        return pd.concat(out_chunks, ignore_index=True)
+
+    per_cell.__name__ = "cell_dendrogram"
+    return grouped_map(assigned, "_cell", per_cell,
+                       num_partitions=min(64, max(8, num_cells // 8)))

@@ -221,3 +221,47 @@ def test_delta_auto_compaction_default_bounds_levels(tmp_path, ray_session):
     assert engine.num_rows == oracle.num_rows
     for c in ("url", "lsn", "text"):
         assert engine[c].to_pylist() == oracle[c].to_pylist(), c
+
+
+def test_cluster_dendrogram_coarse_above_cap(ray_session):
+    # 3000 rows in 3 well-separated 8-dim blobs, cap forced down to 500:
+    # cluster_dendrogram must degrade to the coarse path (not raise) and
+    # return a valid single hierarchy over every row.
+    import numpy as np
+
+    from docetl_ray.stages.cluster import cluster_dendrogram
+    from docetl_ray.util import collect
+
+    n = 3000
+    i = np.arange(n)
+    blob = (i % 3).astype(np.float64)
+    base = np.zeros((n, 8))
+    base[:, 0] = blob * 100.0
+    jitter = ((i * 2654435761) % 997).astype(np.float64)[:, None] / 997.0
+    emb = base + jitter
+    ds = rd.from_arrow(pa.table({
+        "vid": pa.array(i, pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+    }))
+    out = collect(cluster_dendrogram(ds, "embedding", "vid",
+                                     max_driver_rows=500))
+    assert out.num_rows == n
+    assert sorted(out["vid"].to_pylist()) == list(range(n))
+    paths = dict(zip(out["vid"].to_pylist(), out["clusters"].to_pylist()))
+    roots = {tuple(p[-1:]) for p in paths.values()}
+    # nearest-first paths all end at the SAME top-tree root -> one tree
+    assert len(roots) == 1 and next(iter(roots))[0].startswith("cluster_n")
+    # ancestor-chain closure: every path suffix is itself a path some
+    # internal node produced (tree validity, no dangling ancestors)
+    suffixes = {tuple(p[k:]) for p in paths.values() for k in range(len(p))}
+    assert all(tuple(p) in suffixes for p in paths.values())
+    # blob separation survives the coarse hierarchy: two rows of the same
+    # blob share a deeper common suffix than rows of different blobs
+    p0, p1 = paths[0], paths[3]      # same blob (0 and 3 both blob 0)
+    q = paths[1]                     # different blob
+    def common_suffix(a, b):
+        k = 0
+        while k < min(len(a), len(b)) and a[-1 - k] == b[-1 - k]:
+            k += 1
+        return k
+    assert common_suffix(p0, p1) >= common_suffix(p0, q)
