@@ -461,6 +461,95 @@ def run_bench() -> dict:
     return result
 
 
+def run_n50m():
+    """50M-event segmented ingest (``--n50m``) — the 10^10 design's
+    scale point, reproducible from the repo (round 4 ran it from a
+    throwaway /tmp script).
+
+    One 50M-event WAL is generated once (cached), its parquet files
+    sliced into ``GRAFT_BENCH_N50M_EPOCHS`` (default 8) disjoint
+    segments, and each segment applied as its own delta epoch into a
+    128-partition lake with ``compact_after="auto"`` — so the run also
+    exercises the auto-compaction trigger end-to-end: without it the
+    final table would carry n_epochs stacked levels (round 4 measured a
+    99 s merge-on-read at 4 levels on the 50M table); with it the level
+    count stays bounded and ``read_state`` stays cheap.  Records
+    per-epoch wall/steal, the final per-partition level histogram, and
+    the read_state wall.  Caches the record to N50M.json so plain bench
+    runs embed a summary in their final line (like SCALING.json)."""
+    n = int(os.environ.get("GRAFT_BENCH_N50M_EVENTS", "50000000"))
+    n_epochs = int(os.environ.get("GRAFT_BENCH_N50M_EPOCHS", "8"))
+    calib_before = cpu_calibration()
+
+    import ray
+
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    import ray.data as rd
+
+    wal = prepare_wal(n)
+    files = sorted(
+        os.path.join(wal, f) for f in os.listdir(wal) if f.endswith(".parquet")
+    )
+    per = max(1, len(files) // n_epochs)
+    segments = [files[i * per:(i + 1) * per] for i in range(n_epochs - 1)]
+    segments.append(files[(n_epochs - 1) * per:])
+
+    from docetl_ray.cdc import LakeTable, apply_events, read_state
+
+    lake = f"/tmp/docetl_ray_bench_lake50m_{NCPU}"
+    shutil.rmtree(lake, ignore_errors=True)
+    table = LakeTable(lake, num_partitions=128)
+    epochs = []
+    t_total0 = time.perf_counter()
+    for e, seg in enumerate(segments):
+        mode = "merge" if e == 0 else "delta"
+        c0 = _cpu_sample()
+        t0 = time.perf_counter()
+        apply_events(table, rd.read_parquet(seg), epoch=e, mode=mode,
+                     compact_after="auto")
+        sec = time.perf_counter() - t0
+        epochs.append({"epoch": e, "mode": mode, "sec": round(sec, 3),
+                       "steal_pct": _steal_pct(c0, _cpu_sample()),
+                       "load1": round(os.getloadavg()[0], 2)})
+    total_apply = time.perf_counter() - t_total0
+
+    levels = sorted(len(v) for v in table.partition_map().values())
+    c0 = _cpu_sample()
+    t0 = time.perf_counter()
+    state_rows = read_state(table).count()
+    read_sec = time.perf_counter() - t0
+    read_steal = _steal_pct(c0, _cpu_sample())
+    ray.shutdown()
+
+    record = {
+        "metric": "cdc_apply_50m_segmented",
+        "n_events": n,
+        "n_epochs": n_epochs,
+        "num_cpus": NCPU,
+        "total_apply_sec": round(total_apply, 3),
+        "events_per_sec": round(n / total_apply),
+        "epochs": epochs,
+        "max_levels": levels[-1] if levels else 0,
+        "median_levels": levels[len(levels) // 2] if levels else 0,
+        "state_rows": state_rows,
+        "read_state_sec": round(read_sec, 3),
+        "read_state_steal_pct": read_steal,
+        "cpu_calib": {"before": calib_before, "after": cpu_calibration()},
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "N50M.json"), "w") as f:
+            json.dump(record, f, indent=1)
+    except OSError:
+        pass
+    shutil.rmtree(lake, ignore_errors=True)
+    print(json.dumps(record))
+
+
 def run_scaling():
     # Default N=4 -> 4N=16: the linear region of this single node.  Above
     # ~16 cores the apply saturates shared memory/object-store bandwidth
@@ -632,6 +721,19 @@ def _emit(res: dict):
         }
     except (OSError, ValueError):
         pass
+    # likewise the cached --n50m segmented-ingest record
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "N50M.json")) as f:
+            n50 = json.load(f)
+        res["n50m"] = {
+            "events_per_sec": n50.get("events_per_sec"),
+            "n_epochs": n50.get("n_epochs"),
+            "max_levels": n50.get("max_levels"),
+            "read_state_sec": n50.get("read_state_sec"),
+        }
+    except (OSError, ValueError):
+        pass
     # demote remaining bulky blocks until the final line fits the window
     for key in ("scale10m_ops", "scale1m", "n10m", "queries"):
         if len(json.dumps(res)) <= TAIL_LIMIT:
@@ -646,5 +748,7 @@ def _emit(res: dict):
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         run_scaling()
+    elif "--n50m" in sys.argv:
+        run_n50m()
     else:
         _emit(run_bench())
