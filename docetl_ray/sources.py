@@ -51,7 +51,13 @@ def _metadata_free_schema(path: str, columns):
     # pandas writers with differing null-typed columns); forcing file 0's
     # schema on every file would miscast or fail the read, so only force
     # it when every file's metadata-stripped schema is identical —
-    # otherwise fall back to Ray's own inference/unification
+    # otherwise fall back to Ray's own inference/unification.  The check
+    # is a sequential driver-side footer read per file, so it is capped:
+    # past 32 files (machine-written WAL/lake dirs, where the pandas-
+    # metadata problem this helper strips doesn't arise) skip the force
+    # rather than pay O(files) startup latency before the read begins
+    if len(paths) > 32:
+        return None
     for other in paths[1:]:
         try:
             if pq.read_schema(other).remove_metadata() != schema:

@@ -253,7 +253,14 @@ def cluster_dendrogram(
 
     if coarse:
         # count BEFORE collecting: the whole point of the coarse path is
-        # that an over-cap corpus never lands on the driver
+        # that an over-cap corpus never lands on the driver.  Materialize
+        # first — the count is a full execution either way, and the
+        # coarse path re-reads the input ~kmeans_iters+2 more times
+        # (seeding, each Lloyd pass, the final assign), which would
+        # otherwise re-execute the whole upstream pipeline per pass;
+        # cached blocks live in the object store and spill, never on
+        # the driver
+        ds = ds.materialize()
         if ds.count() > max_driver_rows:
             return cluster_dendrogram_coarse(
                 ds, emb_col, id_col, collapse=collapse,
@@ -415,19 +422,42 @@ def kmeans_cells(
     """Distributed Lloyd k-means into ``num_cells`` coarse cells.
 
     Returns ``(centroids (k, dim) ndarray, ds + cell_col:int64)``.
-    Seeding: the first ``sample_rows`` rows come to the driver once and
-    greedy farthest-point picks ``k`` spread seeds (deterministic — no
-    RNG).  Each Lloyd iteration is ONE streaming pass: per-batch argmin
-    assignment + per-cell partial (sum, count), collected (k x dim —
-    tiny, independent of corpus size) and reduced on the driver.  The
-    corpus itself is never materialized on the driver, so this is the
-    scale path the dendrogram cap routes to."""
-    from .util_ray import closure_broadcast, collect_small
+    Seeding: the ``sample_rows`` rows with the SMALLEST deterministic
+    id-hash come to the driver once (a hash-threshold filter pass — a
+    ``limit()`` sample would depend on block order, making the whole
+    hierarchy vary with upstream layout / CPU count) and greedy
+    farthest-point picks ``k`` spread seeds (no RNG).  Each Lloyd
+    iteration is ONE streaming pass: per-batch argmin assignment +
+    per-cell partial (sum, count), collected (k x dim — tiny,
+    independent of corpus size) and reduced on the driver.  The corpus
+    itself is never materialized on the driver, so this is the scale
+    path the dendrogram cap routes to."""
+    from .util_ray import closure_broadcast, collect_small, hash_codes
 
-    seed_tbl = collect_small(
-        ds.select_columns([emb_col]).limit(max(sample_rows, num_cells))
-    )
-    S = _emb_matrix(seed_tbl[emb_col])
+    want = max(sample_rows, num_cells)
+    n = ds.count()
+    frac = 1.0 if n <= want else min(1.0, 4.0 * want / n)
+    while True:
+        thr = (np.uint64(0xFFFFFFFFFFFFFFFF) if frac >= 1.0
+               else np.uint64(frac * 2.0**64))
+
+        def pick_seeds(batch: pa.Table) -> pa.Table:
+            h = hash_codes(batch, [id_col])
+            mask = h <= thr
+            t = batch.filter(pa.array(mask))
+            return pa.table({
+                "_h": pa.array(h[mask], pa.uint64()),
+                "_sid": t[id_col],
+                "_semb": t[emb_col],
+            })
+
+        pick_seeds.__name__ = "kmeans_seed_sample"
+        cand = collect_small(ds.map_batches(pick_seeds, batch_format="pyarrow"))
+        if cand.num_rows >= min(want, n) or frac >= 1.0:
+            break
+        frac = min(1.0, frac * 8.0)
+    cand = cand.sort_by([("_h", "ascending"), ("_sid", "ascending")])
+    S = _emb_matrix(cand["_semb"].slice(0, want))
     if len(S) == 0:
         raise ValueError("kmeans_cells: empty input")
     k = min(num_cells, len(S))
@@ -440,6 +470,18 @@ def kmeans_cells(
         d2min = np.minimum(d2min, ((S - S[nxt]) ** 2).sum(axis=1))
     C = S[chosen].copy()
 
+    # Fixed-point Lloyd accumulation: float partial sums would depend on
+    # BATCH BOUNDARIES (float addition isn't associative), so the same
+    # corpus at a different block layout / CPU count drifts centroids by
+    # ulps and flips cell-boundary rows — the hierarchy must be
+    # layout-independent.  Rows quantize to int64 at a scale derived
+    # from the (deterministic) seed sample; integer sums are associative
+    # so the reduced centroids are bit-identical under any layout.
+    # Headroom: per-row magnitude <= 2^34, so ~2^29 rows per cell per
+    # batch-tree level before overflow — far beyond any real cell.
+    M = float(max(1.0, np.abs(S).max() * 4.0))
+    fxp = (2.0**34) / M
+
     def partials_fn(get_c):
         def partials(batch: pa.Table) -> pa.Table:
             Cc = get_c()
@@ -448,7 +490,7 @@ def kmeans_cells(
                 return pa.table({
                     "cell": pa.array([], pa.int64()),
                     "cnt": pa.array([], pa.int64()),
-                    "sum": pa.array([], pa.list_(pa.float64())),
+                    "sum": pa.array([], pa.list_(pa.int64())),
                 })
             d2 = (
                 (X * X).sum(axis=1)[:, None]
@@ -456,14 +498,15 @@ def kmeans_cells(
                 + (Cc * Cc).sum(axis=1)[None, :]
             )
             a = d2.argmin(axis=1)
-            sums = np.zeros_like(Cc)
-            np.add.at(sums, a, X)
+            Xq = np.rint(np.clip(X * fxp, -(2.0**62), 2.0**62)).astype(np.int64)
+            sums = np.zeros((len(Cc), Xq.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, Xq)
             cnt = np.bincount(a, minlength=len(Cc))
             nz = np.flatnonzero(cnt)
             return pa.table({
                 "cell": pa.array(nz, pa.int64()),
                 "cnt": pa.array(cnt[nz], pa.int64()),
-                "sum": pa.array(list(sums[nz]), pa.list_(pa.float64())),
+                "sum": pa.array(list(sums[nz]), pa.list_(pa.int64())),
             })
 
         partials.__name__ = "kmeans_assign_partials"
@@ -476,14 +519,15 @@ def kmeans_cells(
         )
         cells = part["cell"].to_numpy()
         cnts = part["cnt"].to_numpy()
-        sums = _emb_matrix(part["sum"])
+        sums = np.asarray(part["sum"].to_pylist(), dtype=np.int64) \
+            if part.num_rows else np.zeros((0, C.shape[1]), dtype=np.int64)
         tot_cnt = np.zeros(k, dtype=np.int64)
         np.add.at(tot_cnt, cells, cnts)
-        tot_sum = np.zeros_like(C)
+        tot_sum = np.zeros((k, C.shape[1]), dtype=np.int64)
         np.add.at(tot_sum, cells, sums)
         nz = tot_cnt > 0
         newC = C.copy()
-        newC[nz] = tot_sum[nz] / tot_cnt[nz, None]
+        newC[nz] = (tot_sum[nz] / fxp) / tot_cnt[nz, None]
         if np.allclose(newC, C):
             C = newC
             break
@@ -539,6 +583,9 @@ def cluster_dendrogram_coarse(
 
     from .grouped import grouped_map
 
+    # k-means + the final assign re-read the input kmeans_iters+2 times;
+    # cache the blocks once (object store, spills — never the driver)
+    ds = ds.materialize()
     n = ds.count()
     if n <= max_driver_rows:
         return cluster_dendrogram(
@@ -548,10 +595,14 @@ def cluster_dendrogram_coarse(
     if num_cells is None:
         # sqrt(n) cells, raised until the EXPECTED cell size fits the
         # driver cap with 2x headroom (skew guard: oversized cells are
-        # further hash-split inside the task)
-        num_cells = int(max(
+        # further hash-split inside the task).  Past n = cap^2/2 the
+        # cell count itself would exceed the driver cap; clamp it there
+        # — cells grow past the cap instead, and per_cell's positional
+        # split keeps each in-task dendrogram bounded (the hierarchy
+        # just gets coarser, which is the documented degradation)
+        num_cells = int(min(max_driver_rows, max(
             np.ceil(np.sqrt(n)), np.ceil(2.0 * n / max_driver_rows), 2
-        ))
+        )))
     if num_cells > max_driver_rows:
         raise ValueError(
             f"cluster_dendrogram_coarse: num_cells={num_cells} exceeds the "
@@ -575,6 +626,11 @@ def cluster_dendrogram_coarse(
         sys.setrecursionlimit(old_limit)
 
     def per_cell(g: pd.DataFrame) -> pd.DataFrame:
+        # sort by id: partition row order depends on upstream block
+        # layout / CPU count, and both the leaf indices and the
+        # positional skew-split below must be reproducible (the exact
+        # path sorts the collected table by id for the same reason)
+        g = g.sort_values(id_col, ignore_index=True)
         cell = int(g["_cell"].iloc[0])
         tpath = top_paths.get(cell, [])
         out_chunks = []

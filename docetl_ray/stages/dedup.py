@@ -424,7 +424,15 @@ def minhash_candidates(
                 .to_numpy(zero_copy_only=False)
                 .reshape(small_sig.num_rows, num_perm)
             )
-            row_of = pd.Index(small_sig["_pid"].to_pylist())
+            # id -> sig_mat row, LAST-wins on duplicate ids (the corpus
+            # id_col isn't guaranteed unique; a plain pd.Index would
+            # raise InvalidIndexError from get_indexer on duplicates)
+            pos = pd.Series(
+                np.arange(small_sig.num_rows),
+                index=small_sig["_pid"].to_pylist(),
+            )
+            pos = pos[~pos.index.duplicated(keep="last")]
+            row_of, row_map = pos.index, pos.to_numpy()
             keep_chunks = []
             # column-wise accumulation into PREALLOCATED buffers: a full
             # (pairs, num_perm) fancy-index gather allocates
@@ -438,6 +446,14 @@ def minhash_candidates(
                 ch = pair_df.iloc[lo:lo + 1_000_000]
                 ra = row_of.get_indexer(ch["id_a"].to_numpy())
                 rb = row_of.get_indexer(ch["id_b"].to_numpy())
+                if (ra < 0).any() or (rb < 0).any():
+                    # -1 would silently np.take the LAST row's signature
+                    missing = set(ch["id_a"][ra < 0]) | set(ch["id_b"][rb < 0])
+                    raise KeyError(
+                        f"minhash exact prefilter: pair ids missing from "
+                        f"signature table: {sorted(missing)[:5]}"
+                    )
+                ra, rb = row_map[ra], row_map[rb]
                 n_ch = len(ch)
                 acc = np.zeros(n_ch, dtype=np.int32)
                 eq = np.empty(n_ch, dtype=bool)

@@ -98,21 +98,46 @@ def _pin_threshold_default() -> int:
     return 8 << 30
 
 
-def _auto_pin_size_estimate(ds):
+def _auto_pin_size_estimate(ds, col: str | None = None):
     """Estimated in-memory bytes of the SINGLE column a pin would hold.
     ``size_bytes()`` on a bare read is metadata-only but estimates the
     FULL read schema; only the projected column gets pinned, so the
     estimate is scaled by the column's share — a wide table with one
     small numeric column should take the (cheap) pin instead of 3-5
-    redundant re-reads.  Equal-share is a proxy (per-column parquet
-    stats aren't surfaced by the estimate); it errs toward pinning,
-    whose cost is bounded by the threshold."""
+    redundant re-reads.  The share comes from ONE parquet footer's
+    per-column-chunk uncompressed sizes (a table dominated by the
+    quantile column — e.g. a list<float> among narrow scalars — must
+    NOT be divided by the column count, or the pin undershoots by up
+    to ncols x and wrongly materializes past the threshold); equal
+    share is the fallback when no footer is reachable."""
     try:
         est = ds.size_bytes()  # metadata-only for a bare read
     except Exception:
         return None
     if est is None:
         return None
+    if col is not None:
+        try:
+            files = ds.input_files()
+            if files:
+                import pyarrow.parquet as pq
+
+                md = pq.ParquetFile(files[0]).metadata
+                tot = col_b = 0
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    for ci in range(g.num_columns):
+                        c = g.column(ci)
+                        sz = c.total_uncompressed_size or 0
+                        tot += sz
+                        # nested/list columns report leaf paths like
+                        # "embedding.list.element" — match the root
+                        if c.path_in_schema.split(".")[0] == col:
+                            col_b += sz
+                if tot > 0 and col_b > 0:
+                    return int(est * (col_b / tot))
+        except Exception:
+            pass
     try:
         sch = ds.schema(fetch_if_missing=False)
         ncols = len(sch.names) if sch is not None else 1
@@ -147,7 +172,7 @@ def _multi_select(ds, col: str, ks: list[int] | None = None, *,
     if pin == "auto":
         pin = True
         if _plan_op_names(ds) == ["Read"]:
-            est = _auto_pin_size_estimate(ds)
+            est = _auto_pin_size_estimate(ds, col)
             if est is not None and est > (
                 pin_threshold_bytes
                 if pin_threshold_bytes is not None

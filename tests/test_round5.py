@@ -265,3 +265,129 @@ def test_cluster_dendrogram_coarse_above_cap(ray_session):
             k += 1
         return k
     assert common_suffix(p0, p1) >= common_suffix(p0, q)
+
+
+def test_cluster_coarse_auto_clamps_num_cells(ray_session):
+    """coarse='auto' past n > max_driver_rows^2/2 must clamp the auto
+    cell count to the driver cap (cells grow, per-cell positional split
+    bounds the in-task work) instead of raising the hard error the
+    coarse path exists to avoid."""
+    import numpy as np
+
+    from docetl_ray.stages.cluster import cluster_dendrogram
+    from docetl_ray.util import collect
+
+    # cap=6 -> auto num_cells would be ceil(2*60/6)=20 > cap without
+    # the clamp
+    n = 60
+    i = np.arange(n)
+    emb = np.stack([(i % 4) * 50.0, (i * 7 % 13).astype(np.float64)], 1)
+    ds = rd.from_arrow(pa.table({
+        "vid": pa.array(i, pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+    }))
+    out = collect(cluster_dendrogram(ds, "embedding", "vid",
+                                     max_driver_rows=6))
+    assert out.num_rows == n
+    assert sorted(out["vid"].to_pylist()) == list(range(n))
+
+
+def test_cluster_coarse_deterministic_across_block_layout(ray_session):
+    """Coarse per-cell dendrograms sort by id before building, so the
+    output paths must not depend on upstream block count / row order."""
+    import numpy as np
+
+    from docetl_ray.stages.cluster import cluster_dendrogram
+    from docetl_ray.util import collect
+
+    n = 1200
+    i = np.arange(n)
+    emb = np.stack([(i % 3) * 100.0 + (i * 31 % 17) / 17.0,
+                    (i * 13 % 29).astype(np.float64)], 1)
+    tbl = pa.table({
+        "vid": pa.array(i, pa.int64()),
+        "embedding": pa.array(list(emb), pa.list_(pa.float64())),
+    })
+    perm = np.argsort((i * 2654435761) % (1 << 32))  # deterministic shuffle
+    outs = []
+    for t, nblocks in ((tbl, 4), (tbl.take(pa.array(perm)), 11)):
+        ds = rd.from_arrow(t).repartition(nblocks)
+        out = collect(cluster_dendrogram(ds, "embedding", "vid",
+                                         max_driver_rows=300))
+        outs.append(dict(zip(out["vid"].to_pylist(),
+                             [tuple(p) for p in out["clusters"].to_pylist()])))
+    assert outs[0] == outs[1]
+
+
+def test_auto_pin_estimate_uses_parquet_column_share(ray_session, tmp_path):
+    """A table DOMINATED by the quantile column must not be divided by
+    the column count (that would undershoot by ncols x and wrongly pin
+    past the threshold); the share comes from the parquet footer."""
+    import numpy as np
+
+    from docetl_ray.stages.quantiles import _auto_pin_size_estimate
+
+    n = 4000
+    vals = (np.arange(n * 64, dtype=np.float64) * 1.7).reshape(n, 64)
+    dom = pa.table({
+        "v": pa.array(list(vals), pa.list_(pa.float64())),
+        **{f"k{i}": pa.array(np.arange(n, dtype=np.int64)) for i in range(7)},
+    })
+    path = str(tmp_path / "dom.parquet")
+    pq.write_table(dom, path)
+    ds = rd.read_parquet(path)
+    est = _auto_pin_size_estimate(ds, "v")
+    full = ds.size_bytes()
+    assert est is not None and full is not None
+    # "v" holds the overwhelming majority of the bytes; the equal-share
+    # fallback would report full/8
+    assert est > full // 2
+    # and the narrow-column case still reports a small share
+    est_k = _auto_pin_size_estimate(ds, "k0")
+    assert est_k < full // 8
+
+
+def test_minhash_exact_prefilter_tolerates_duplicate_ids(ray_session):
+    """The broadcast exact-verify prefilter indexes signatures by id;
+    duplicate id_col values must resolve last-wins (as the pre-round-5
+    dict did), not raise InvalidIndexError from pd.Index.get_indexer."""
+    from docetl_ray.stages.dedup import minhash_dedup
+    from docetl_ray.util import collect
+
+    rows = []
+    for i in range(40):
+        text = " ".join(f"tok{i}_{j}" for j in range(30))
+        rows.append({"doc_id": i, "text": text})
+        # near-duplicate pair to force candidate pairs through the
+        # prefilter
+        rows.append({"doc_id": i + 1000,
+                     "text": text.replace("_29", "_29x")})
+    # duplicated id value with identical text (LWW-equivalent)
+    rows.append({"doc_id": 0, "text": rows[0]["text"]})
+    ds = rd.from_pandas(pd.DataFrame(rows))
+    kept, _labels = minhash_dedup(ds, "text", "doc_id", threshold=0.7,
+                                  verify="exact")
+    out = collect(kept)
+    # every near-dup pair collapsed; no crash on the duplicate id
+    assert out.num_rows <= 41
+
+
+def test_metadata_free_schema_caps_directory_footer_scan(tmp_path):
+    """Past 32 files the per-file driver-side footer check is skipped
+    (returns None -> Ray unification) rather than paying O(files)
+    startup latency on machine-written WAL/lake directories."""
+    from docetl_ray.sources import _metadata_free_schema
+
+    d = tmp_path / "many"
+    d.mkdir()
+    t = pa.Table.from_pandas(pd.DataFrame({"a": [1, 2]}))
+    for i in range(33):
+        pq.write_table(t, str(d / f"f{i:03d}.parquet"))
+    assert _metadata_free_schema(str(d), None) is None
+    # under the cap the pandas-metadata strip still applies
+    few = tmp_path / "few"
+    few.mkdir()
+    for i in range(2):
+        pq.write_table(t, str(few / f"f{i}.parquet"))
+    s = _metadata_free_schema(str(few), None)
+    assert s is not None and s.metadata is None
