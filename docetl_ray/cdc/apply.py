@@ -514,7 +514,11 @@ def apply_events(
             if len(paths) > compact_after
         ]
         if over:
-            m = compact(table, tag=f"auto-epoch-{epoch}", pids=over)
+            # tiered: each trigger folds only the delta levels (~O(recent
+            # epochs) write cost), going full only when the folded middle
+            # run has grown to rival the base
+            m = compact(table, tag=f"auto-epoch-{epoch}", pids=over,
+                        policy="tiered")
     return m
 
 
@@ -592,19 +596,35 @@ def resplit(table: LakeTable, new_num_partitions: int, *, tag: str) -> dict:
 
 def compact(
     table: LakeTable, *, tag: str, pids: list[int] | None = None,
-    drop_tombstones_below_lsn: int | None = None,
+    drop_tombstones_below_lsn: int | None = None, policy: str = "full",
 ) -> dict:
-    """Fold a partition's delta levels into one file (LSM compaction).
+    """Fold a partition's delta levels (LSM compaction).
+
+    ``policy="full"`` folds every level into one file.  ``"tiered"``
+    bounds write amplification: the partition's LARGEST file (the base
+    run) is left untouched and only the smaller delta levels fold into
+    one middle run — unless the deltas together already rival the base
+    (>= half its size), in which case the fold goes full.  A partial
+    LWW fold is safe because last-writer-wins is associative and
+    commutative per key ((warc_ts, lsn) max): the subset's winner stays
+    the partition's candidate and subset losers can never win globally.
+    Without this, an auto-compacting table rewrites its ENTIRE state
+    every K epochs — O(state) write cost per trigger, unbounded as
+    state grows; tiered keeps each trigger ~O(recent deltas).
 
     Tombstones are RETAINED by default: a delete must keep suppressing
     older out-of-order events until the WAL guarantees none older can
     still arrive.  ``drop_tombstones_below_lsn`` is that guarantee made
     explicit — a retention watermark: tombstones with ``lsn <`` it are
     garbage-collected (the caller asserts the WAL will never replay an
-    event with a smaller lsn for those keys).  Idempotent per ``tag``;
-    distributed one task per partition."""
+    event with a smaller lsn for those keys).  GC is only sound when
+    EVERY level folds (a GC'd tombstone would resurrect an older live
+    row in an untouched level), so a watermark forces full folds.
+    Idempotent per ``tag``; distributed one task per partition."""
     import ray.data as rd
 
+    if drop_tombstones_below_lsn is not None:
+        policy = "full"
     pmap = table.partition_map()
     todo = [
         {"pid": pid, "paths": paths}
@@ -621,7 +641,15 @@ def compact(
         out_rows = []
         for row in batch.to_pylist():
             pid = int(row["pid"])
-            tables = [pq.read_table(p) for p in row["paths"]]
+            paths = list(row["paths"])
+            kept: list[str] = []
+            if policy == "tiered":
+                sizes = [os.path.getsize(p) for p in paths]
+                big = int(np.argmax(sizes))
+                if sum(sizes) - sizes[big] < sizes[big] // 2:
+                    kept = [paths[big]]
+                    paths = paths[:big] + paths[big + 1:]
+            tables = [pq.read_table(p) for p in paths]
             merged = lww_last_per_url(unify_tables(tables)).sort_by(STATE_SORT_KEYS)
             if drop_tombstones_below_lsn is not None:
                 gc_mask = pc.and_(
@@ -633,13 +661,15 @@ def compact(
             fname = f"part-{pid:05d}.parquet"
             _atomic_write_parquet(merged, os.path.join(root, cdir, fname))
             live = int(pc.sum(pc.cast(pc.invert(merged["_deleted"]), pa.int64())).as_py() or 0)
+            kept_rows = sum(pq.read_metadata(p).num_rows for p in kept)
             out_rows.append(
                 {
                     "pid": pid,
                     "path": os.path.join(cdir, fname),
-                    "rows": merged.num_rows,
+                    "rows": merged.num_rows + kept_rows,
                     "live_rows": live,
-                    "checksum": _state_checksum(merged),
+                    "checksum": _state_checksum(merged) if not kept else None,
+                    "kept_paths": [os.path.relpath(p, root) for p in kept],
                 }
             )
         return pa.Table.from_pylist(out_rows)

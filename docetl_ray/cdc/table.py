@@ -175,8 +175,11 @@ class LakeTable:
         for rec in partition_records:
             pid = str(rec["pid"])
             prev = parts.get(pid, {})
+            # tiered compaction keeps the (largest) base run untouched
+            # and stacks the folded middle run after it
+            kept = [p for p in rec.get("kept_paths") or [] if p]
             parts[pid] = {
-                "paths": [rec["path"]],
+                "paths": kept + [rec["path"]],
                 "rows": rec["rows"],
                 "live_rows": rec.get("live_rows", rec["rows"]),
                 "checksum": rec.get("checksum"),

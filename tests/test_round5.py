@@ -391,3 +391,71 @@ def test_metadata_free_schema_caps_directory_footer_scan(tmp_path):
         pq.write_table(t, str(few / f"f{i}.parquet"))
     s = _metadata_free_schema(str(few), None)
     assert s is not None and s.metadata is None
+
+
+def test_tiered_compaction_keeps_base_and_bounds_write_cost(
+        tmp_path, ray_session):
+    """policy="tiered" (the auto-trigger default) folds only the delta
+    levels, leaving the partition's largest run untouched — a trigger
+    must not rewrite O(state) — while the state stays oracle-exact;
+    once the folded middle run rivals the base, the fold goes full."""
+    import ray.data as rd
+
+    from docetl_ray import synth
+    from docetl_ray.cdc import LakeTable, apply_events, read_state, replay_oracle
+    from docetl_ray.cdc.apply import compact
+    from docetl_ray.util import collect
+
+    table = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    # big bootstrap epoch = the base run, then small deltas
+    segs = [synth.events_table(0, 3000)]
+    apply_events(table, rd.from_arrow(segs[0]), epoch=0, mode="delta",
+                 compact_after=None)
+    base_paths = {pid: p[0] for pid, p in table.partition_map().items()}
+    for e in range(1, 4):
+        segs.append(synth.events_table(3000 + (e - 1) * 50, 50))
+        apply_events(table, rd.from_arrow(segs[-1]), epoch=e, mode="delta",
+                     compact_after=None)
+    assert all(len(p) == 4 for p in table.partition_map().values())
+
+    compact(table, tag="tier1", policy="tiered")
+    pmap = table.partition_map()
+    for pid, paths in pmap.items():
+        assert len(paths) == 2, "tiered fold must leave [base, middle]"
+        assert paths[0] == base_paths[pid], \
+            "tiered fold rewrote the base run"
+    oracle = replay_oracle(pa.concat_tables(segs))
+    engine = collect(read_state(table)).sort_by([("url", "ascending")])
+    assert engine["text"].to_pylist() == oracle["text"].to_pylist()
+
+    # deltas that rival the base force the full fold
+    segs.append(synth.events_table(4000, 3000))
+    apply_events(table, rd.from_arrow(segs[-1]), epoch=9, mode="delta",
+                 compact_after=None)
+    compact(table, tag="tier2", policy="tiered")
+    pmap2 = table.partition_map()
+    assert all(len(p) == 1 for p in pmap2.values()), \
+        "rivaling middle+deltas must fold fully"
+    oracle2 = replay_oracle(pa.concat_tables(segs))
+    engine2 = collect(read_state(table)).sort_by([("url", "ascending")])
+    assert engine2["text"].to_pylist() == oracle2["text"].to_pylist()
+
+
+def test_tombstone_gc_watermark_forces_full_fold(tmp_path, ray_session):
+    """drop_tombstones_below_lsn with policy="tiered" must fold every
+    level: GC'ing a tombstone in a partial fold would resurrect an
+    older live row in an untouched level."""
+    import ray.data as rd
+
+    from docetl_ray import synth
+    from docetl_ray.cdc import LakeTable, apply_events
+    from docetl_ray.cdc.apply import compact
+
+    table = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    apply_events(table, rd.from_arrow(synth.events_table(0, 2000)),
+                 epoch=0, mode="delta", compact_after=None)
+    apply_events(table, rd.from_arrow(synth.events_table(2000, 100)),
+                 epoch=1, mode="delta", compact_after=None)
+    compact(table, tag="gc", policy="tiered",
+            drop_tombstones_below_lsn=10**12)
+    assert all(len(p) == 1 for p in table.partition_map().values())
