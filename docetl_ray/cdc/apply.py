@@ -662,6 +662,15 @@ def compact(
             _atomic_write_parquet(merged, os.path.join(root, cdir, fname))
             live = int(pc.sum(pc.cast(pc.invert(merged["_deleted"]), pa.int64())).as_py() or 0)
             kept_rows = sum(pq.read_metadata(p).num_rows for p in kept)
+            # per-level physical counts: a base row superseded in the
+            # middle run counts in both, so live_rows is an upper bound
+            # on logical live rows after a tiered fold (exact would need
+            # the O(state) merge tiered exists to avoid)
+            for p in kept:
+                dcol = pq.read_table(p, columns=["_deleted"])["_deleted"]
+                live += int(
+                    pc.sum(pc.cast(pc.invert(dcol), pa.int64())).as_py() or 0
+                )
             out_rows.append(
                 {
                     "pid": pid,

@@ -459,3 +459,57 @@ def test_tombstone_gc_watermark_forces_full_fold(tmp_path, ray_session):
     compact(table, tag="gc", policy="tiered",
             drop_tombstones_below_lsn=10**12)
     assert all(len(p) == 1 for p in table.partition_map().values())
+
+
+def test_tiered_fold_across_schema_evolution(tmp_path, ray_session):
+    """A tiered fold after column-add (v2) deltas leaves the v1 base run
+    untouched on disk: the folded middle run carries the evolved schema
+    while the kept base still has the old one, and merge-on-read must
+    unify the two layouts back to the oracle state (rows last written by
+    a v1 event read as null in the added columns)."""
+    import os
+
+    from docetl_ray import synth
+    from docetl_ray.cdc import LakeTable, apply_events, read_state, replay_oracle
+    from docetl_ray.cdc.apply import compact
+    from docetl_ray.util import collect
+
+    table = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    segs = [synth.events_table(0, 3000, v2=False)]
+    apply_events(table, rd.from_arrow(segs[0]), epoch=0, mode="delta",
+                 compact_after=None)
+    base_paths = {pid: p[0] for pid, p in table.partition_map().items()}
+    for e in range(1, 4):
+        segs.append(synth.events_table(3000 + (e - 1) * 80, 80, v2=True))
+        apply_events(table, rd.from_arrow(segs[-1]), epoch=e, mode="delta",
+                     compact_after=None)
+
+    compact(table, tag="tier-evo", policy="tiered")
+    pmap = table.partition_map()
+    for pid, paths in pmap.items():
+        assert len(paths) == 2 and paths[0] == base_paths[pid]
+        base_schema = pq.read_schema(paths[0])
+        mid_schema = pq.read_schema(paths[1])
+        assert "fetch_status" not in base_schema.names, \
+            "tiered fold must not rewrite the v1 base run"
+        assert "fetch_status" in mid_schema.names
+
+    oracle = replay_oracle(
+        pa.concat_tables(segs, promote_options="permissive"))
+    engine = collect(read_state(table)).sort_by([("url", "ascending")])
+    assert engine["text"].to_pylist() == oracle["text"].to_pylist()
+    assert "fetch_status" in engine.column_names
+    eng_rows = engine.sort_by([("url", "ascending")]).to_pylist()
+    v1_last = [r for r in eng_rows if r["lsn"] < 3000]
+    assert v1_last and all(r["fetch_status"] is None for r in v1_last)
+    v2_vals = {r["fetch_status"] for r in eng_rows if r["lsn"] >= 3000}
+    assert v2_vals == {200}
+
+    # one more v2 delta on top of [v1-base, v2-middle] still reads exact
+    segs.append(synth.events_table(3240, 80, v2=True))
+    apply_events(table, rd.from_arrow(segs[-1]), epoch=9, mode="delta",
+                 compact_after=None)
+    oracle2 = replay_oracle(
+        pa.concat_tables(segs, promote_options="permissive"))
+    engine2 = collect(read_state(table)).sort_by([("url", "ascending")])
+    assert engine2["text"].to_pylist() == oracle2["text"].to_pylist()
