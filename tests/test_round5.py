@@ -513,3 +513,76 @@ def test_tiered_fold_across_schema_evolution(tmp_path, ray_session):
         pa.concat_tables(segs, promote_options="permissive"))
     engine2 = collect(read_state(table)).sort_by([("url", "ascending")])
     assert engine2["text"].to_pylist() == oracle2["text"].to_pylist()
+
+
+def test_tiered_auto_fold_soak_and_full_transition(tmp_path, ray_session):
+    """Soak the auto trigger against a big base + many small deltas: the
+    trigger must fold tiered (base untouched, [base, middle] layout)
+    while the folded middle is small, switch to a FULL fold once the
+    middle+deltas rival half the base, keep levels bounded throughout,
+    and stay oracle-exact at every step."""
+    import ray.data as rd
+
+    from docetl_ray import synth
+    from docetl_ray.cdc import LakeTable, apply_events, read_state, replay_oracle
+    from docetl_ray.cdc.apply import AUTO_COMPACT_LEVELS
+    from docetl_ray.util import collect
+
+    table = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    segs = [synth.events_table(0, 4000)]
+    apply_events(table, rd.from_arrow(segs[0]), epoch=0, mode="delta")
+    saw_tiered = saw_full = False
+    for e in range(1, 17):
+        segs.append(synth.events_table(4000 + (e - 1) * 150, 150))
+        apply_events(table, rd.from_arrow(segs[-1]), epoch=e, mode="delta")
+        level_counts = {len(p) for p in table.partition_map().values()}
+        assert max(level_counts) <= AUTO_COMPACT_LEVELS + 1, \
+            f"epoch {e}: levels {level_counts} exceed the bound"
+        if level_counts == {2}:
+            saw_tiered = True
+        if level_counts == {1} and e > 1:
+            saw_full = True
+    assert saw_tiered, "soak never exercised a tiered (partial) fold"
+    assert saw_full, \
+        "middle+deltas rivaling the base never escalated to a full fold"
+
+    oracle = replay_oracle(pa.concat_tables(segs))
+    engine = collect(read_state(table)).sort_by([("url", "ascending")])
+    assert engine["text"].to_pylist() == oracle["text"].to_pylist()
+
+
+def test_resplit_over_tiered_mixed_schema_layout(tmp_path, ray_session):
+    """resplit must read through a tiered [v1-base, v2-middle, deltas]
+    layout: the rewritten partitions carry the unified schema, collapse
+    to one level each, and the state stays oracle-exact."""
+    import ray.data as rd
+
+    from docetl_ray import synth
+    from docetl_ray.cdc import (
+        LakeTable, apply_events, read_state, replay_oracle, resplit,
+    )
+    from docetl_ray.cdc.apply import compact
+    from docetl_ray.util import collect
+
+    table = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    segs = [synth.events_table(0, 3000, v2=False)]
+    apply_events(table, rd.from_arrow(segs[0]), epoch=0, mode="delta",
+                 compact_after=None)
+    for e in range(1, 3):
+        segs.append(synth.events_table(3000 + (e - 1) * 80, 80, v2=True))
+        apply_events(table, rd.from_arrow(segs[-1]), epoch=e, mode="delta",
+                     compact_after=None)
+    compact(table, tag="pre-resplit", policy="tiered")
+    segs.append(synth.events_table(3160, 80, v2=True))
+    apply_events(table, rd.from_arrow(segs[-1]), epoch=3, mode="delta",
+                 compact_after=None)
+    assert all(len(p) == 3 for p in table.partition_map().values())
+
+    m = resplit(table, 4, tag="grow-4")
+    assert table.num_partitions == 4
+    assert all(len(p) == 1 for p in table.partition_map().values())
+    oracle = replay_oracle(
+        pa.concat_tables(segs, promote_options="permissive"))
+    engine = collect(read_state(table)).sort_by([("url", "ascending")])
+    assert engine["text"].to_pylist() == oracle["text"].to_pylist()
+    assert "fetch_status" in engine.column_names
