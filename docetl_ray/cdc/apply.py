@@ -646,7 +646,10 @@ def compact(
             if policy == "tiered":
                 sizes = [os.path.getsize(p) for p in paths]
                 big = int(np.argmax(sizes))
-                if sum(sizes) - sizes[big] < sizes[big] // 2:
+                # deltas strictly below half the base -> partial fold;
+                # deltas >= half -> escalate to a full fold (2x keeps the
+                # comparison integer-exact, no floor drift at odd sizes)
+                if 2 * (sum(sizes) - sizes[big]) < sizes[big]:
                     kept = [paths[big]]
                     paths = paths[:big] + paths[big + 1:]
             tables = [pq.read_table(p) for p in paths]
@@ -661,23 +664,25 @@ def compact(
             fname = f"part-{pid:05d}.parquet"
             _atomic_write_parquet(merged, os.path.join(root, cdir, fname))
             live = int(pc.sum(pc.cast(pc.invert(merged["_deleted"]), pa.int64())).as_py() or 0)
+            # kept-base contribution from the parquet footer only (no
+            # column scan — tiered exists to keep each trigger O(recent
+            # deltas)): physical rows bound live rows, and a base row
+            # superseded in the middle run counts in both anyway, so
+            # live_rows is a documented UPPER BOUND on logical live rows
+            # after a tiered fold (exact needs the O(state) full fold).
             kept_rows = sum(pq.read_metadata(p).num_rows for p in kept)
-            # per-level physical counts: a base row superseded in the
-            # middle run counts in both, so live_rows is an upper bound
-            # on logical live rows after a tiered fold (exact would need
-            # the O(state) merge tiered exists to avoid)
-            for p in kept:
-                dcol = pq.read_table(p, columns=["_deleted"])["_deleted"]
-                live += int(
-                    pc.sum(pc.cast(pc.invert(dcol), pa.int64())).as_py() or 0
-                )
+            live += kept_rows
             out_rows.append(
                 {
                     "pid": pid,
                     "path": os.path.join(cdir, fname),
                     "rows": merged.num_rows + kept_rows,
                     "live_rows": live,
-                    "checksum": _state_checksum(merged) if not kept else None,
+                    # newest-level checksum — same contract delta-mode
+                    # commits already use for multi-level partitions
+                    # (table.py commit()): deterministic per fold
+                    # schedule, detects middle-run corruption.
+                    "checksum": _state_checksum(merged),
                     "kept_paths": [os.path.relpath(p, root) for p in kept],
                 }
             )

@@ -24,6 +24,15 @@ Replaces the reference's op-hash JSON checkpoints
 (``/root/reference/docetl/runner.py:546-663``) with partition-level
 lineage: applied LSN ranges, row counts, and logical checksums per
 partition.
+
+Checksum contract: a partition record's ``checksum`` covers its NEWEST
+level file — for single-file partitions (merge mode, full compaction)
+that is the full logical LWW state; for multi-level partitions (delta
+appends, tiered folds) it is the latest delta / folded middle run only.
+Either way it is deterministic for a given event history + fold
+schedule, so cross-run comparison and corruption audits stay sound; an
+audit that needs a whole-state checksum on a multi-level partition
+should full-fold first (``compact(policy="full")``).
 """
 
 from __future__ import annotations
