@@ -202,9 +202,9 @@ class PipelineOutput(BaseModel):
 class Pipeline(BaseModel):
     """The reference's top-level ``Pipeline`` model (api.py:84-259):
     holds datasets/operations/steps/output, converts to the runner's
-    config dict, and executes.  (``optimize()`` — the MOAR/LLM-agent
-    rewrite path — is pipeline *authoring* tooling, out of engine scope
-    per SURVEY.md §3.4.)"""
+    config dict, and executes.  ``optimize()`` runs the deterministic
+    sample-driven rewrite optimizer (``optimizer.py`` — the recast of
+    the reference's agentic ``docetl build`` path)."""
 
     model_config = ConfigDict(arbitrary_types_allowed=True)
 
@@ -251,3 +251,15 @@ class Pipeline(BaseModel):
         from .runner import PipelineRunner
 
         return PipelineRunner(self.to_config()).run()
+
+    def optimize(self, **kwargs) -> "Pipeline":
+        """Rewrite ops marked ``optimize: true`` via the sample-driven
+        optimizer and return a new Pipeline (reference
+        ``Pipeline.optimize`` -> ``runner.optimize()``,
+        ``runner.py:686-751``)."""
+        from .optimizer import optimize_config
+
+        cfg = optimize_config(self.to_config(), **kwargs)
+        for op in cfg.get("operations", []):
+            op.pop("_optimizer", None)
+        return Pipeline.from_dict(cfg)

@@ -109,6 +109,32 @@ def cmd_run(args) -> int:
     return 0
 
 
+def cmd_build(args) -> int:
+    """Optimize a YAML pipeline and write ``<stem>_opt.yaml`` (the
+    reference's ``docetl build``, ``cli.py:18-198``)."""
+    _init_ray()
+    import ray
+    import yaml
+
+    from .optimizer import optimize_config
+
+    with open(args.pipeline) as f:
+        cfg = yaml.safe_load(f)
+    out_cfg = optimize_config(
+        cfg, sample_limit=args.sample_limit, token_limit=args.token_limit
+    )
+    out_path = args.output or args.pipeline.rsplit(".", 1)[0] + "_opt.yaml"
+    # decision records are for inspection, not execution config
+    for op in out_cfg.get("operations", []):
+        op.pop("_optimizer", None)
+    with open(out_path, "w") as f:
+        yaml.safe_dump(out_cfg, f, sort_keys=False)
+    print(json.dumps({"pipeline": args.pipeline, "optimized": out_path,
+                      "operations": [o["name"] for o in out_cfg["operations"]]}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_state(args) -> int:
     _init_ray()
     import ray
@@ -159,6 +185,14 @@ def main(argv=None) -> int:
     rp = sub.add_parser("run", help="run a YAML pipeline")
     rp.add_argument("pipeline")
     rp.set_defaults(fn=cmd_run)
+
+    bp = sub.add_parser("build", help="optimize a YAML pipeline (rewrite "
+                        "ops marked optimize: true)")
+    bp.add_argument("pipeline")
+    bp.add_argument("-o", "--output", default=None)
+    bp.add_argument("--sample-limit", type=int, default=100)
+    bp.add_argument("--token-limit", type=int, default=8192)
+    bp.set_defaults(fn=cmd_build)
 
     sp = sub.add_parser("state", help="inspect table state")
     sp.add_argument("--table", required=True)
