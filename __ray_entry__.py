@@ -1213,6 +1213,53 @@ def _q_rank_likert(sf_dir):
     return out.select_columns(["doc_id", "_rank"])
 
 
+def _q_optimizer_decision(sf_dir):
+    """The `docetl build` optimizer's chunking decision over documents:
+    sample the first 100 docs (doc_id order), measure whitespace-token
+    counts, and decide chunked-vs-unchanged with token_limit=40 — the
+    p90/budget/candidate-ladder arithmetic is recomputed exactly in the
+    oracle SQL.  Also executes the full rewritten sample plan
+    (split/gather/submap/combine) as a smoke of plan validity."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docetl_ray.optimizer import Optimizer
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by([("doc_id", "ascending")])
+    cfg = {
+        "datasets": {"docs": {"type": "memory", "data": tbl.to_pylist()}},
+        "operations": [
+            {"name": "summ", "type": "map", "optimize": True,
+             "prompt": "Summarize: {{ input.text }}",
+             "output": {"schema": {"summary": "str"}}},
+        ],
+        "pipeline": {"steps": [
+            {"name": "s1", "input": "docs", "operations": ["summ"]},
+        ]},
+    }
+    out = Optimizer(cfg, token_limit=40, sample_limit=100).optimize()
+    note = out["operations"][0]["_optimizer"]
+    chunked = note["decision"] == "chunked"
+    return pa.table({
+        "decision": pa.array([note["decision"]], pa.string()),
+        "p90_doc_tokens": pa.array([note["p90_doc_tokens"]], pa.int64()),
+        "token_budget": pa.array([note["token_budget"]], pa.int64()),
+        "chunk_tokens": pa.array(
+            [note.get("chunk_tokens")], pa.int64()),
+        "n_ops": pa.array([len(out["operations"])], pa.int64()),
+    }) if chunked else pa.table({
+        "decision": pa.array([note["decision"]], pa.string()),
+        "p90_doc_tokens": pa.array([note["p90_doc_tokens"]], pa.int64()),
+        "token_budget": pa.array([note["token_budget"]], pa.int64()),
+        "chunk_tokens": pa.array([None], pa.int64()),
+        "n_ops": pa.array([len(out["operations"])], pa.int64()),
+    })
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering note: the correctness driver records only the FIRST 50
     # entries of this dict, so the registry order is a ROTATION POLICY:
@@ -1304,6 +1351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats_documents": _q_host_stats,
         "paragraph_dedup_documents": _q_paragraph_dedup,
         "rank_qurk_documents": _q_rank_qurk,
+        "optimizer_chunking_decision": _q_optimizer_decision,
     }
 
 
@@ -2567,5 +2615,70 @@ def oracle_sql() -> dict[str, str]:
                    (('0x' || substr(h, 1, 8))::UBIGINT % 10000) / 100.0 AS confidence,
                    n AS _counts_prereduce
             FROM h
+        """,
+        # the build optimizer's chunking decision (token_limit=40 ->
+        # budget=30, sample=first 100 docs by doc_id): whitespace token
+        # counts, p90 pick, the reference-shaped two-ladder candidate
+        # set (floors mirror python int() truncation on positives), and
+        # the largest rung that fits the budget
+        "optimizer_chunking_decision": r"""
+            WITH sample AS (
+                SELECT coalesce(text, '') AS text
+                FROM documents ORDER BY doc_id LIMIT 100
+            ),
+            counts AS (
+                SELECT length(list_filter(
+                    regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n
+                FROM sample
+            ),
+            stats AS (
+                SELECT count(*) AS n_docs, avg(n) AS avg_doc FROM counts
+            ),
+            ordered AS (
+                SELECT n, row_number() OVER (ORDER BY n) - 1 AS rk
+                FROM counts
+            ),
+            p90 AS (
+                SELECT o.n AS p90
+                FROM ordered o, stats s
+                WHERE o.rk = CAST(floor(0.9 * (s.n_docs - 1)) AS BIGINT)
+            ),
+            params AS (
+                SELECT 30 AS budget,
+                       LEAST(30, CAST(floor(s.avg_doc) AS BIGINT))
+                           AS word_limit,
+                       s.avg_doc AS avg_doc
+                FROM stats s
+            ),
+            l1 AS (
+                SELECT CAST(floor(
+                    GREATEST(20, floor(0.15 * p.word_limit))
+                    + g.i * (p.word_limit
+                             - GREATEST(20, floor(0.15 * p.word_limit)))
+                      / 3.0) AS BIGINT) AS rung
+                FROM params p, generate_series(0, 3) AS g(i)
+            ),
+            l2 AS (
+                SELECT LEAST(CAST(floor(
+                    GREATEST(20, floor(0.15 * p.avg_doc))
+                    + g.i * (p.avg_doc
+                             - GREATEST(20, floor(0.15 * p.avg_doc)))
+                      / 3.0) AS BIGINT), p.word_limit) AS rung
+                FROM params p, generate_series(0, 3) AS g(i)
+            ),
+            ladder AS (
+                SELECT DISTINCT rung FROM (
+                    SELECT rung FROM l1 UNION ALL SELECT rung FROM l2)
+            )
+            SELECT
+                CASE WHEN p90.p90 > p.budget
+                     THEN 'chunked' ELSE 'unchanged' END AS decision,
+                p90.p90 AS p90_doc_tokens,
+                p.budget AS token_budget,
+                CASE WHEN p90.p90 > p.budget THEN coalesce(
+                    (SELECT max(rung) FROM ladder WHERE rung <= p.budget),
+                    (SELECT min(rung) FROM ladder)) END AS chunk_tokens,
+                CASE WHEN p90.p90 > p.budget THEN 4 ELSE 1 END AS n_ops
+            FROM p90, params p
         """,
     }

@@ -87,6 +87,15 @@ def split(
 
     Emits ``{split_key}_chunk``, ``{name}_id`` (md5 of the document
     content — deterministic), ``{name}_chunk_num`` (1-based).
+
+    Recast divergence (deliberate): the reference assigns a random
+    ``uuid4`` per input document (``split.py:86-93``), so two documents
+    with byte-identical content keep distinct ids; here the id is a
+    content hash, so byte-identical documents SHARE a split id and a
+    downstream reduce on ``{name}_id`` (e.g. the optimizer's
+    split/gather/submap/combine rewrite) combines them into one output
+    row.  We trade that edge case for reproducible ids that the DuckDB
+    oracles can recompute exactly.
     """
 
     def fn(batch: pa.Table) -> pa.Table:

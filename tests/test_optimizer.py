@@ -49,6 +49,18 @@ def test_map_chunking_rewrite_triggers_on_long_docs(ray_session):
     assert all("summary" in r for r in rows)
 
 
+def test_chunking_rewrite_collapses_byte_identical_docs(ray_session):
+    # Split ids are content hashes (deterministic, oracle-recomputable),
+    # so byte-identical documents share an id and the combine reduce
+    # merges them — documented recast divergence from the reference's
+    # per-document uuid4 (unnest_split_gather.py split()).
+    docs = [{"doc_id": i, "text": _long_doc(0)} for i in range(4)]
+    cfg = optimize_config(_map_config(docs), token_limit=400, sample_limit=10)
+    assert len(cfg["operations"]) == 4
+    rows = PipelineRunner(cfg).run().take_all()
+    assert len(rows) == 1
+
+
 def test_map_short_docs_left_unchanged(ray_session):
     docs = [{"doc_id": i, "text": f"short doc {i}"} for i in range(4)]
     cfg = optimize_config(_map_config(docs), token_limit=400, sample_limit=10)
