@@ -1274,7 +1274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # recorded in r4 now hold the tail.
     return {
         # --- last driver rows in r2+r3; rotated into the r5 window ---
-        "join_semi_customers_with_orders": _q_join_semi,
+        # (new-in-r5 entry leads so it gets its first driver row now;
+        # join_semi moved to the tail — it holds r4's 50th green row)
+        "optimizer_chunking_decision": _q_optimizer_decision,
         "join_anti_customers_without_orders": _q_join_anti,
         "topk_stratified_orders": _q_topk_stratified,
         "sample_uniform_hash_orders": _q_sample_uniform,
@@ -1351,7 +1353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_stats_documents": _q_host_stats,
         "paragraph_dedup_documents": _q_paragraph_dedup,
         "rank_qurk_documents": _q_rank_qurk,
-        "optimizer_chunking_decision": _q_optimizer_decision,
+        "join_semi_customers_with_orders": _q_join_semi,
     }
 
 
