@@ -167,6 +167,48 @@ def find_optimal_threshold(
     return best, (n_pos / len(labels))
 
 
+def build_chunk_plan(op: dict, split_key: str, chunk_tokens: int,
+                     note: dict | None = None) -> list[dict]:
+    """Expand a prompt map into the reference's chunked plan shape —
+    ``split -> gather -> map-per-chunk -> reduce(combine)``
+    (``map_optimizer/operation_creators.py``); shared by the v1
+    optimizer's budget-gated rewrite and the MOAR ``doc_chunking``
+    directive's per-rung candidates."""
+    prompt = op["prompt"]
+    name = op.get("name", "map")
+    split_name = f"{name}_split"
+    content = f"{split_key}_chunk"
+    doc_id = f"{split_name}_id"
+    order = f"{split_name}_chunk_num"
+    rendered = f"{content}_rendered"
+    sub_prompt = prompt.replace(f"input.{split_key}", f"input.{rendered}")
+    schema = op["output"]["schema"]
+    combine_prompt = (
+        "The original task, applied per chunk of a long document, "
+        "was:\n\"{% raw %}" + prompt + "{% endraw %}\"\n\n"
+        "Combine the per-chunk outputs below into one output for the "
+        "whole document, following the original instruction:\n"
+        "{% for item in inputs %}{{ item }}\n{% endfor %}"
+    )
+    split_op = {"name": split_name, "type": "split", "split_key": split_key,
+                "method": "token_count",
+                "method_kwargs": {"num_tokens": chunk_tokens}}
+    if note is not None:
+        split_op["_optimizer"] = note
+    return [
+        split_op,
+        {"name": f"{name}_gather", "type": "gather",
+         "content_key": content, "doc_id_key": doc_id,
+         "order_key": order,
+         "peripheral_chunks": {"previous": 1, "next": 1}},
+        dict(op, name=f"{name}_submap", prompt=sub_prompt,
+             optimize=False),
+        {"name": f"{name}_combine", "type": "reduce",
+         "reduce_key": doc_id, "prompt": combine_prompt,
+         "output": {"schema": schema}},
+    ]
+
+
 class Optimizer:
     """Rewrite the operations marked ``optimize: true`` in a runner
     config (reference ``Optimizer``, ``optimizer.py:48-745``), returning
@@ -266,40 +308,12 @@ class Optimizer:
             })]
         ladder = _chunk_ladder(counts, self.token_limit)
         chunk = max((c for c in ladder if c <= budget), default=ladder[0])
-        name = op.get("name", "map")
-        split_name = f"{name}_split"
-        content = f"{split_key}_chunk"
-        doc_id = f"{split_name}_id"
-        order = f"{split_name}_chunk_num"
-        rendered = f"{content}_rendered"
-        sub_prompt = prompt.replace(f"input.{split_key}", f"input.{rendered}")
-        schema = op["output"]["schema"]
-        combine_prompt = (
-            "The original task, applied per chunk of a long document, "
-            "was:\n\"{% raw %}" + prompt + "{% endraw %}\"\n\n"
-            "Combine the per-chunk outputs below into one output for the "
-            "whole document, following the original instruction:\n"
-            "{% for item in inputs %}{{ item }}\n{% endfor %}"
-        )
         note = {
             "decision": "chunked", "p90_doc_tokens": p90,
             "token_budget": budget, "chunk_tokens": chunk,
             "candidate_chunk_sizes": ladder, "split_key": split_key,
         }
-        return [
-            {"name": split_name, "type": "split", "split_key": split_key,
-             "method": "token_count",
-             "method_kwargs": {"num_tokens": chunk}, "_optimizer": note},
-            {"name": f"{name}_gather", "type": "gather",
-             "content_key": content, "doc_id_key": doc_id,
-             "order_key": order,
-             "peripheral_chunks": {"previous": 1, "next": 1}},
-            dict(op, name=f"{name}_submap", prompt=sub_prompt,
-                 optimize=False),
-            {"name": f"{name}_combine", "type": "reduce",
-             "reduce_key": doc_id, "prompt": combine_prompt,
-             "output": {"schema": schema}},
-        ]
+        return build_chunk_plan(op, split_key, chunk, note=note)
 
     def _optimize_reduce(self, op: dict, rows: list[dict]) -> list[dict]:
         prompt = op.get("prompt")

@@ -65,9 +65,16 @@ class FakeDeterministicClient:
         self.model = model
         self.calls = 0
 
+    def _digest(self, prompt: str) -> bytes:
+        """Seed bytes for one completion.  Subclasses may fold extra
+        state (e.g. the model name — ``moar.ModelSeededClient``) into the
+        hash; the base client hashes the prompt alone so every existing
+        oracle that recomputes ``md5(prompt)`` in SQL stays valid."""
+        return hashlib.md5(prompt.encode("utf-8")).digest()
+
     def complete(self, prompt: str, output_schema: dict) -> dict:
         self.calls += 1
-        h = hashlib.md5(prompt.encode("utf-8")).digest()
+        h = self._digest(prompt)
         out = {}
         for i, (key, typ) in enumerate(sorted(output_schema.items())):
             seed = int.from_bytes(h[(i * 4) % 12 : (i * 4) % 12 + 4], "big")
