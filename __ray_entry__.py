@@ -1260,6 +1260,28 @@ def _q_optimizer_decision(sf_dir):
     })
 
 
+def _q_moar_first_layer(sf_dir):
+    """MOAR's first-layer initialization (docetl_ray/moar.py; reference
+    ``docetl/moar/MOARSearch.py:180-240``) over the first 200 documents:
+    run a one-map plan once per catalog model, meter exact integer
+    micro-dollar costs (whitespace tokens × per-token rates, distinct
+    rendered prompts billed once — the per-actor response cache), score
+    the synthetic md5-draw accuracy, and mark cost/accuracy frontier
+    membership.  Every cell is recomputed in the oracle SQL."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from docetl_ray.moar import moar_first_layer
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).sort_by([("doc_id", "ascending")]).slice(0, 200)
+    return moar_first_layer(
+        tbl.to_pylist(), prompt="Summarize:\n{{ input.text }}",
+        output_schema={"summary": "str"}, id_field="doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     # Ordering note: the correctness driver records only the FIRST 50
     # entries of this dict, so the registry order is a ROTATION POLICY:
@@ -1274,8 +1296,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # recorded in r4 now hold the tail.
     return {
         # --- last driver rows in r2+r3; rotated into the r5 window ---
-        # (new-in-r5 entry leads so it gets its first driver row now;
-        # join_semi moved to the tail — it holds r4's 50th green row)
+        # (new-in-r5 entries lead so they get their first driver row
+        # now; join_semi moved to the tail — it holds r4's 50th green
+        # row — and resolve_fuzzy_documents, green in r4, absorbs the
+        # second displacement)
+        "moar_first_layer_documents": _q_moar_first_layer,
         "optimizer_chunking_decision": _q_optimizer_decision,
         "join_anti_customers_without_orders": _q_join_anti,
         "topk_stratified_orders": _q_topk_stratified,
@@ -2618,6 +2643,54 @@ def oracle_sql() -> dict[str, str]:
                    n AS _counts_prereduce
             FROM h
         """,
+        # MOAR first layer (sample=first 200 docs by doc_id): per
+        # catalog model, cost = sum over DISTINCT rendered prompts of
+        # whitespace-token count × in-rate + 2 json-out tokens ×
+        # out-rate (integer micro-dollars, cache bills each distinct
+        # prompt once); accuracy = mean of md5(model|qp|doc_id) draws
+        # under the model's quality permille; frontier = strictly more
+        # accurate than every cheaper model
+        "moar_first_layer_documents": r"""
+            WITH doc AS (
+                SELECT doc_id, 'Summarize:' || chr(10) || text AS rendered
+                FROM documents ORDER BY doc_id LIMIT 200
+            ),
+            m(model, in_micro, out_micro, qp) AS (
+                VALUES ('det-large', 10000, 30000, 930),
+                       ('det-medium', 3000, 15000, 860),
+                       ('det-small', 250, 1250, 740),
+                       ('det-mini', 50, 400, 620)
+            ),
+            tok AS (
+                SELECT len(regexp_extract_all(rendered, '\S+')) AS in_tok
+                FROM (SELECT DISTINCT rendered FROM doc)
+            ),
+            cost AS (
+                SELECT m.model,
+                       CAST(SUM(t.in_tok) * m.in_micro
+                            + COUNT(*) * 2 * m.out_micro AS BIGINT)
+                         AS cost_micro
+                FROM tok t CROSS JOIN m
+                GROUP BY m.model, m.in_micro, m.out_micro
+            ),
+            acc AS (
+                SELECT m.model, COUNT(*) AS n_rows,
+                       CAST(SUM(CASE WHEN
+                           ('0x' || substr(md5(m.model || '|' || m.qp || '|'
+                               || CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                           % 1000 < m.qp THEN 1 ELSE 0 END) AS DOUBLE)
+                         / COUNT(*) AS accuracy
+                FROM doc d CROSS JOIN m GROUP BY m.model, m.qp
+            )
+            SELECT c.model, a.n_rows, c.cost_micro, a.accuracy,
+                   a.accuracy > COALESCE(
+                       MAX(a.accuracy) OVER (
+                           ORDER BY c.cost_micro
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       '-inf'::DOUBLE) AS on_frontier
+            FROM cost c JOIN acc a USING (model)
+            ORDER BY model
+        """,
         # the build optimizer's chunking decision (token_limit=40 ->
         # budget=30, sample=first 100 docs by doc_id): whitespace token
         # counts, p90 pick, the reference-shaped two-ladder candidate
@@ -2676,11 +2749,12 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN p90.p90 > p.budget
                      THEN 'chunked' ELSE 'unchanged' END AS decision,
                 p90.p90 AS p90_doc_tokens,
-                p.budget AS token_budget,
+                CAST(p.budget AS BIGINT) AS token_budget,
                 CASE WHEN p90.p90 > p.budget THEN coalesce(
                     (SELECT max(rung) FROM ladder WHERE rung <= p.budget),
                     (SELECT min(rung) FROM ladder)) END AS chunk_tokens,
-                CASE WHEN p90.p90 > p.budget THEN 4 ELSE 1 END AS n_ops
+                CAST(CASE WHEN p90.p90 > p.budget THEN 4 ELSE 1 END
+                     AS BIGINT) AS n_ops
             FROM p90, params p
         """,
     }

@@ -99,37 +99,57 @@ def split(
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch[split_key].to_pylist()
-        parent_idx: list[int] = []
-        chunks: list[str] = []
-        ids: list[str] = []
-        nums: list[int] = []
-        for i, text in enumerate(texts):
-            text = text or ""
-            if method == "token_count":
-                toks = _TOKEN_RE.findall(text)
-                pieces = [
-                    " ".join(toks[j : j + token_count])
-                    for j in range(0, len(toks), token_count)
-                ] or [""]
-            else:
-                parts = text.split(delimiter)
-                pieces = [
-                    delimiter.join(parts[j : j + num_splits_to_group])
-                    for j in range(0, len(parts), num_splits_to_group)
-                ]
-            did = _doc_id(text)
-            for cn, piece in enumerate(pieces, start=1):
-                parent_idx.append(i)
-                chunks.append(piece)
-                ids.append(did)
-                nums.append(cn)
-        out = batch.take(pa.array(parent_idx, pa.int64()))
-        out = out.append_column(f"{split_key}_chunk", pa.array(chunks, pa.string()))
-        out = out.append_column(f"{name}_id", pa.array(ids, pa.string()))
-        return out.append_column(f"{name}_chunk_num", pa.array(nums, pa.int64()))
+        return split_batch(
+            batch, split_key, name=name, method=method,
+            token_count=token_count, delimiter=delimiter,
+            num_splits_to_group=num_splits_to_group,
+        )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def split_batch(
+    batch: pa.Table,
+    split_key: str,
+    *,
+    name: str = "split",
+    method: str = "token_count",
+    token_count: int = 100,
+    delimiter: str = "\n\n",
+    num_splits_to_group: int = 1,
+) -> pa.Table:
+    """One batch of ``split`` — module-level so the MOAR plan simulator
+    (``moar.py``) chunks sample rows through the exact code the Ray
+    stage executes."""
+    texts = batch[split_key].to_pylist()
+    parent_idx: list[int] = []
+    chunks: list[str] = []
+    ids: list[str] = []
+    nums: list[int] = []
+    for i, text in enumerate(texts):
+        text = text or ""
+        if method == "token_count":
+            toks = _TOKEN_RE.findall(text)
+            pieces = [
+                " ".join(toks[j : j + token_count])
+                for j in range(0, len(toks), token_count)
+            ] or [""]
+        else:
+            parts = text.split(delimiter)
+            pieces = [
+                delimiter.join(parts[j : j + num_splits_to_group])
+                for j in range(0, len(parts), num_splits_to_group)
+            ]
+        did = _doc_id(text)
+        for cn, piece in enumerate(pieces, start=1):
+            parent_idx.append(i)
+            chunks.append(piece)
+            ids.append(did)
+            nums.append(cn)
+    out = batch.take(pa.array(parent_idx, pa.int64()))
+    out = out.append_column(f"{split_key}_chunk", pa.array(chunks, pa.string()))
+    out = out.append_column(f"{name}_id", pa.array(ids, pa.string()))
+    return out.append_column(f"{name}_chunk_num", pa.array(nums, pa.int64()))
 
 
 def _peripheral_sections(
@@ -319,34 +339,53 @@ def gather(
     ``gather_reference``).  One keyed shuffle on the doc id."""
 
     def render_group(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(order_key, kind="mergesort").reset_index(drop=True)
-        n = len(group)
-        rendered = []
-        for i in range(n):
-            parts = []
-            if doc_header_key and pd.notna(group.at[i, doc_header_key]):
-                parts.append(str(group.at[i, doc_header_key]))
-            lo = max(0, i - previous_count)
-            if lo > 0:
-                skipped = sum(len(str(group.at[j, content_key])) for j in range(0, lo))
-                parts.append(f"[... {skipped} characters skipped ...]")
-            for j in range(lo, i):
-                parts.append(f"--- Previous Chunk {int(group.at[j, order_key])} ---")
-                parts.append(str(group.at[j, content_key]))
-            parts.append("--- Begin Main Chunk ---")
-            parts.append(str(group.at[i, content_key]))
-            parts.append("--- End Main Chunk ---")
-            hi = min(n, i + 1 + next_count)
-            for j in range(i + 1, hi):
-                parts.append(f"--- Next Chunk {int(group.at[j, order_key])} ---")
-                parts.append(str(group.at[j, content_key]))
-            if hi < n:
-                skipped = sum(len(str(group.at[j, content_key])) for j in range(hi, n))
-                parts.append(f"[... {skipped} characters skipped ...]")
-            rendered.append("\n".join(parts))
-        group[f"{content_key}_rendered"] = rendered
-        return group
+        return gather_render_group(
+            group, content_key, order_key,
+            previous_count=previous_count, next_count=next_count,
+            doc_header_key=doc_header_key,
+        )
 
     from .grouped import grouped_map
 
     return grouped_map(ds, doc_id_key, render_group)
+
+
+def gather_render_group(
+    group: "pd.DataFrame",
+    content_key: str,
+    order_key: str,
+    *,
+    previous_count: int = 1,
+    next_count: int = 1,
+    doc_header_key: str | None = None,
+) -> "pd.DataFrame":
+    """One document group of ``gather`` — module-level so the MOAR plan
+    simulator (``moar.py``) renders sample chunks through the exact code
+    the Ray stage executes."""
+    group = group.sort_values(order_key, kind="mergesort").reset_index(drop=True)
+    n = len(group)
+    rendered = []
+    for i in range(n):
+        parts = []
+        if doc_header_key and pd.notna(group.at[i, doc_header_key]):
+            parts.append(str(group.at[i, doc_header_key]))
+        lo = max(0, i - previous_count)
+        if lo > 0:
+            skipped = sum(len(str(group.at[j, content_key])) for j in range(0, lo))
+            parts.append(f"[... {skipped} characters skipped ...]")
+        for j in range(lo, i):
+            parts.append(f"--- Previous Chunk {int(group.at[j, order_key])} ---")
+            parts.append(str(group.at[j, content_key]))
+        parts.append("--- Begin Main Chunk ---")
+        parts.append(str(group.at[i, content_key]))
+        parts.append("--- End Main Chunk ---")
+        hi = min(n, i + 1 + next_count)
+        for j in range(i + 1, hi):
+            parts.append(f"--- Next Chunk {int(group.at[j, order_key])} ---")
+            parts.append(str(group.at[j, content_key]))
+        if hi < n:
+            skipped = sum(len(str(group.at[j, content_key])) for j in range(hi, n))
+            parts.append(f"[... {skipped} characters skipped ...]")
+        rendered.append("\n".join(parts))
+    group[f"{content_key}_rendered"] = rendered
+    return group

@@ -1,0 +1,489 @@
+"""MOAR MCTS plan search (docetl_ray/moar.py — the reference
+``docetl/moar/`` recast): simulation fidelity, cost ledger, frontier
+math, directive instantiation, search determinism.  All driver-side —
+no Ray session needed."""
+
+import copy
+import hashlib
+import json
+import math
+import random
+
+import pyarrow as pa
+import pytest
+
+from docetl_ray import moar
+from docetl_ray.moar import (
+    MODEL_CATALOG,
+    ChangeModelDirective,
+    MoarSearch,
+    ModelSeededClient,
+    ParetoFrontier,
+    PlanNode,
+    default_accuracy,
+    is_fully_explored,
+    moar_first_layer,
+    plan_quality_permille,
+    simulate_plan,
+)
+from docetl_ray.optimizer import _ntokens
+
+
+def _rows(n=24, long_every=3, long_tokens=400, short_tokens=40):
+    rng = random.Random(11)
+    words = ["quantum", "ledger", "harbor", "signal",
+             "matrix", "copper", "meadow", "python"]
+    out = []
+    for i in range(n):
+        k = long_tokens if i % long_every else short_tokens
+        out.append({"doc_id": i,
+                    "text": " ".join(rng.choice(words) for _ in range(k))})
+    return out
+
+
+MAP_OP = {"name": "classify", "type": "map",
+          "prompt": "Classify the topic and extract a title:\n{{ input.text }}",
+          "output": {"schema": {"topic": "str", "title": "str"}}}
+
+
+# ---------------------------------------------------------------------------
+# client + cost ledger
+# ---------------------------------------------------------------------------
+
+def test_model_seeded_client_differs_by_model_and_meters_cost():
+    a = ModelSeededClient("det-large")
+    b = ModelSeededClient("det-mini")
+    oa = a.complete("Classify:\nhello world", {"topic": "str"})
+    ob = b.complete("Classify:\nhello world", {"topic": "str"})
+    assert oa != ob  # model folded into the digest
+    # exact integer ledger: 3 prompt tokens in, ntokens(json out) out
+    assert a.in_tokens == 3
+    assert a.out_tokens == _ntokens(json.dumps(oa, sort_keys=True))
+    assert a.cost_micro == (a.in_tokens * MODEL_CATALOG["det-large"]["in_micro"]
+                            + a.out_tokens * MODEL_CATALOG["det-large"]["out_micro"])
+
+
+def test_unknown_model_rejected():
+    with pytest.raises(ValueError):
+        ModelSeededClient("gpt-nonexistent")
+
+
+# ---------------------------------------------------------------------------
+# simulation fidelity
+# ---------------------------------------------------------------------------
+
+def test_simulate_map_matches_llm_stage_outputs():
+    """The simulator's prompt map IS LLMMapStage — outputs must equal a
+    direct stage call with the same client."""
+    from docetl_ray.stages.llm import LLMMapStage
+
+    rows = _rows(6)
+    res = simulate_plan([MAP_OP], rows, default_model="det-small")
+    client = ModelSeededClient("det-small")
+    stage = LLMMapStage(MAP_OP["prompt"], MAP_OP["output"]["schema"],
+                        client_factory=lambda: client)
+    direct = stage(pa.Table.from_pylist(rows)).to_pylist()
+    assert res.rows == direct
+    assert res.calls == len(rows)
+
+
+def test_simulate_chunked_plan_runs_and_costs_more_calls():
+    from docetl_ray.optimizer import build_chunk_plan
+
+    rows = _rows(6, long_tokens=300, short_tokens=300)
+    plain = simulate_plan([MAP_OP], rows)
+    chunked_ops = build_chunk_plan(copy.deepcopy(MAP_OP), "text", 60)
+    chunked = simulate_plan(chunked_ops, rows)
+    assert chunked.calls > plain.calls          # submap per chunk + combine
+    # one combined row per DISTINCT doc text (split ids are content hashes)
+    assert len(chunked.rows) == len({r["text"] for r in rows})
+    for r in chunked.rows:
+        assert "topic" in r and "title" in r
+
+
+def test_simulate_filter_and_code_ops():
+    ops = [
+        {"name": "pre", "type": "code_map",
+         "code": "def transform(doc):\n    return {'n': len(doc['text'].split())}\n"},
+        {"name": "keep_long", "type": "code_filter",
+         "code": "def transform(doc):\n    return doc['n'] > 100\n"},
+        {"name": "judge", "type": "filter",
+         "prompt": "Keep?\n{{ input.text }}"},
+    ]
+    rows = _rows(12)
+    res = simulate_plan(ops, rows)
+    assert all(r["n"] > 100 for r in res.rows)
+    assert all("keep" not in r for r in res.rows)  # bool key dropped
+    assert res.calls == sum(1 for r in rows if len(r["text"].split()) > 100)
+
+
+def test_simulate_reduce_plain_and_fold():
+    rows = [{"g": i % 2, "v": i} for i in range(10)]
+    plain_op = {"name": "r", "type": "reduce", "reduce_key": "g",
+                "prompt": "Summarize {{ inputs | length }} items",
+                "output": {"schema": {"summary": "str"}}}
+    plain = simulate_plan([plain_op], rows)
+    assert plain.calls == 2 and len(plain.rows) == 2
+    assert all(r["_counts_prereduce"] == 5 for r in plain.rows)
+    fold_op = dict(plain_op, fold_batch_size=2,
+                   fold_prompt="Fold {{ inputs | length }} into {{ output }}")
+    fold = simulate_plan([fold_op], rows)
+    assert fold.calls == 6  # per group: 1 batch + 2 folds
+    assert len(fold.rows) == 2
+
+
+def test_simulate_unsupported_op_raises():
+    with pytest.raises(ValueError):
+        simulate_plan([{"name": "x", "type": "rank"}], _rows(3))
+
+
+# ---------------------------------------------------------------------------
+# synthetic accuracy oracle
+# ---------------------------------------------------------------------------
+
+def test_quality_permille_weakest_link_and_notes():
+    ops = [dict(MAP_OP, model="det-large"),
+           dict(MAP_OP, name="m2", model="det-mini")]
+    qp, m = plan_quality_permille(ops, "det-large")
+    assert qp == MODEL_CATALOG["det-mini"]["quality_permille"]
+    assert m == "det-mini"
+    noted = [dict(op, _moar={"directive": "gleaning",
+                             "acc_delta_permille": 25}) for op in ops]
+    qp2, _ = plan_quality_permille(noted, "det-large")
+    assert qp2 == qp + 50
+
+
+def test_default_accuracy_replayable_and_tracks_quality():
+    rows = [{"doc_id": i} for i in range(400)]
+    hi = default_accuracy(rows, 930, "det-large", id_field="doc_id")
+    lo = default_accuracy(rows, 620, "det-mini", id_field="doc_id")
+    assert hi > lo
+    assert abs(hi - 0.93) < 0.06 and abs(lo - 0.62) < 0.08
+    # replay one row's draw by hand (the SQL oracle recomputes this)
+    key = "det-large|930|7"
+    seed = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
+    expected = 1.0 if seed % 1000 < 930 else 0.0
+    assert default_accuracy([{"doc_id": 7}], 930, "det-large",
+                            id_field="doc_id") == expected
+
+
+# ---------------------------------------------------------------------------
+# frontier math
+# ---------------------------------------------------------------------------
+
+def test_project_to_frontier_step_function():
+    frontier = [[0.5, 100], [0.8, 1000]]
+    p = ParetoFrontier.project_to_frontier
+    assert p(0.6, 50, frontier) == pytest.approx(0.6)    # cheaper than all
+    assert p(0.6, 100, frontier) == pytest.approx(0.1)   # on first step
+    assert p(0.9, 5000, frontier) == pytest.approx(0.1)  # above top step
+    assert p(0.4, 500, frontier) == pytest.approx(0.1)   # below first step
+
+
+def test_frontier_update_rewards_and_displacement():
+    f = ParetoFrontier()
+    a = PlanNode([], "det-mini", node_id=1); a.cost = 100
+    b = PlanNode([], "det-large", node_id=2); b.cost = 1000
+    aff, upd = f.add_plan(a, 0.5)
+    assert upd and a in f.frontier_plans
+    aff, upd = f.add_plan(b, 0.9)
+    assert upd and set(f.frontier_plans) == {a, b}
+    assert aff[b] == pytest.approx(0.4)  # vertical lift over old step
+    # strictly dominated newcomer: negative reward, frontier unchanged
+    c = PlanNode([], "det-large", node_id=3); c.cost = 2000
+    aff, upd = f.add_plan(c, 0.7)
+    assert not upd and c not in f.frontier_plans
+    assert aff[c] == pytest.approx(-0.2)  # 0.9 step minus 0.7
+    # cheaper AND better displaces: displaced node gets negative reward
+    d = PlanNode([], "det-small", node_id=4); d.cost = 50
+    aff, upd = f.add_plan(d, 0.95)
+    assert upd and f.frontier_plans == [d]
+    assert a not in f.frontier_plans and aff[a] < 0
+
+
+def test_failed_plan_never_joins_frontier():
+    f = ParetoFrontier()
+    n = PlanNode([], "det-mini", node_id=1)  # cost stays -1
+    aff, upd = f.add_plan(n, 0.9)
+    assert aff == {} and not upd and not f.plans
+
+
+# ---------------------------------------------------------------------------
+# directives
+# ---------------------------------------------------------------------------
+
+def _ctx(rows=None, token_limit=256):
+    return moar.SearchContext(rows or _rows(), token_limit, "det-large")
+
+
+def test_change_model_directive():
+    d = ChangeModelDirective("det-mini")
+    ops = [dict(MAP_OP, model="det-large")]
+    assert d.applicable(ops[0], ops)
+    (new,) = d.instantiate(ops, "classify", goal="cost", ctx=_ctx())
+    assert new[0]["model"] == "det-mini"
+    assert not d.applicable(new[0], new)  # already there
+
+
+def test_doc_chunking_two_rungs_and_overflow_delta():
+    d = moar.DocChunkingDirective()
+    rows = _rows(12, long_tokens=900, short_tokens=900)
+    cands = d.instantiate([MAP_OP], "classify", goal="acc",
+                          ctx=_ctx(rows, token_limit=256))
+    assert 1 <= len(cands) <= 2
+    for cand in cands:
+        assert [o["type"] for o in cand] == ["split", "gather", "map", "reduce"]
+        note = cand[0]["_moar"]
+        assert note["acc_delta_permille"] == 40  # p90 overflows budget
+        # every candidate plan must simulate end-to-end
+        res = simulate_plan(cand, rows[:4])
+        assert res.rows and res.calls > 0
+    if len(cands) == 2:
+        assert (cands[0][0]["_moar"]["chunk_tokens"]
+                != cands[1][0]["_moar"]["chunk_tokens"])
+    # short docs: chunking is a penalty
+    short = d.instantiate([MAP_OP], "classify", goal="acc",
+                          ctx=_ctx(_rows(12, long_tokens=50), token_limit=2048))
+    assert short[0][0]["_moar"]["acc_delta_permille"] == -15
+
+
+def test_take_head_tail_variants_cut_cost():
+    d = moar.TakeHeadTailDirective()
+    rows = _rows(8, long_tokens=600, short_tokens=600)
+    cands = d.instantiate([MAP_OP], "classify", goal="cost",
+                          ctx=_ctx(rows, token_limit=256))
+    assert len(cands) == 2
+    base = simulate_plan([MAP_OP], rows)
+    for cand in cands:
+        res = simulate_plan(cand, rows)
+        assert res.cost_micro < base.cost_micro
+        assert len(res.rows) == len(rows)
+
+
+def test_chaining_splits_schema():
+    d = moar.ChainingDirective()
+    (cand,) = d.instantiate([MAP_OP], "classify", goal="acc", ctx=_ctx())
+    maps = [o for o in cand if o["type"] == "map"]
+    assert len(maps) == 2
+    merged = {**maps[0]["output"]["schema"], **maps[1]["output"]["schema"]}
+    assert merged == MAP_OP["output"]["schema"]
+    res = simulate_plan(cand, _rows(4))
+    assert all("topic" in r and "title" in r for r in res.rows)
+
+
+def test_operator_fusion_merges_adjacent_maps():
+    d = moar.OperatorFusionDirective()
+    ops = [dict(MAP_OP),
+           {"name": "extract", "type": "map",
+            "prompt": "Extract entities:\n{{ input.text }}",
+            "output": {"schema": {"entities": "str"}}}]
+    assert d.applicable(ops[0], ops)
+    (cand,) = d.instantiate(ops, "classify", goal="cost", ctx=_ctx())
+    assert len([o for o in cand if o["type"] == "map"]) == 1
+    assert set(cand[0]["output"]["schema"]) == {"topic", "title", "entities"}
+    rows = _rows(4)
+    assert simulate_plan(cand, rows).calls == len(rows)  # one call, not two
+
+
+def test_cascade_filtering_prepends_code_filter():
+    d = moar.CascadeFilteringDirective()
+    ops = [{"name": "judge", "type": "filter",
+            "prompt": "Keep?\n{{ input.text }}"}]
+    rows = _rows(12)
+    cands = d.instantiate(ops, "judge", goal="cost", ctx=_ctx(rows))
+    assert len(cands) == 2
+    base = simulate_plan(ops, rows)
+    strict = simulate_plan(cands[0], rows)
+    assert strict.calls <= base.calls  # prefilter cut LLM calls
+
+
+def test_compression_keeps_keyword_sentences():
+    d = moar.DeterministicDocCompressionDirective()
+    op = dict(MAP_OP, prompt="Find every mention of quantum computing "
+                             "hardware:\n{{ input.text }}")
+    rows = [{"doc_id": 0,
+             "text": "Alpha beta. The quantum device hums. Gamma delta. "
+                     "More hardware specs here. Unrelated tail."}]
+    cands = d.instantiate([op], "classify", goal="cost", ctx=_ctx(rows))
+    assert len(cands) == 2
+    strict = simulate_plan(cands[0][:1], rows)  # run just the code_map
+    assert "quantum" in strict.rows[0]["text"]
+    assert "Alpha beta" not in strict.rows[0]["text"]
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+def test_is_fully_explored_sqrt_cap():
+    root = PlanNode([], "det-large", node_id=0)
+    assert not is_fully_explored(root)       # no first layer yet
+    child = PlanNode([], "det-large", parent=root, node_id=1)
+    root.children.append(child)
+    assert is_fully_explored(root)           # root always descends
+    child.visits = 9
+    assert not is_fully_explored(child)      # 0 < max(2, 1+3)
+    for i in range(4):
+        gc = PlanNode([], "det-large", parent=child, node_id=2 + i)
+        gc.visits = 1
+        child.children.append(gc)
+    assert is_fully_explored(child)
+    child.children[0].visits = 0
+    assert not is_fully_explored(child)      # unsimulated child blocks
+
+
+def _search(max_iterations=10, seed=1, **kw):
+    s = MoarSearch([copy.deepcopy(MAP_OP)], _rows(),
+                   max_iterations=max_iterations, token_limit=256,
+                   seed=seed, **kw)
+    s.search()
+    return s
+
+
+def test_search_deterministic():
+    assert _search().summary() == _search().summary()
+
+
+def test_first_layer_one_child_per_surviving_model():
+    s = MoarSearch([copy.deepcopy(MAP_OP)], _rows(), max_iterations=0,
+                   token_limit=256, seed=1)
+    models = {c.default_model for c in s.root.children}
+    assert models <= set(MODEL_CATALOG)
+    assert len(s.root.children) >= 2
+    # every survivor is on the frontier and change-model marked used
+    for c in s.root.children:
+        assert c in s.frontier.frontier_plans
+        assert c.visits == 1
+        assert any(a.startswith("change to ")
+                   for a in c.used_actions["classify"])
+
+
+def test_frontier_is_pareto_consistent():
+    s = _search(max_iterations=14)
+    f = s.frontier
+    plans = [(f.plans_cost[n], f.plans_accuracy[n], n) for n in f.plans]
+    for n in f.frontier_plans:
+        c0, a0 = f.plans_cost[n], f.plans_accuracy[n]
+        # nothing strictly cheaper is at-least-as-accurate
+        assert not any(c < c0 and a >= a0 for c, a, m in plans if m is not n)
+    # frontier accuracies strictly increase with cost
+    accs = [f.plans_accuracy[n]
+            for n in sorted(f.frontier_plans, key=lambda n: f.plans_cost[n])]
+    assert accs == sorted(accs) and len(set(accs)) == len(accs)
+
+
+def test_multi_instance_keeps_single_best():
+    s = _search(max_iterations=14)
+    # at most one child per (parent, multi-instance directive) survives
+    def walk(n):
+        names = [c.latest_action.name for c in n.children
+                 if c.latest_action and c.is_multi_instance]
+        assert len(names) == len(set(names))
+        for c in n.children:
+            walk(c)
+    walk(s.root)
+
+
+def test_directive_never_stacks_in_lineage():
+    s = _search(max_iterations=16)
+    for n in s.frontier.plans:
+        non_model = [d for d, _ in n.memo if not d.startswith("change to ")]
+        assert len(non_model) == len(set(non_model)), n.path()
+
+
+def test_early_stop_counts_stale_iterations():
+    s = MoarSearch([copy.deepcopy(MAP_OP)], _rows(), max_iterations=200,
+                   token_limit=256, seed=1)
+    s.search()
+    assert (s.iterations_without_improvement >= 10
+            or s.iteration_count == 200
+            or not s.should_continue())
+    assert s.iteration_count < 200  # early stop engaged on this tiny space
+
+
+def test_search_cost_ledger_accumulates():
+    s = _search(max_iterations=6)
+    assert s.total_search_cost >= sum(
+        c for c in s.frontier.plans_cost.values() if c > 0)
+
+
+def test_evaluate_func_pluggable():
+    calls = []
+
+    def ev(rows, qp, model):
+        calls.append((len(rows), qp, model))
+        return 0.5
+
+    s = MoarSearch([copy.deepcopy(MAP_OP)], _rows(), max_iterations=2,
+                   token_limit=256, seed=1, evaluate_func=ev)
+    s.search()
+    assert calls and all(acc in (0.5, float("-inf"))
+                         for acc in s.frontier.plans_accuracy.values())
+
+
+# ---------------------------------------------------------------------------
+# first-layer table (the oracle-checked query surface)
+# ---------------------------------------------------------------------------
+
+def test_moar_first_layer_table():
+    rows = _rows(20)
+    t = moar_first_layer(rows, prompt="Summarize:\n{{ input.text }}",
+                         output_schema={"summary": "str"},
+                         id_field="doc_id")
+    assert t.num_rows == len(MODEL_CATALOG)
+    df = t.to_pandas().set_index("model")
+    assert (df["n_rows"] == len(rows)).all()
+    # exact integer cost: tokens × catalog rates (out = 1 json token
+    # per call for a single str field... recompute directly)
+    for m, cat in MODEL_CATALOG.items():
+        in_tok = sum(_ntokens("Summarize:\n" + r["text"]) for r in rows)
+        out_tok = sum(
+            _ntokens(json.dumps(ModelSeededClient(m).complete(
+                "Summarize:\n" + r["text"], {"summary": "str"}),
+                sort_keys=True))
+            for r in rows)
+        assert df.at[m, "cost_micro"] == (in_tok * cat["in_micro"]
+                                          + out_tok * cat["out_micro"])
+    # frontier rule: more expensive must be strictly more accurate
+    sor = df.sort_values("cost_micro")
+    best = float("-inf")
+    for _, r in sor.iterrows():
+        assert bool(r["on_frontier"]) == (r["accuracy"] > best)
+        best = max(best, r["accuracy"])
+
+
+# ---------------------------------------------------------------------------
+# executability: frontier plans run on Ray and match the simulator
+# ---------------------------------------------------------------------------
+
+def test_frontier_plan_executes_on_ray_and_matches_simulation():
+    """A MOAR plan (model override + gleaning + code_map truncation) run
+    through the REAL PipelineRunner must produce exactly the rows the
+    driver-side simulator predicted — same stage code, same seeded
+    client."""
+    from docetl_ray.runner import PipelineRunner
+
+    rows = _rows(10)
+    s = MoarSearch([copy.deepcopy(MAP_OP)], rows, max_iterations=6,
+                   token_limit=256, seed=1)
+    frontier = s.search()
+    # pick the deepest frontier plan (most rewrites applied)
+    node = max(frontier, key=lambda n: len(n.memo))
+    assert len(node.memo) >= 2
+    ops = [dict(o) for o in node.ops]
+    for o in ops:
+        o.pop("_moar", None)
+    cfg = {
+        "datasets": {"docs": {"type": "memory", "data": rows}},
+        "operations": ops,
+        "pipeline": {"steps": [
+            {"name": "s1", "input": "docs",
+             "operations": [o["name"] for o in ops]},
+        ]},
+    }
+    out = PipelineRunner(cfg).run()
+    got = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    want = sorted(simulate_plan(node.ops, rows,
+                                default_model=node.default_model).rows,
+                  key=lambda r: r["doc_id"])
+    assert got == want
