@@ -111,7 +111,10 @@ def cmd_run(args) -> int:
 
 def cmd_build(args) -> int:
     """Optimize a YAML pipeline and write ``<stem>_opt.yaml`` (the
-    reference's ``docetl build``, ``cli.py:18-198``)."""
+    reference's ``docetl build``, ``cli.py:18-198``).  ``--moar`` runs
+    the MCTS plan search instead (reference ``--optimizer moar``): one
+    ``<stem>_moar_<i>.yaml`` per Pareto-frontier plan, plus the frontier
+    summary on stdout; without it, the v1 sample-driven rewriter."""
     _init_ray()
     import ray
     import yaml
@@ -120,6 +123,10 @@ def cmd_build(args) -> int:
 
     with open(args.pipeline) as f:
         cfg = yaml.safe_load(f)
+    if getattr(args, "moar", False):
+        code = _build_moar(args, cfg)
+        ray.shutdown()
+        return code
     out_cfg = optimize_config(
         cfg, sample_limit=args.sample_limit, token_limit=args.token_limit
     )
@@ -132,6 +139,60 @@ def cmd_build(args) -> int:
     print(json.dumps({"pipeline": args.pipeline, "optimized": out_path,
                       "operations": [o["name"] for o in out_cfg["operations"]]}))
     ray.shutdown()
+    return 0
+
+
+def _build_moar(args, cfg: dict) -> int:
+    """MOAR search over a single-step pipeline: sample the input
+    dataset, run the MCTS, and write one executable YAML per frontier
+    plan (the reference's per-node plan files,
+    ``moar/MOARSearch.instantiate_node``)."""
+    import yaml
+
+    from .moar import MoarSearch
+    from .runner import _load_dataset
+
+    steps = cfg.get("pipeline", {}).get("steps", [])
+    if len(steps) != 1 or "input" not in steps[0]:
+        print(json.dumps({"error": "--moar requires a single-step "
+                          "pipeline with an input dataset"}))
+        return 2
+    step = steps[0]
+    ops_by_name = {o["name"]: o for o in cfg.get("operations", [])}
+    base_ops = [ops_by_name[n] for n in step["operations"]]
+    rows = (_load_dataset(cfg["datasets"][step["input"]])
+            .limit(args.sample_limit).take_all())
+    search = MoarSearch(base_ops, rows,
+                        max_iterations=args.moar_iterations,
+                        token_limit=args.token_limit, seed=args.moar_seed)
+    frontier = search.search()
+    stem = args.pipeline.rsplit(".", 1)[0]
+    written = []
+    for i, node in enumerate(frontier):
+        plan_cfg = dict(cfg)
+        ops = [dict(o) for o in node.ops]
+        for o in ops:
+            o.pop("_moar", None)  # decision notes are not execution config
+        plan_cfg["operations"] = ops
+        plan_cfg["pipeline"] = dict(cfg["pipeline"])
+        plan_cfg["pipeline"]["steps"] = [
+            dict(step, operations=[o["name"] for o in ops])]
+        path = f"{stem}_moar_{i}.yaml"
+        with open(path, "w") as f:
+            yaml.safe_dump(plan_cfg, f, sort_keys=False)
+        written.append(path)
+    print(json.dumps({
+        "pipeline": args.pipeline,
+        "iterations": search.iteration_count,
+        "plans_explored": len(search.frontier.plans),
+        "search_cost_micro": search.total_search_cost,
+        "frontier": [
+            {"file": written[i], "path": n.path(),
+             "cost_micro": search.frontier.plans_cost[n],
+             "accuracy": round(search.frontier.plans_accuracy[n], 4)}
+            for i, n in enumerate(frontier)
+        ],
+    }))
     return 0
 
 
@@ -192,6 +253,11 @@ def main(argv=None) -> int:
     bp.add_argument("-o", "--output", default=None)
     bp.add_argument("--sample-limit", type=int, default=100)
     bp.add_argument("--token-limit", type=int, default=8192)
+    bp.add_argument("--moar", action="store_true",
+                    help="run the MOAR MCTS plan search; writes one "
+                         "<stem>_moar_<i>.yaml per frontier plan")
+    bp.add_argument("--moar-iterations", type=int, default=12)
+    bp.add_argument("--moar-seed", type=int, default=0)
     bp.set_defaults(fn=cmd_build)
 
     sp = sub.add_parser("state", help="inspect table state")

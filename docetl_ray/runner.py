@@ -96,6 +96,20 @@ def get_operation(type_name: str):
     return None
 
 
+def _model_client_factory(op: dict):
+    """Per-op ``model:`` -> a catalog-seeded client factory (None keeps
+    the default deterministic client).  This is how MOAR-chosen plans
+    (docetl_ray/moar.py) execute with their selected model tier — the
+    reference threads the model name into litellm per op
+    (operations/utils/api.py)."""
+    m = op.get("model")
+    if not m:
+        return None
+    from .moar import ModelSeededClient
+
+    return lambda: ModelSeededClient(m)
+
+
 def _apply_op(ds, op: dict):
     t = op["type"]
     name = op.get("name", t)
@@ -122,6 +136,7 @@ def _apply_op(ds, op: dict):
 
         return llm_map(ds, op["prompt"], op["output"]["schema"],
                        drop_keys=op.get("drop_keys"),
+                       client_factory=_model_client_factory(op),
                        validate=op.get("validate"),
                        gleaning=op.get("gleaning"),
                        batch_prompt=op.get("batch_prompt"),
@@ -159,7 +174,8 @@ def _apply_op(ds, op: dict):
             return ds.map_batches(filt, batch_format="pyarrow")
         from .stages.llm import llm_filter
 
-        return llm_filter(ds, op["prompt"])
+        return llm_filter(ds, op["prompt"],
+                          client_factory=_model_client_factory(op))
     if t in ("reduce", "code_reduce", "llm_reduce"):
         key = op.get("reduce_key", "_all")
         keys = [key] if isinstance(key, str) else list(key)
@@ -184,6 +200,7 @@ def _apply_op(ds, op: dict):
         from .stages.llm import llm_reduce
 
         return llm_reduce(ds, keys, op["prompt"], op["output"]["schema"],
+                          client_factory=_model_client_factory(op),
                           pass_through=op.get("pass_through", False),
                           fold_prompt=op.get("fold_prompt"),
                           fold_batch_size=op.get("fold_batch_size"),

@@ -75,3 +75,37 @@ pipeline:
     out = _cli("run", str(yml))
     assert json.loads(out)["output_rows"] == 3
     assert pq.read_table(str(tmp_path / "out")).num_rows == 3
+
+
+def test_cli_build_moar(tmp_path):
+    """`build --moar` writes one executable YAML per frontier plan; the
+    cheapest frontier plan runs through `run` and yields all rows."""
+    docs = [{"doc_id": i,
+             "text": " ".join(f"w{i % 5}t{j}" for j in range(200))}
+            for i in range(20)]
+    (tmp_path / "docs.json").write_text(json.dumps(docs))
+    (tmp_path / "pipe.yaml").write_text(f"""
+datasets:
+  docs: {{type: json, path: {tmp_path}/docs.json}}
+operations:
+  - name: classify
+    type: map
+    prompt: "Classify topic and title:\\n{{{{ input.text }}}}"
+    output: {{schema: {{topic: str, title: str}}}}
+pipeline:
+  steps:
+    - name: s1
+      input: docs
+      operations: [classify]
+  output: {{format: json, path: {tmp_path}/out.json}}
+""")
+    out = json.loads(_cli("build", str(tmp_path / "pipe.yaml"), "--moar",
+                          "--token-limit", "128", "--moar-iterations", "6"))
+    assert out["frontier"], out
+    costs = [p["cost_micro"] for p in out["frontier"]]
+    accs = [p["accuracy"] for p in out["frontier"]]
+    assert costs == sorted(costs)            # frontier ordered by cost
+    assert accs == sorted(accs)              # strictly better with cost
+    plan = out["frontier"][0]["file"]
+    ran = json.loads(_cli("run", plan))
+    assert ran["output_rows"] == len(docs)
