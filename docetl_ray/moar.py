@@ -662,6 +662,112 @@ class DeterministicDocCompressionDirective(MoarDirective):
         return out
 
 
+class DocChunkingTopKDirective(MoarDirective):
+    """Chunk the doc and submit only RELEVANT chunks to the model
+    (reference ``doc_chunking_topk.py`` — chunk, embed, keep the top-k
+    chunks by query relevance).  Recast: after the split, a code_filter
+    keeps chunks containing a prompt keyword (chunk 1 always survives so
+    no document disappears); the submap bills only surviving chunks.
+    Cost ↓ vs plain chunking; note +20‰ when docs overflow the budget
+    (less than full chunking's +40 — dropped chunks may matter), −25‰
+    otherwise."""
+
+    name = "doc_chunking_topk"
+    group = "chunking"
+    multi_instance = True
+
+    def applicable(self, op, ops):
+        return (_is_prompt_op(op) and op["type"] in ("map", "llm_map")
+                and not any(o.get("type") == "split" for o in ops)
+                and bool(_prompt_keywords(op.get("prompt", ""))))
+
+    def instantiate(self, ops, target, *, goal, ctx):
+        op = next(o for o in ops if o.get("name") == target)
+        split_key = _doc_field(op, ctx.sample_rows)
+        if split_key is None:
+            return []
+        counts = sorted(_ntokens(str(r.get(split_key, "")))
+                        for r in ctx.sample_rows) or [0]
+        p90 = counts[min(len(counts) - 1, int(0.9 * (len(counts) - 1)))]
+        budget = int(ctx.token_limit * 0.75)
+        delta = +20 if p90 > budget else -25
+        ladder = _chunk_ladder(counts, ctx.token_limit)
+        fitting = [c for c in ladder if c <= budget] or ladder[:1]
+        rungs = [fitting[-1]]
+        if len(fitting) > 1:
+            rungs.append(fitting[len(fitting) // 2])
+        kws = _prompt_keywords(op["prompt"])
+        name = op.get("name", "map")
+        chunk_col = f"{split_key}_chunk"
+        num_col = f"{name}_split_chunk_num"
+        out = []
+        for rung in dict.fromkeys(rungs):
+            plan = build_chunk_plan(copy.deepcopy(op), split_key, rung)
+            plan[0] = _note(plan[0], self.name, delta,
+                            chunk_tokens=rung, keywords=kws)
+            keep_code = (
+                "def transform(doc):\n"
+                f"    if doc.get({num_col!r}) == 1:\n"
+                "        return True\n"
+                f"    low = str(doc.get({chunk_col!r}) or '').lower()\n"
+                f"    return any(k in low for k in {kws!r})\n"
+            )
+            keep = {"name": f"{name}_relevant_chunks",
+                    "type": "code_filter", "code": keep_code}
+            out.append(self._replace(
+                ops, target, [plan[0], keep] + plan[1:]))
+        return out
+
+
+class HierarchicalReduceDirective(MoarDirective):
+    """Two-level reduce (reference ``hierarchical_reduce.py``): reduce
+    on a finer composite key first, then reduce the sub-results to the
+    original key — each call sees a bounded group.  The sub-key is the
+    lowest-cardinality other column with >1 distinct sampled values
+    (deterministic stand-in for the agent's choice).  Note +10‰ (bounded
+    prompts truncate less)."""
+
+    name = "hierarchical_reduce"
+
+    def _sub_key(self, op, rows) -> str | None:
+        key = op.get("reduce_key")
+        keys = [key] if isinstance(key, str) else list(key or [])
+        if not rows or not keys or keys == ["_all"]:
+            return None
+        best, best_card = None, None
+        for col in sorted(rows[0]):
+            if col in keys or col.startswith("_"):
+                continue
+            vals = {r.get(col) for r in rows}
+            if not all(isinstance(v, (str, int, bool)) or v is None
+                       for v in vals):
+                continue
+            if 1 < len(vals) <= max(2, len(rows) // 2):
+                if best_card is None or len(vals) < best_card:
+                    best, best_card = col, len(vals)
+        return best
+
+    def applicable(self, op, ops):
+        return (_is_prompt_op(op)
+                and op["type"] in ("reduce", "llm_reduce")
+                and not op.get("fold_prompt"))
+
+    def instantiate(self, ops, target, *, goal, ctx):
+        op = next(o for o in ops if o.get("name") == target)
+        sub = self._sub_key(op, ctx.sample_rows)
+        if sub is None:
+            return []
+        key = op["reduce_key"]
+        keys = [key] if isinstance(key, str) else list(key)
+        name = op.get("name", "reduce")
+        fine = _note(dict(copy.deepcopy(op), name=f"{name}_fine",
+                          reduce_key=keys + [sub]),
+                     self.name, +10, sub_key=sub)
+        coarse = dict(copy.deepcopy(op), name=f"{name}_coarse")
+        coarse.pop("_moar", None)
+        return [self._replace(ops, target, [fine, coarse])]
+
+
 class CascadeFilteringDirective(MoarDirective):
     """Cheap deterministic prefilter ahead of an LLM filter (reference
     ``cascade_filtering.py``: a cheap model screens, the strong model
@@ -749,14 +855,15 @@ class OperatorFusionDirective(MoarDirective):
 #: (``search_utils.get_excluded_directives_for_operation``)
 DIRECTIVE_GROUPS = {"compression": ("doc_summarization",
                                     "deterministic_doc_compression"),
-                    "chunking": ("doc_chunking",)}
+                    "chunking": ("doc_chunking", "doc_chunking_topk")}
 
 #: registration order doubles as the deterministic tie-break priority of
 #: the reward-greedy chooser (the recast of the agent's pick)
 BASE_DIRECTIVES: tuple[Callable[[], MoarDirective], ...] = (
     GleaningDirective, DocChunkingDirective, ChainingDirective,
     DeterministicDocCompressionDirective, DocSummarizationDirective,
-    TakeHeadTailDirective, CascadeFilteringDirective,
+    TakeHeadTailDirective, DocChunkingTopKDirective,
+    HierarchicalReduceDirective, CascadeFilteringDirective,
     OperatorFusionDirective,
 )
 

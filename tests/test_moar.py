@@ -487,3 +487,47 @@ def test_frontier_plan_executes_on_ray_and_matches_simulation():
                                 default_model=node.default_model).rows,
                   key=lambda r: r["doc_id"])
     assert got == want
+
+
+def test_doc_chunking_topk_bills_fewer_chunks():
+    d = moar.DocChunkingTopKDirective()
+    op = dict(MAP_OP, prompt="Find every mention of quantum "
+                             "hardware:\n{{ input.text }}")
+    rng = random.Random(5)
+    # long docs where only some chunks contain the keyword
+    rows = [{"doc_id": i,
+             "text": " ".join(
+                 ("quantum" if (j // 40) % 3 == 0 else rng.choice(
+                     ["alpha", "beta", "gamma"])) + str(j)
+                 for j in range(600))}
+            for i in range(6)]
+    ctx = moar.SearchContext(rows, 256, "det-large")
+    cands = d.instantiate([op], "classify", goal="cost", ctx=ctx)
+    assert cands and cands[0][1]["type"] == "code_filter"
+    d_full = moar.DocChunkingDirective().instantiate(
+        [op], "classify", goal="cost", ctx=ctx)
+    topk = simulate_plan(cands[0], rows)
+    plain = simulate_plan(d_full[0], rows)
+    assert topk.calls < plain.calls       # dropped chunks not billed
+    assert len(topk.rows) == len({r["text"] for r in rows})  # no doc lost
+    assert cands[0][0]["_moar"]["acc_delta_permille"] == 20
+
+
+def test_hierarchical_reduce_two_levels():
+    d = moar.HierarchicalReduceDirective()
+    op = {"name": "digest", "type": "reduce", "reduce_key": "lang",
+          "prompt": "Digest {{ inputs | length }} docs for {{ reduce_key.lang }}",
+          "output": {"schema": {"digest": "str"}}}
+    rows = [{"doc_id": i, "lang": ["en", "fr"][i % 2],
+             "site": ["a.com", "b.com", "c.com"][i % 3],
+             "text": f"doc {i}"} for i in range(18)]
+    ctx = moar.SearchContext(rows, 256, "det-large")
+    assert d.applicable(op, [op])
+    (cand,) = d.instantiate([op], "digest", goal="acc", ctx=ctx)
+    assert [o["name"] for o in cand] == ["digest_fine", "digest_coarse"]
+    assert cand[0]["reduce_key"] == ["lang", cand[0]["_moar"]["sub_key"]]
+    res = simulate_plan(cand, rows)
+    assert sorted(r["lang"] for r in res.rows) == ["en", "fr"]
+    # fine level: one call per (lang, sub) group; coarse: one per lang
+    subs = {(r["lang"], r[cand[0]["_moar"]["sub_key"]]) for r in rows}
+    assert res.calls == len(subs) + 2
