@@ -531,3 +531,36 @@ def test_hierarchical_reduce_two_levels():
     # fine level: one call per (lang, sub) group; coarse: one per lang
     subs = {(r["lang"], r[cand[0]["_moar"]["sub_key"]]) for r in rows}
     assert res.calls == len(subs) + 2
+
+
+def test_search_over_map_plus_reduce_pipeline():
+    """A two-op base plan (map then grouped reduce) searches cleanly:
+    every explored plan simulates, reduce-targeting directives appear,
+    and every frontier plan still produces one row per group."""
+    rng = random.Random(7)
+    rows = [{"doc_id": i, "lang": ["en", "fr", "de"][i % 3],
+             "site": ["a", "b"][i % 2],
+             "text": " ".join(rng.choice(["alpha", "beta", "gamma"])
+                              for _ in range(120))}
+            for i in range(18)]
+    ops = [
+        {"name": "classify", "type": "map",
+         "prompt": "Classify:\n{{ input.text }}",
+         "output": {"schema": {"topic": "str"}}},
+        {"name": "digest", "type": "reduce", "reduce_key": "lang",
+         "prompt": "Digest {{ inputs | length }} docs",
+         "output": {"schema": {"digest": "str"}}},
+    ]
+    s = MoarSearch(ops, rows, max_iterations=12, token_limit=256, seed=2)
+    frontier = s.search()
+    assert frontier
+    applied = {d for n in s.frontier.plans for d, _ in n.memo}
+    assert any(not d.startswith("change to ") for d in applied)
+    for n in frontier:
+        res = simulate_plan(n.ops, rows, default_model=n.default_model)
+        langs = sorted(r["lang"] for r in res.rows)
+        assert langs == ["de", "en", "fr"], n.path()
+    # determinism holds for multi-op plans too
+    s2 = MoarSearch(ops, rows, max_iterations=12, token_limit=256, seed=2)
+    s2.search()
+    assert s.summary() == s2.summary()
