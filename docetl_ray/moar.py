@@ -662,6 +662,125 @@ class DeterministicDocCompressionDirective(MoarDirective):
         return out
 
 
+class IsolatingSubtasksDirective(MoarDirective):
+    """One focused map per output field (reference
+    ``isolating_subtasks.py``): each call produces a single schema key
+    with an isolation suffix, so no field competes for attention.
+    K× calls (cost ↑), note +20‰."""
+
+    name = "isolating_subtasks"
+
+    def applicable(self, op, ops):
+        return (_is_prompt_op(op) and op["type"] in ("map", "llm_map")
+                and len(op.get("output", {}).get("schema", {})) >= 2)
+
+    def instantiate(self, ops, target, *, goal, ctx):
+        op = next(o for o in ops if o.get("name") == target)
+        schema = op["output"]["schema"]
+        name = op.get("name", "map")
+        subs = []
+        for i, k in enumerate(sorted(schema)):
+            sub = dict(copy.deepcopy(op), name=f"{name}_only_{k}",
+                       prompt=(op["prompt"]
+                               + f"\n\nProduce ONLY the field '{k}'; "
+                                 "ignore every other field."),
+                       output={"schema": {k: schema[k]}})
+            sub.pop("_moar", None)
+            if i == 0:
+                sub = _note(sub, self.name, +20)
+            subs.append(sub)
+        return [self._replace(ops, target, subs)]
+
+
+class ClarifyInstructionsDirective(MoarDirective):
+    """Sharpen the prompt (reference ``clarify_instructions.py`` — the
+    agent rewrites ambiguous instructions).  Two deterministic
+    variants: an explicit field specification derived from the output
+    schema, and a step-by-step framing.  Cost ~unchanged, note +10‰."""
+
+    name = "clarify_instructions"
+    multi_instance = True
+
+    def applicable(self, op, ops):
+        return _is_prompt_op(op) and op["type"] in ("map", "llm_map",
+                                                    "filter", "llm_filter")
+
+    def instantiate(self, ops, target, *, goal, ctx):
+        op = next(o for o in ops if o.get("name") == target)
+        schema = op.get("output", {}).get("schema", {})
+        spec = "".join(f"- {k} ({schema[k]})\n" for k in sorted(schema))
+        variants = [
+            ("field_spec",
+             op["prompt"] + "\n\nReturn EXACTLY these fields:\n" + spec
+             if spec else
+             op["prompt"] + "\n\nAnswer strictly true or false."),
+            ("step_by_step",
+             op["prompt"] + "\n\nWork step by step: read the whole "
+             "input first, then produce each field in order."),
+        ]
+        out = []
+        for tag, prompt in variants:
+            new = _note(dict(copy.deepcopy(op), prompt=prompt),
+                        self.name, +10, variant=tag)
+            out.append(self._replace(ops, target, [new]))
+        return out
+
+
+class MapReduceFusionDirective(MoarDirective):
+    """Fold an adjacent map's instruction into the downstream reduce
+    prompt (reference ``map_reduce_fusion.py``): one call per GROUP
+    replaces per-row map calls + the reduce call.  Cost ↓ sharply,
+    note −10‰ (the group call does two jobs)."""
+
+    name = "map_reduce_fusion"
+
+    def _next_reduce(self, op, ops):
+        names = [o.get("name") for o in ops]
+        i = names.index(op.get("name"))
+        if i + 1 < len(ops):
+            nxt = ops[i + 1]
+            if (_is_prompt_op(nxt)
+                    and nxt["type"] in ("reduce", "llm_reduce")):
+                key = nxt.get("reduce_key", "_all")
+                keys = [key] if isinstance(key, str) else list(key)
+                if not (set(op.get("output", {}).get("schema", {}))
+                        & set(keys)):
+                    return nxt
+        return None
+
+    def applicable(self, op, ops):
+        return (_is_prompt_op(op) and op["type"] in ("map", "llm_map")
+                and self._next_reduce(op, ops) is not None)
+
+    def instantiate(self, ops, target, *, goal, ctx):
+        op = next(o for o in ops if o.get("name") == target)
+        red = self._next_reduce(op, ops)
+        if red is None:
+            return []
+        # The map prompt references ``{{ input.* }}``; a reduce context
+        # binds ``inputs`` (the group), so re-bind it per member with a
+        # Jinja loop — each group row is rendered under the map's own
+        # instruction before the reduce instruction runs over them.
+        fused = _note(dict(
+            copy.deepcopy(red),
+            name=f"{op['name']}_{red['name']}_fused",
+            prompt=("For each input, first apply:\n"
+                    "{% for input in inputs %}\n" + op["prompt"]
+                    + "\n{% endfor %}\n"
+                    "\nThen, over the per-input results:\n"
+                    + red["prompt"]),
+        ), self.name, -10)
+        out: list[dict] = []
+        for o in ops:
+            if o.get("name") == target:
+                out.append(fused)
+            elif o.get("name") == red.get("name"):
+                continue
+            else:
+                out.append(copy.deepcopy(o))
+        return [out]
+
+
 class DocChunkingTopKDirective(MoarDirective):
     """Chunk the doc and submit only RELEVANT chunks to the model
     (reference ``doc_chunking_topk.py`` — chunk, embed, keep the top-k
@@ -861,10 +980,11 @@ DIRECTIVE_GROUPS = {"compression": ("doc_summarization",
 #: the reward-greedy chooser (the recast of the agent's pick)
 BASE_DIRECTIVES: tuple[Callable[[], MoarDirective], ...] = (
     GleaningDirective, DocChunkingDirective, ChainingDirective,
+    IsolatingSubtasksDirective, ClarifyInstructionsDirective,
     DeterministicDocCompressionDirective, DocSummarizationDirective,
     TakeHeadTailDirective, DocChunkingTopKDirective,
     HierarchicalReduceDirective, CascadeFilteringDirective,
-    OperatorFusionDirective,
+    MapReduceFusionDirective, OperatorFusionDirective,
 )
 
 

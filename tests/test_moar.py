@@ -564,3 +564,68 @@ def test_search_over_map_plus_reduce_pipeline():
     s2 = MoarSearch(ops, rows, max_iterations=12, token_limit=256, seed=2)
     s2.search()
     assert s.summary() == s2.summary()
+
+
+def test_isolating_subtasks_one_map_per_field():
+    d = moar.IsolatingSubtasksDirective()
+    assert d.applicable(MAP_OP, [MAP_OP])
+    (cand,) = d.instantiate([MAP_OP], "classify", goal="acc", ctx=_ctx())
+    maps = [o for o in cand if o["type"] == "map"]
+    assert [m["name"] for m in maps] == ["classify_only_title",
+                                         "classify_only_topic"]
+    assert [list(m["output"]["schema"]) for m in maps] == [["title"],
+                                                           ["topic"]]
+    rows = _rows(4)
+    res = simulate_plan(cand, rows)
+    assert res.calls == 2 * len(rows)  # one call per field per row
+    assert all("topic" in r and "title" in r for r in res.rows)
+    # single-field map is NOT applicable (nothing to isolate)
+    single = dict(MAP_OP, output={"schema": {"topic": "str"}})
+    assert not d.applicable(single, [single])
+
+
+def test_clarify_instructions_two_variants():
+    d = moar.ClarifyInstructionsDirective()
+    assert d.multi_instance
+    cands = d.instantiate([MAP_OP], "classify", goal="acc", ctx=_ctx())
+    assert len(cands) == 2
+    prompts = [c[0]["prompt"] for c in cands]
+    assert any("Return EXACTLY these fields" in p for p in prompts)
+    assert any("step by step" in p for p in prompts)
+    for cand in cands:
+        assert cand[0]["_moar"]["acc_delta_permille"] == 10
+        res = simulate_plan(cand, _rows(4))
+        assert all("topic" in r for r in res.rows)
+    # filter with no schema gets the strict-boolean variant
+    filt = [{"name": "judge", "type": "filter",
+             "prompt": "Keep?\n{{ input.text }}"}]
+    c0 = d.instantiate(filt, "judge", goal="cost", ctx=_ctx())[0]
+    assert "strictly true or false" in c0[0]["prompt"]
+
+
+def test_map_reduce_fusion_one_call_per_group():
+    d = moar.MapReduceFusionDirective()
+    red = {"name": "digest", "type": "reduce", "reduce_key": "lang",
+           "prompt": "Digest {{ inputs | length }} docs",
+           "output": {"schema": {"digest": "str"}}}
+    ops = [dict(MAP_OP), red]
+    assert d.applicable(ops[0], ops)
+    (cand,) = d.instantiate(ops, "classify", goal="cost", ctx=_ctx())
+    assert [o["name"] for o in cand] == ["classify_digest_fused"]
+    assert cand[0]["_moar"]["acc_delta_permille"] == -10
+    rows = [{"doc_id": i, "lang": ["en", "fr"][i % 2], "text": f"doc {i}"}
+            for i in range(8)]
+    base = simulate_plan(ops, rows)
+    fused = simulate_plan(cand, rows)
+    assert fused.calls == 2            # one per lang group
+    assert fused.calls < base.calls    # vs per-row map + per-group reduce
+    assert fused.cost_micro < base.cost_micro
+    # not applicable when the map feeds the reduce key (fusion would
+    # erase the column the group-by needs)
+    feeding = [dict(MAP_OP, output={"schema": {"lang": "str"}}), dict(red)]
+    assert not d.applicable(feeding[0], feeding)
+    # ...or when the next op is not a reduce
+    assert not d.applicable(MAP_OP, [dict(MAP_OP),
+                                     {"name": "m2", "type": "map",
+                                      "prompt": "x {{ input.text }}",
+                                      "output": {"schema": {"x": "str"}}}])
