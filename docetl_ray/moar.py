@@ -47,6 +47,20 @@ rewards (``ParetoFrontier.project_to_frontier:157-181``,
 simulating 2 candidates and keeping the best
 (``_simulate_children:484-560``), early stop after 10 frontier-stale
 iterations (``should_continue:1117-1130``) — is mirrored 1:1.
+
+Directive coverage vs ``reasoning_optimizer/directives/``: every
+rule-instantiable directive is recast (gleaning, reduce_gleaning,
+chaining, reduce_chaining, doc_chunking, doc_chunking_topk,
+chunk_header_summary, take_head_tail, doc_summarization,
+doc_compression → deterministic_doc_compression, isolating_subtasks,
+clarify_instructions, hierarchical_reduce, cascade_filtering,
+operator_fusion, map_reduce_fusion, swap_with_code).
+``change_model_acc``/``change_model_cost`` are covered by the
+per-model ``ChangeModelDirective`` pool (the reference builds one
+directive per catalog model the same way,
+``change_model_cost.create_model_specific_directives``).
+``arbitrary_rewrite`` — the agent free-editing the pipeline JSON — has
+no deterministic substance to recast and is intentionally omitted.
 """
 
 from __future__ import annotations
@@ -147,7 +161,11 @@ def simulate_plan(ops: list[dict], rows: list[dict], *,
     stages' module-level batch/group functions, so simulated token
     counts equal executed ones."""
     from .runner import _exec_code
-    from .stages.unnest_split_gather import gather_render_group, split_batch
+    from .stages.unnest_split_gather import (
+        gather_reference_render_group,
+        gather_render_group,
+        split_batch,
+    )
 
     clients: dict[str, ModelSeededClient] = {}
 
@@ -195,7 +213,7 @@ def simulate_plan(ops: list[dict], rows: list[dict], *,
             out = stage(pa.Table.from_pylist(rows)).to_pylist()
             rows = [{k: v for k, v in r.items() if k != key}
                     for r in out if r.get(key)]
-        elif t in ("reduce", "llm_reduce") and "code" in op:
+        elif t in ("reduce", "llm_reduce", "code_reduce") and "code" in op:
             fn = _exec_code(op["code"])
             rows = _sim_groups(rows, op, lambda g, ctx: fn(g) or {})
         elif t in ("reduce", "llm_reduce"):
@@ -215,15 +233,30 @@ def simulate_plan(ops: list[dict], rows: list[dict], *,
             import pandas as pd
 
             pc_cfg = op.get("peripheral_chunks") or {}
+            reference_form = ("main_chunk_start" in op
+                              or "main_chunk_end" in op
+                              or any(isinstance(v, dict)
+                                     for v in pc_cfg.values()))
             df = pa.Table.from_pylist(rows).to_pandas()
             out = []
             for _, g in df.groupby(op["doc_id_key"], sort=True):
-                out.append(gather_render_group(
-                    g, op["content_key"], op["order_key"],
-                    previous_count=pc_cfg.get("previous", 1),
-                    next_count=pc_cfg.get("next", 1),
-                    doc_header_key=op.get("doc_header_key"),
-                ))
+                if reference_form:  # same dispatch as runner.py gather
+                    out.append(gather_reference_render_group(
+                        g, op["content_key"], op["order_key"],
+                        peripheral_chunks=pc_cfg,
+                        doc_header_key=op.get("doc_header_key"),
+                        main_chunk_start=op.get(
+                            "main_chunk_start", "--- Begin Main Chunk ---"),
+                        main_chunk_end=op.get(
+                            "main_chunk_end", "--- End Main Chunk ---"),
+                    ))
+                else:
+                    out.append(gather_render_group(
+                        g, op["content_key"], op["order_key"],
+                        previous_count=pc_cfg.get("previous", 1),
+                        next_count=pc_cfg.get("next", 1),
+                        doc_header_key=op.get("doc_header_key"),
+                    ))
             rows = pd.concat(out).to_dict("records") if out else []
         else:
             raise ValueError(
@@ -267,11 +300,22 @@ def _sim_llm_reduce(rows, op, client):
     """Prompt-reduce simulation mirroring ``llm_reduce``'s plain and
     incremental-fold call shapes (llm.py:473-523): one ``prompt`` call
     per group, or sequential ``fold_prompt`` calls over
-    ``fold_batch_size`` batches threading the accumulated ``output``."""
+    ``fold_batch_size`` batches threading the accumulated ``output``.
+    ``gleaning`` wraps every generation in the SAME validator loop the
+    Ray stage runs (``glean_loop``), so simulated token counts match."""
+    from .stages.llm import glean_loop
+
     prompt = op["prompt"]
     schema = op["output"]["schema"]
     fold_prompt = op.get("fold_prompt")
     fbs = op.get("fold_batch_size")
+    gleaning = op.get("gleaning")
+
+    def _complete(rendered, sch):
+        out = client.complete(rendered, sch)
+        if gleaning:
+            out = glean_loop(client, rendered, out, sch, gleaning)
+        return out
 
     def reduce_fn(g, key_ctx):
         if fold_prompt and fbs and fbs < len(g):
@@ -280,15 +324,15 @@ def _sim_llm_reduce(rows, op, client):
                 batch = g[i: i + fbs]
                 if current is None:
                     ctx = {"inputs": batch, "reduce_key": key_ctx}
-                    current = client.complete(render_prompt(prompt, ctx), schema)
+                    current = _complete(render_prompt(prompt, ctx), schema)
                 else:
                     ctx = {"inputs": batch, "output": current,
                            "reduce_key": key_ctx}
-                    current = client.complete(
+                    current = _complete(
                         render_prompt(fold_prompt, ctx), schema)
             return current
         ctx = {"inputs": g, "reduce_key": key_ctx}
-        return client.complete(render_prompt(prompt, ctx), schema)
+        return _complete(render_prompt(prompt, ctx), schema)
 
     return _sim_groups(rows, op, reduce_fn)
 
@@ -372,6 +416,23 @@ def _doc_field(op: dict, sample_rows: list[dict]) -> str | None:
         return None
     return max(fields, key=lambda f: sum(
         _ntokens(str(r.get(f, ""))) for r in sample_rows))
+
+
+def _reduce_doc_field(op: dict, ctx: "SearchContext") -> str | None:
+    """The token-heaviest sampled string field the reduce prompt
+    references (as ``.{field}`` inside its per-input loop) — the
+    deterministic stand-in for the agent picking which document column
+    to distill (``reduce_chaining.py`` / ``swap_with_code.py``)."""
+    prompt = op.get("prompt", "")
+    if not ctx.sample_rows:
+        return None
+    fields = [f for f in sorted(ctx.sample_rows[0])
+              if isinstance(ctx.sample_rows[0].get(f), str)
+              and re.search(r"\.\s*%s\b" % re.escape(f), prompt)]
+    if not fields:
+        return None
+    return max(fields, key=lambda f: sum(
+        _ntokens(str(r.get(f, ""))) for r in ctx.sample_rows))
 
 
 class MoarDirective:
@@ -781,6 +842,193 @@ class MapReduceFusionDirective(MoarDirective):
         return [out]
 
 
+class ReduceGleaningDirective(MoarDirective):
+    """Add a validator-driven refinement loop to a reduce op (reference
+    ``reduce_gleaning.py``: after each reduce generation a judge LLM
+    validates; failures refine up to ``num_rounds``).  Executed by
+    ``llm_reduce(gleaning=...)`` via the shared ``glean_loop``.  More
+    calls (cost ↑), note +25‰ — same weight as map gleaning."""
+
+    name = "reduce_gleaning"
+
+    def applicable(self, op, ops):
+        return (_is_prompt_op(op) and op["type"] in ("reduce", "llm_reduce")
+                and not op.get("gleaning"))
+
+    def instantiate(self, ops, target, *, goal, ctx):
+        def rewrite(op):
+            g = {"validation_prompt":
+                 "Check the output covers every input and that no field "
+                 "is missing or incorrect.",
+                 "num_rounds": 1}
+            return _note(dict(op, gleaning=g), self.name, +25)
+        return [self._replace(ops, target,
+                              [rewrite(o) for o in ops
+                               if o.get("name") == target])]
+
+
+class ReduceChainingDirective(MoarDirective):
+    """Reduce => Map -> Reduce (reference ``reduce_chaining.py``): a
+    per-document extraction map distills the long field the reduce
+    prompt iterates over, and the reduce reads the distilled column
+    instead.  Deterministic instantiation: the doc field is the
+    token-heaviest sampled string field referenced by the reduce prompt
+    (same choice rule as ``_doc_field``); the map's focus text is the
+    reduce prompt embedded under ``{% raw %}``.  Note +10‰ (focused
+    per-doc extraction); cost is measured, not asserted."""
+
+    name = "reduce_chaining"
+
+    def applicable(self, op, ops):
+        return (_is_prompt_op(op) and op["type"] in ("reduce", "llm_reduce")
+                and not op.get("fold_prompt")
+                and not any(o.get("_moar", {}).get("directive") == self.name
+                            for o in ops))
+
+    def instantiate(self, ops, target, *, goal, ctx):
+        op = next(o for o in ops if o.get("name") == target)
+        field = _reduce_doc_field(op, ctx)
+        if field is None:
+            return []
+        notes = f"{field}_notes"
+        name = op.get("name", "reduce")
+        extract = _note({
+            "name": f"{name}_extract", "type": "map",
+            "prompt": ("Extract only the information this task needs "
+                       "from the document below.\nTask:\n\"{% raw %}"
+                       + op["prompt"] + "{% endraw %}\"\n\nDocument:\n"
+                       "{{ input." + field + " }}"),
+            "output": {"schema": {notes: "str"}},
+        }, self.name, +10)
+        new_red = dict(copy.deepcopy(op),
+                       prompt=re.sub(r"\.(\s*)%s\b" % re.escape(field),
+                                     r".\1" + notes, op["prompt"]))
+        new_red.pop("_moar", None)
+        return [self._replace(ops, target, [extract, new_red])]
+
+
+class ChunkHeaderSummaryDirective(MoarDirective):
+    """Split -> Gather => Split -> Map -> Gather (reference
+    ``chunk_header_summary.py``): a per-chunk stage between split and
+    gather extracts headers and a summary; gather then renders middle
+    peripheral chunks from the SUMMARY column and threads the header
+    hierarchy.  Recast deterministic: headers come from a code_map
+    markdown-header scan (real ``{header, level}`` structs — the
+    agent-written extractor recast as a rule), the summary from an LLM
+    map; the gather upgrades to the reference dict-form config with
+    ``middle: {content_key: <summary>}``.  Note +15‰ on the gather."""
+
+    name = "chunk_header_summary"
+
+    def _downstream_gather(self, op, ops):
+        if op.get("type") != "split":
+            return None
+        content = f"{op['split_key']}_chunk"
+        for o in ops:
+            if (o.get("type") == "gather" and o.get("content_key") == content
+                    and not any(isinstance(v, dict) for v in
+                                (o.get("peripheral_chunks") or {}).values())):
+                return o
+        return None
+
+    def applicable(self, op, ops):
+        return self._downstream_gather(op, ops) is not None
+
+    def instantiate(self, ops, target, *, goal, ctx):
+        split = next(o for o in ops if o.get("name") == target)
+        gather = self._downstream_gather(split, ops)
+        if gather is None:
+            return []
+        content = f"{split['split_key']}_chunk"
+        headers, summary = f"{content}_headers", f"{content}_summary"
+        header_map = {
+            "name": f"{target}_headers", "type": "code_map",
+            "code": (
+                "def transform(doc):\n"
+                "    import re\n"
+                "    out = []\n"
+                f"    for line in str(doc.get({content!r}) or '').splitlines():\n"
+                "        m = re.match(r'^(#{1,6})\\s+(.*)', line)\n"
+                "        if m:\n"
+                "            out.append({'header': m.group(2).strip(),\n"
+                "                        'level': len(m.group(1))})\n"
+                f"    return {{{headers!r}: out}}\n"),
+        }
+        summary_map = {
+            "name": f"{target}_summary", "type": "map",
+            "prompt": ("Summarize this chunk in one sentence:\n"
+                       "{{ input." + content + " }}"),
+            "output": {"schema": {summary: "str"}},
+        }
+        new_gather = _note(dict(
+            copy.deepcopy(gather),
+            doc_header_key=headers,
+            peripheral_chunks={
+                "previous": {"head": {"count": 1},
+                             "middle": {"content_key": summary}},
+                "next": {"head": {"count": 1}},
+            },
+        ), self.name, +15)
+        out: list[dict] = []
+        for o in ops:
+            if o.get("name") == target:
+                out.extend([copy.deepcopy(o), header_map, summary_map])
+            elif o.get("name") == gather.get("name"):
+                out.append(new_gather)
+            else:
+                out.append(copy.deepcopy(o))
+        return [out]
+
+
+class SwapWithCodeDirective(MoarDirective):
+    """Reduce => Code Reduce (reference ``swap_with_code.py``): replace
+    an LLM reduce whose schema is codeable (int / str / list[str] keys
+    only) with a deterministic code_reduce — int keys count the group,
+    list[str] keys collect sorted distinct values of the prompt's doc
+    field, str keys join the first 10 of those.  The agent-written code
+    recast as a schema-driven rule.  LLM cost → 0; note −40‰ (code
+    approximates the semantic task)."""
+
+    name = "swap_with_code"
+
+    _CODEABLE = ("int", "integer", "str", "string", "text",
+                 "list[str]", "list[string]")
+
+    def applicable(self, op, ops):
+        if not (_is_prompt_op(op) and op["type"] in ("reduce", "llm_reduce")):
+            return False
+        schema = op.get("output", {}).get("schema", {})
+        return bool(schema) and all(
+            str(t).lower() in self._CODEABLE for t in schema.values())
+
+    def instantiate(self, ops, target, *, goal, ctx):
+        op = next(o for o in ops if o.get("name") == target)
+        field = _reduce_doc_field(op, ctx)
+        if field is None:
+            return []
+        schema = op["output"]["schema"]
+        lines = ["def transform(rows):",
+                 f"    vals = sorted({{str(r.get({field!r}) or '') for r in rows}})",
+                 "    out = {}"]
+        for k in sorted(schema):
+            t = str(schema[k]).lower()
+            if t in ("int", "integer"):
+                lines.append(f"    out[{k!r}] = len(rows)")
+            elif t.startswith("list"):
+                lines.append(f"    out[{k!r}] = vals")
+            else:
+                lines.append(f"    out[{k!r}] = '; '.join(vals[:10])")
+        lines.append("    return out")
+        code_red = _note({
+            "name": f"{target}_code", "type": "code_reduce",
+            "reduce_key": op.get("reduce_key", "_all"),
+            "code": "\n".join(lines) + "\n",
+        }, self.name, -40)
+        if op.get("pass_through"):
+            code_red["pass_through"] = True
+        return [self._replace(ops, target, [code_red])]
+
+
 class DocChunkingTopKDirective(MoarDirective):
     """Chunk the doc and submit only RELEVANT chunks to the model
     (reference ``doc_chunking_topk.py`` — chunk, embed, keep the top-k
@@ -979,12 +1227,14 @@ DIRECTIVE_GROUPS = {"compression": ("doc_summarization",
 #: registration order doubles as the deterministic tie-break priority of
 #: the reward-greedy chooser (the recast of the agent's pick)
 BASE_DIRECTIVES: tuple[Callable[[], MoarDirective], ...] = (
-    GleaningDirective, DocChunkingDirective, ChainingDirective,
+    GleaningDirective, ReduceGleaningDirective, DocChunkingDirective,
+    ChainingDirective, ReduceChainingDirective,
     IsolatingSubtasksDirective, ClarifyInstructionsDirective,
     DeterministicDocCompressionDirective, DocSummarizationDirective,
     TakeHeadTailDirective, DocChunkingTopKDirective,
-    HierarchicalReduceDirective, CascadeFilteringDirective,
-    MapReduceFusionDirective, OperatorFusionDirective,
+    ChunkHeaderSummaryDirective, HierarchicalReduceDirective,
+    CascadeFilteringDirective, MapReduceFusionDirective,
+    OperatorFusionDirective, SwapWithCodeDirective,
 )
 
 

@@ -209,6 +209,7 @@ def _apply_op(ds, op: dict):
                           scratchpad=bool(op.get("scratchpad")),
                           value_sampling=op.get("value_sampling"),
                           associative=op.get("associative", True),
+                          gleaning=op.get("gleaning"),
                           observability=op.get("enable_observability", False),
                           op_name=name)
     if t == "resolve":

@@ -101,6 +101,42 @@ class FakeDeterministicClient:
         return out
 
 
+_GLEAN_SCHEMA = {"should_refine": "bool", "improvements": "str"}
+
+
+def glean_loop(client, rendered: str, out: dict, schema: dict,
+               cfg: dict) -> dict:
+    """Validator-driven refinement (gleaning), mirroring
+    ``api.py:307-462``: up to ``num_rounds`` rounds of (condition
+    check -> validator call -> should_refine? -> improvement call).
+    Shared by map (``LLMMapStage``) and reduce (``llm_reduce``) — the
+    reference's reduce_gleaning directive attaches the same loop to
+    reduce generations."""
+    rounds = cfg.get("num_rounds", 2)
+    cond = cfg.get("if")
+    for rnd in range(rounds):
+        if cond:
+            try:
+                if not _safe_eval(cond, {"output": out}):
+                    break  # should_glean gate, api.py:334-336
+            except Exception:
+                break
+        vprompt = render_prompt(cfg["validation_prompt"], {"output": out})
+        suggestion = client.complete(
+            f"{rendered}\n[assistant] {json.dumps(out, sort_keys=True, default=str)}"
+            f"\n[validator] {vprompt}",
+            _GLEAN_SCHEMA,
+        )
+        if not suggestion.get("should_refine"):
+            break  # api.py:416-417
+        out = client.complete(
+            f"{rendered}\n[improve round {rnd + 1}] "
+            f"{suggestion.get('improvements', '')}",
+            schema,
+        )
+    return out
+
+
 class LLMMapStage:
     """Actor-pool stage for prompt ops.  ``__init__`` builds the client
     and cache once per actor; ``__call__`` renders + completes per row
@@ -150,33 +186,8 @@ class LLMMapStage:
     _GLEAN_SCHEMA = {"should_refine": "bool", "improvements": "str"}
 
     def _glean(self, rendered: str, out: dict) -> dict:
-        """Validator-driven refinement (gleaning), mirroring
-        ``api.py:307-462``: up to ``num_rounds`` rounds of (condition
-        check -> validator call -> should_refine? -> improvement call)."""
-        cfg = self.gleaning
-        rounds = cfg.get("num_rounds", 2)
-        cond = cfg.get("if")
-        for rnd in range(rounds):
-            if cond:
-                try:
-                    if not _safe_eval(cond, {"output": out}):
-                        break  # should_glean gate, api.py:334-336
-                except Exception:
-                    break
-            vprompt = render_prompt(cfg["validation_prompt"], {"output": out})
-            suggestion = self.client.complete(
-                f"{rendered}\n[assistant] {json.dumps(out, sort_keys=True, default=str)}"
-                f"\n[validator] {vprompt}",
-                self._GLEAN_SCHEMA,
-            )
-            if not suggestion.get("should_refine"):
-                break  # api.py:416-417
-            out = self.client.complete(
-                f"{rendered}\n[improve round {rnd + 1}] "
-                f"{suggestion.get('improvements', '')}",
-                self.schema,
-            )
-        return out
+        return glean_loop(self.client, rendered, out, self.schema,
+                          self.gleaning)
 
     def _complete_cached(self, rendered: str) -> dict:
         key = hashlib.md5(
@@ -435,7 +446,7 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
                fold_prompt: str | None = None, fold_batch_size: int | None = None,
                merge_prompt: str | None = None, merge_batch_size: int | None = None,
                scratchpad: bool = False, value_sampling: dict | None = None,
-               associative: bool = True,
+               associative: bool = True, gleaning: dict | None = None,
                observability: bool = False, op_name: str = "reduce"):
     """Grouped prompt reduce with the reference's plan surface
     (reduce.py:324-699):
@@ -453,6 +464,10 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
       reference's runtime-adaptive parallel-fold count is recast as a
       deterministic merge tree — same prompts, reproducible shape).
     - ``value_sampling``: bound the rows fed to prompts (reduce.py:298-322).
+    - ``gleaning``: validator-driven refinement of every reduce
+      generation (the reference's reduce_gleaning directive surface,
+      ``reasoning_optimizer/directives/reduce_gleaning.py``) — same
+      config dict and loop as the map surface (``glean_loop``).
 
     One output row per group; ``_counts_prereduce`` always counts the
     FULL group (pre-sampling), matching reduce.py:343.
@@ -468,7 +483,14 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
 
     def _complete(rendered: str, schema: dict) -> dict:
         stage["last_prompt"] = rendered  # _observability_{op}, reduce.py:345-347
-        return _client().complete(rendered, schema)
+        out = _client().complete(rendered, schema)
+        if gleaning:
+            # reduce_gleaning: every reduce generation (batch, fold,
+            # merge) goes through the validator loop — the reference
+            # validates "after each LLM generation during the reduce
+            # process" (reduce_gleaning.py:20-21)
+            out = glean_loop(_client(), rendered, out, schema, gleaning)
+        return out
 
     def _batch_reduce(rows, key_ctx, pad=None):
         schema = dict(output_schema)

@@ -275,50 +275,73 @@ def gather_reference(
     peripheral_chunks = peripheral_chunks or {}
 
     def render_group(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.sort_values(order_key, kind="mergesort").reset_index(drop=True)
-        rows = group.to_dict("records")
-        rendered = []
-        for i, row in enumerate(rows):
-            if not peripheral_chunks:
-                rendered.append(str(row[content_key]))
-                continue
-            parts = ["--- Previous Context ---"]
-            parts.extend(
-                _peripheral_sections(
-                    rows[:i], peripheral_chunks.get("previous", {}),
-                    content_key, order_key,
-                )
-            )
-            parts.append("--- End Previous Context ---\n")
-            if headers := _hierarchy_headers(row, rows[: i + 1], doc_header_key):
-                parts.append(headers)
-            parts.extend(
-                (main_chunk_start, f"{row[content_key]}", main_chunk_end,
-                 "\n--- Next Context ---")
-            )
-            parts.extend(
-                _peripheral_sections(
-                    rows[i + 1:], peripheral_chunks.get("next", {}),
-                    content_key, order_key,
-                )
-            )
-            parts.append("--- End Next Context ---")
-            rendered.append("\n".join(parts))
-        group[f"{content_key}_rendered"] = rendered
-        # pandas hands list<struct> Arrow cells over as numpy object
-        # arrays, which Arrow can't convert back — normalize to lists
-        import numpy as _np
-
-        for col in group.columns:
-            if group[col].dtype == object:
-                group[col] = group[col].map(
-                    lambda v: v.tolist() if isinstance(v, _np.ndarray) else v
-                )
-        return group
+        return gather_reference_render_group(
+            group, content_key, order_key,
+            peripheral_chunks=peripheral_chunks,
+            doc_header_key=doc_header_key,
+            main_chunk_start=main_chunk_start,
+            main_chunk_end=main_chunk_end,
+        )
 
     from .grouped import grouped_map
 
     return grouped_map(ds, doc_id_key, render_group)
+
+
+def gather_reference_render_group(
+    group: "pd.DataFrame",
+    content_key: str,
+    order_key: str,
+    *,
+    peripheral_chunks: dict | None = None,
+    doc_header_key: str | None = None,
+    main_chunk_start: str = "--- Begin Main Chunk ---",
+    main_chunk_end: str = "--- End Main Chunk ---",
+) -> "pd.DataFrame":
+    """Per-group renderer behind ``gather_reference`` — module-level so
+    the MOAR plan simulator renders byte-identical context to the Ray
+    stage for reference-form (dict ``peripheral_chunks``) gathers."""
+    peripheral_chunks = peripheral_chunks or {}
+    group = group.sort_values(order_key, kind="mergesort").reset_index(drop=True)
+    rows = group.to_dict("records")
+    rendered = []
+    for i, row in enumerate(rows):
+        if not peripheral_chunks:
+            rendered.append(str(row[content_key]))
+            continue
+        parts = ["--- Previous Context ---"]
+        parts.extend(
+            _peripheral_sections(
+                rows[:i], peripheral_chunks.get("previous", {}),
+                content_key, order_key,
+            )
+        )
+        parts.append("--- End Previous Context ---\n")
+        if headers := _hierarchy_headers(row, rows[: i + 1], doc_header_key):
+            parts.append(headers)
+        parts.extend(
+            (main_chunk_start, f"{row[content_key]}", main_chunk_end,
+             "\n--- Next Context ---")
+        )
+        parts.extend(
+            _peripheral_sections(
+                rows[i + 1:], peripheral_chunks.get("next", {}),
+                content_key, order_key,
+            )
+        )
+        parts.append("--- End Next Context ---")
+        rendered.append("\n".join(parts))
+    group[f"{content_key}_rendered"] = rendered
+    # pandas hands list<struct> Arrow cells over as numpy object
+    # arrays, which Arrow can't convert back — normalize to lists
+    import numpy as _np
+
+    for col in group.columns:
+        if group[col].dtype == object:
+            group[col] = group[col].map(
+                lambda v: v.tolist() if isinstance(v, _np.ndarray) else v
+            )
+    return group
 
 
 def gather(

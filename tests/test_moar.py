@@ -629,3 +629,124 @@ def test_map_reduce_fusion_one_call_per_group():
                                      {"name": "m2", "type": "map",
                                       "prompt": "x {{ input.text }}",
                                       "output": {"schema": {"x": "str"}}}])
+
+
+def test_reduce_gleaning_adds_validator_calls():
+    d = moar.ReduceGleaningDirective()
+    red = {"name": "digest", "type": "reduce", "reduce_key": "lang",
+           "prompt": "Digest {{ inputs | length }} docs",
+           "output": {"schema": {"digest": "str"}}}
+    assert d.applicable(red, [red])
+    (cand,) = d.instantiate([red], "digest", goal="acc", ctx=_ctx())
+    assert cand[0]["gleaning"]["num_rounds"] == 1
+    assert cand[0]["_moar"]["acc_delta_permille"] == 25
+    rows = [{"doc_id": i, "lang": ["en", "fr"][i % 2], "text": f"d{i}"}
+            for i in range(6)]
+    base = simulate_plan([red], rows)
+    gleaned = simulate_plan(cand, rows)
+    # per group: +1 validator call, maybe +1 refinement
+    assert gleaned.calls > base.calls
+    assert len(gleaned.rows) == len(base.rows) == 2
+    assert not d.applicable(cand[0], cand)  # already gleaned
+
+
+def test_reduce_chaining_inserts_extract_map():
+    d = moar.ReduceChainingDirective()
+    red = {"name": "digest", "type": "reduce", "reduce_key": "lang",
+           "prompt": ("Digest these docs:\n{% for i in inputs %}"
+                      "{{ i.text }}\n{% endfor %}"),
+           "output": {"schema": {"digest": "str"}}}
+    rows = [{"doc_id": i, "lang": ["en", "fr"][i % 2],
+             "text": " ".join(f"tok{i}_{j}" for j in range(60))}
+            for i in range(6)]
+    ctx = moar.SearchContext(rows, 128, "det-large")
+    assert d.applicable(red, [red])
+    (cand,) = d.instantiate([red], "digest", goal="cost", ctx=ctx)
+    assert [o["type"] for o in cand] == ["map", "reduce"]
+    assert list(cand[0]["output"]["schema"]) == ["text_notes"]
+    assert "i.text_notes" in cand[1]["prompt"]      # refs rewritten
+    assert "i.text }}" not in cand[1]["prompt"]
+    res = simulate_plan(cand, rows)
+    assert res.calls == len(rows) + 2               # per-doc map + 2 groups
+    assert sorted(r["lang"] for r in res.rows) == ["en", "fr"]
+    # prompt that references no sampled field -> no candidates
+    blind = dict(red, prompt="Digest {{ inputs | length }} docs")
+    assert d.instantiate([blind], "digest", goal="cost", ctx=ctx) == []
+
+
+def test_chunk_header_summary_upgrades_gather():
+    d = moar.ChunkHeaderSummaryDirective()
+    op = dict(MAP_OP)
+    rows = [{"doc_id": i,
+             "text": f"# Title {i}\nintro words here\n## Sub\n"
+                     + " ".join(f"w{i}_{j}" for j in range(300))}
+            for i in range(4)]
+    ctx = moar.SearchContext(rows, 128, "det-large")
+    chunked = moar.DocChunkingDirective().instantiate(
+        [op], "classify", goal="acc", ctx=ctx)[0]
+    split = next(o for o in chunked if o["type"] == "split")
+    assert d.applicable(split, chunked)
+    (cand,) = d.instantiate(chunked, split["name"], goal="acc", ctx=ctx)
+    types = [o["type"] for o in cand]
+    assert types[:4] == ["split", "code_map", "map", "gather"]
+    gat = next(o for o in cand if o["type"] == "gather")
+    assert gat["doc_header_key"] == "text_chunk_headers"
+    assert gat["peripheral_chunks"]["previous"]["middle"][
+        "content_key"] == "text_chunk_summary"
+    res = simulate_plan(cand, rows)
+    assert res.rows and len(res.rows) == len(rows)  # combine restores docs
+    # gather no longer simple-form -> not re-applicable
+    assert not d.applicable(cand[0], cand)
+
+
+def test_swap_with_code_zeroes_llm_cost():
+    d = moar.SwapWithCodeDirective()
+    red = {"name": "collect", "type": "reduce", "reduce_key": "lang",
+           "prompt": ("Collect sites:\n{% for i in inputs %}{{ i.site }}"
+                      "{% endfor %}"),
+           "output": {"schema": {"n_docs": "int", "sites": "list[str]",
+                                 "joined": "str"}}}
+    rows = [{"doc_id": i, "lang": ["en", "fr"][i % 2],
+             "site": f"s{i % 3}.com"} for i in range(9)]
+    ctx = moar.SearchContext(rows, 128, "det-large")
+    assert d.applicable(red, [red])
+    (cand,) = d.instantiate([red], "collect", goal="cost", ctx=ctx)
+    assert cand[0]["type"] == "code_reduce"
+    assert cand[0]["_moar"]["acc_delta_permille"] == -40
+    res = simulate_plan(cand, rows)
+    assert res.calls == 0 and res.cost_micro == 0
+    en = next(r for r in res.rows if r["lang"] == "en")
+    assert en["n_docs"] == 5
+    assert en["sites"] == sorted({f"s{i % 3}.com" for i in range(0, 9, 2)})
+    assert en["joined"] == "; ".join(en["sites"])
+    # float schema key -> not codeable
+    floaty = dict(red, output={"schema": {"avg": "float"}})
+    assert not d.applicable(floaty, [floaty])
+
+
+def test_llm_reduce_stage_gleaning_matches_simulator(ray_session):
+    """The Ray llm_reduce(gleaning=...) path issues the same refinement
+    loop the simulator meters — outputs agree group-for-group."""
+    import ray
+    import ray.data as rd
+
+    from docetl_ray.stages.llm import llm_reduce
+
+    rows = [{"doc_id": i, "lang": ["en", "fr"][i % 2], "text": f"doc {i}"}
+            for i in range(8)]
+    op = {"name": "digest", "type": "reduce", "reduce_key": "lang",
+          "prompt": "Digest {{ inputs | length }} docs for {{ reduce_key.lang }}",
+          "output": {"schema": {"digest": "str"}},
+          "gleaning": {"validation_prompt": "Complete?", "num_rounds": 2}}
+    client = ModelSeededClient("det-large")
+    sim = {r["lang"]: r["digest"]
+           for r in moar._sim_llm_reduce(rows, op, client)}
+    ds = llm_reduce(rd.from_items(rows), "lang", op["prompt"],
+                    op["output"]["schema"],
+                    client_factory=lambda: ModelSeededClient("det-large"),
+                    gleaning=op["gleaning"])
+    got = {}
+    for t in ray.get(ds.to_arrow_refs()):
+        for r in t.to_pylist():
+            got[r["lang"]] = r["digest"]
+    assert got == sim
