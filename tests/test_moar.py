@@ -750,3 +750,37 @@ def test_llm_reduce_stage_gleaning_matches_simulator(ray_session):
         for r in t.to_pylist():
             got[r["lang"]] = r["digest"]
     assert got == sim
+
+
+def test_search_explores_reduce_directives():
+    """With a map + long-doc reduce base plan, the live search's action
+    space includes the round-5 reduce-family directives, and any
+    explored plan containing them still simulates cleanly."""
+    rng = random.Random(13)
+    rows = [{"doc_id": i, "lang": ["en", "fr"][i % 2],
+             "text": " ".join(rng.choice(["alpha", "beta", "gamma"])
+                              for _ in range(150)) + f" uniq{i}"}
+            for i in range(12)]
+    ops = [
+        {"name": "classify", "type": "map",
+         "prompt": "Classify:\n{{ input.text }}",
+         "output": {"schema": {"topic": "str"}}},
+        {"name": "digest", "type": "reduce", "reduce_key": "lang",
+         "prompt": ("Digest:\n{% for i in inputs %}{{ i.text }}\n"
+                    "{% endfor %}"),
+         "output": {"schema": {"digest": "str"}}},
+    ]
+    s = MoarSearch(ops, rows, max_iterations=20, token_limit=128, seed=4)
+    opts = {name for _, name in s._action_options(s.root, "acc")}
+    for want in ("reduce_gleaning", "reduce_chaining", "swap_with_code"):
+        assert want in opts, (want, sorted(opts))
+    frontier = s.search()
+    assert frontier
+    explored = {d for n in s.frontier.plans for d, _ in n.memo}
+    for n in frontier:
+        res = simulate_plan(n.ops, rows, default_model=n.default_model)
+        assert sorted(r["lang"] for r in res.rows) == ["en", "fr"], n.path()
+    # determinism with the expanded pool
+    s2 = MoarSearch(ops, rows, max_iterations=20, token_limit=128, seed=4)
+    s2.search()
+    assert s.summary() == s2.summary()
