@@ -623,6 +623,15 @@ def compact(
     Idempotent per ``tag``; distributed one task per partition."""
     import ray.data as rd
 
+    # committed-tag re-runs must return BEFORE any file IO: merge_one
+    # writes into compactions/<tag>/, and after the first commit those
+    # paths are live manifest levels — a re-run that re-merged (now with
+    # freshly stacked deltas) would overwrite a live file while
+    # commit_compaction's replay guard discards the new records, leaving
+    # the manifest checksum pointing at content that no longer exists.
+    if tag in table.manifest(refresh=True).get("compactions", []):
+        return table.manifest()
+
     if drop_tombstones_below_lsn is not None:
         policy = "full"
     pmap = table.partition_map()

@@ -80,3 +80,67 @@ def test_compact_tombstone_gc_watermark(tmp_path):
     live_before = [r for r in with_t.to_pylist() if not r["_deleted"]]
     live_after = [r for r in after.to_pylist() if not r["_deleted"]]
     assert [r["url"] for r in live_before] == [r["url"] for r in live_after]
+
+
+def test_crash_mid_compaction_leaves_state_intact(tmp_path, ray_session):
+    """A compaction that died after writing part files but BEFORE the
+    manifest swap must be invisible to readers; re-running the same tag
+    over the garbage commits cleanly (atomic per-file writes overwrite),
+    and a second run of a committed tag is a no-op."""
+    import json
+
+    import ray.data as rd
+
+    table = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    for i in range(3):
+        apply_events(table, rd.from_arrow(synth.events_table(i * 2000, 2000)),
+                     epoch=i, mode="delta")
+    assert any(len(p) > 1 for p in table.partition_map().values())
+    before = _state(table)
+    manifest_before = json.dumps(table.manifest(), sort_keys=True)
+
+    # simulate the crash: orphan garbage part files under the tag dir
+    cdir = os.path.join(table.root, "compactions", "t1")
+    os.makedirs(cdir)
+    for pid in range(4):
+        with open(os.path.join(cdir, f"part-{pid:05d}.parquet"), "wb") as f:
+            f.write(b"not parquet at all")
+
+    assert _state(table).equals(before)          # readers route by manifest
+    assert json.dumps(table.manifest(refresh=True),
+                      sort_keys=True) == manifest_before
+
+    # retry with the SAME tag: must overwrite the garbage and commit
+    compact(table, tag="t1", policy="tiered")
+    assert "t1" in table.manifest()["compactions"]
+    assert _state(table).equals(before)
+    assert all(len(p) <= 2 for p in table.partition_map().values())
+
+    # committed tag re-run: pure no-op (no file or manifest churn)
+    mtimes = {p: os.path.getmtime(os.path.join(table.root, p))
+              for paths in table.partition_map().values() for p in paths}
+    compact(table, tag="t1", policy="tiered")
+    assert {p: os.path.getmtime(os.path.join(table.root, p))
+            for paths in table.partition_map().values()
+            for p in paths} == mtimes
+
+    # the table still ingests + folds correctly after the recovery
+    apply_events(table, rd.from_arrow(synth.events_table(6000, 2000)),
+                 epoch=3, mode="delta")
+    oracle = replay_oracle(synth.events_table(0, 8000))
+    assert _state(table)["text"].to_pylist() == oracle["text"].to_pylist()
+
+    # the DANGEROUS replay: re-running a committed tag after new deltas
+    # stacked must not touch the live compactions/t1/ files (without the
+    # early guard it would overwrite them with a fresh merge while the
+    # manifest still records the old checksum)
+    mtimes = {p: os.path.getmtime(os.path.join(table.root, p))
+              for paths in table.partition_map().values() for p in paths}
+    compact(table, tag="t1", policy="tiered")
+    assert {p: os.path.getmtime(os.path.join(table.root, p))
+            for paths in table.partition_map().values()
+            for p in paths} == mtimes
+    assert _state(table)["text"].to_pylist() == oracle["text"].to_pylist()
+    # a NEW tag still folds the stacked delta
+    compact(table, tag="t2", policy="tiered")
+    assert _state(table)["text"].to_pylist() == oracle["text"].to_pylist()
