@@ -164,6 +164,7 @@ def simulate_plan(ops: list[dict], rows: list[dict], *,
     from .stages.unnest_split_gather import (
         gather_reference_render_group,
         gather_render_group,
+        is_reference_gather,
         split_batch,
     )
 
@@ -233,10 +234,7 @@ def simulate_plan(ops: list[dict], rows: list[dict], *,
             import pandas as pd
 
             pc_cfg = op.get("peripheral_chunks") or {}
-            reference_form = ("main_chunk_start" in op
-                              or "main_chunk_end" in op
-                              or any(isinstance(v, dict)
-                                     for v in pc_cfg.values()))
+            reference_form = is_reference_gather(op)
             df = pa.Table.from_pylist(rows).to_pandas()
             out = []
             for _, g in df.groupby(op["doc_id_key"], sort=True):
@@ -355,9 +353,12 @@ def plan_quality_permille(ops: list[dict], default_model: str) -> tuple[int, str
                 base, base_model = q, m
     if base is None:
         base = MODEL_CATALOG[default_model]["quality_permille"]
-    delta = sum(
-        int((op.get("_moar") or {}).get("acc_delta_permille", 0)) for op in ops
-    )
+    delta = 0
+    for op in ops:
+        note = op.get("_moar") or {}
+        delta += int(note.get("acc_delta_permille", 0))
+        delta += sum(int(p.get("acc_delta_permille", 0))
+                     for p in note.get("stacked", []))
     return max(0, min(999, base + delta)), base_model
 
 
@@ -418,12 +419,33 @@ def _doc_field(op: dict, sample_rows: list[dict]) -> str | None:
         _ntokens(str(r.get(f, ""))) for r in sample_rows))
 
 
+_RAW_RE = re.compile(r"\{%\s*raw\s*%\}.*?\{%\s*endraw\s*%\}", re.DOTALL)
+
+
+def _sub_field_refs(prompt: str, field: str, repl: str) -> str:
+    """Rewrite ``.{field}`` references to ``.{repl}`` OUTSIDE
+    ``{% raw %}`` regions only — raw blocks are quoted task text (e.g.
+    doc_chunking's combine prompt embeds the original map prompt there)
+    and must stay byte-identical."""
+    out, pos = [], 0
+    for m in _RAW_RE.finditer(prompt):
+        out.append(re.sub(r"\.(\s*)%s\b" % re.escape(field),
+                          r".\1" + repl, prompt[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(re.sub(r"\.(\s*)%s\b" % re.escape(field),
+                      r".\1" + repl, prompt[pos:]))
+    return "".join(out)
+
+
 def _reduce_doc_field(op: dict, ctx: "SearchContext") -> str | None:
     """The token-heaviest sampled string field the reduce prompt
     references (as ``.{field}`` inside its per-input loop) — the
     deterministic stand-in for the agent picking which document column
-    to distill (``reduce_chaining.py`` / ``swap_with_code.py``)."""
-    prompt = op.get("prompt", "")
+    to distill (``reduce_chaining.py`` / ``swap_with_code.py``).
+    References inside ``{% raw %}`` blocks are quoted text, not live
+    template refs, and do not count."""
+    prompt = _RAW_RE.sub(" ", op.get("prompt", ""))
     if not ctx.sample_rows:
         return None
     fields = [f for f in sorted(ctx.sample_rows[0])
@@ -479,10 +501,34 @@ class SearchContext:
 
 
 def _note(op: dict, directive: str, acc_delta: int, **extra) -> dict:
+    """Stamp the op with a decision note.  A prior directive's note is
+    STACKED, not overwritten — its acc delta keeps counting in
+    ``plan_quality_permille`` and its name stays in the plan ledger
+    (``_plan_directives``), since the prior rewrite's behavior (e.g. a
+    gleaning config) still executes on the derived op."""
     op = dict(op)
-    op["_moar"] = {"directive": directive,
-                   "acc_delta_permille": acc_delta, **extra}
+    prior = op.get("_moar")
+    note = {"directive": directive, "acc_delta_permille": acc_delta, **extra}
+    if prior:
+        note["stacked"] = (list(prior.get("stacked", []))
+                           + [{k: v for k, v in prior.items()
+                               if k != "stacked"}])
+    op["_moar"] = note
     return op
+
+
+def _plan_directives(ops: list[dict]) -> set[str]:
+    """Every directive recorded anywhere in the plan, including notes
+    stacked under later rewrites of the same op."""
+    out: set[str] = set()
+    for op in ops:
+        note = op.get("_moar") or {}
+        if note.get("directive"):
+            out.add(note["directive"])
+        for prior in note.get("stacked", []):
+            if prior.get("directive"):
+                out.add(prior["directive"])
+    return out
 
 
 class ChangeModelDirective(MoarDirective):
@@ -746,9 +792,10 @@ class IsolatingSubtasksDirective(MoarDirective):
                                + f"\n\nProduce ONLY the field '{k}'; "
                                  "ignore every other field."),
                        output={"schema": {k: schema[k]}})
-            sub.pop("_moar", None)
             if i == 0:
-                sub = _note(sub, self.name, +20)
+                sub = _note(sub, self.name, +20)  # stacks any prior note
+            else:
+                sub.pop("_moar", None)  # count the prior note once
             subs.append(sub)
         return [self._replace(ops, target, subs)]
 
@@ -892,18 +939,21 @@ class ReduceChainingDirective(MoarDirective):
             return []
         notes = f"{field}_notes"
         name = op.get("name", "reduce")
+        # quote the task as jinja-STRIPPED static text: a {% raw %} wrap
+        # would nest fatally when the reduce prompt itself contains one
+        task_text = re.sub(r"\{\{.*?\}\}|\{%.*?%\}", " ", op["prompt"])
         extract = _note({
             "name": f"{name}_extract", "type": "map",
             "prompt": ("Extract only the information this task needs "
-                       "from the document below.\nTask:\n\"{% raw %}"
-                       + op["prompt"] + "{% endraw %}\"\n\nDocument:\n"
+                       "from the document below.\nTask:\n\""
+                       + task_text + "\"\n\nDocument:\n"
                        "{{ input." + field + " }}"),
             "output": {"schema": {notes: "str"}},
         }, self.name, +10)
+        # the reduce keeps its own prior note (a gleaning config copied
+        # by deepcopy still executes and must keep its acc credit)
         new_red = dict(copy.deepcopy(op),
-                       prompt=re.sub(r"\.(\s*)%s\b" % re.escape(field),
-                                     r".\1" + notes, op["prompt"]))
-        new_red.pop("_moar", None)
+                       prompt=_sub_field_refs(op["prompt"], field, notes))
         return [self._replace(ops, target, [extract, new_red])]
 
 
@@ -1008,7 +1058,9 @@ class SwapWithCodeDirective(MoarDirective):
             return []
         schema = op["output"]["schema"]
         lines = ["def transform(rows):",
-                 f"    vals = sorted({{str(r.get({field!r}) or '') for r in rows}})",
+                 # drop rows missing/empty on the field: '' elements in
+                 # list outputs and a leading '; ' in joins otherwise
+                 f"    vals = sorted({{str(r.get({field!r}) or '') for r in rows}} - {{''}})",
                  "    out = {}"]
         for k in sorted(schema):
             t = str(schema[k]).lower()
@@ -1572,8 +1624,7 @@ class MoarSearch:
         # a directive already present in the plan lineage (its _moar note
         # survives in some op) never re-applies — the recast's stand-in
         # for the agent reading the memo and not repeating itself
-        in_plan = {(op.get("_moar") or {}).get("directive")
-                   for op in node.ops}
+        in_plan = _plan_directives(node.ops)
         options: list[tuple[str, str]] = []
         for op in node.ops:
             op_name = op.get("name")

@@ -266,11 +266,11 @@ def _apply_op(ds, op: dict):
         )
     if t == "gather":
         pc_cfg = op.get("peripheral_chunks") or {}
-        # reference-style config: per-direction head/middle/tail section
-        # dicts (gather.py:30-42) -> full-parity renderer; plain ints ->
-        # the simplified previous/next-count surface
-        if ("main_chunk_start" in op or "main_chunk_end" in op
-                or any(isinstance(v, dict) for v in pc_cfg.values())):
+        # reference-style config (gather.py:30-42) -> full-parity
+        # renderer; plain ints -> simplified previous/next-count surface
+        from .stages.unnest_split_gather import is_reference_gather
+
+        if is_reference_gather(op):
             from .stages.unnest_split_gather import gather_reference
 
             return gather_reference(

@@ -183,8 +183,6 @@ class LLMMapStage:
         except Exception:
             return False
 
-    _GLEAN_SCHEMA = {"should_refine": "bool", "improvements": "str"}
-
     def _glean(self, rendered: str, out: dict) -> dict:
         return glean_loop(self.client, rendered, out, self.schema,
                           self.gleaning)

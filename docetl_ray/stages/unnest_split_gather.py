@@ -247,6 +247,17 @@ def _hierarchy_headers(
     return f"_Current Section:_ {rendered}" if rendered else ""
 
 
+def is_reference_gather(op: dict) -> bool:
+    """One dispatch rule for gather configs, shared by the YAML runner
+    and the MOAR plan simulator (they must agree byte-for-byte): the
+    reference-form renderer handles per-direction head/middle/tail
+    section dicts and custom main-chunk markers; plain ints route to the
+    simplified previous/next-count surface."""
+    pc_cfg = op.get("peripheral_chunks") or {}
+    return ("main_chunk_start" in op or "main_chunk_end" in op
+            or any(isinstance(v, dict) for v in pc_cfg.values()))
+
+
 def gather_reference(
     ds,
     content_key: str,

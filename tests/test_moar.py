@@ -772,11 +772,17 @@ def test_search_explores_reduce_directives():
     ]
     s = MoarSearch(ops, rows, max_iterations=20, token_limit=128, seed=4)
     opts = {name for _, name in s._action_options(s.root, "acc")}
+    ctx = moar.SearchContext(rows, 128, "det-large")
     for want in ("reduce_gleaning", "reduce_chaining", "swap_with_code"):
         assert want in opts, (want, sorted(opts))
+        # every candidate the directive proposes on this plan simulates
+        # cleanly (a failed candidate burns a search action forever)
+        for cand in s.directives[want].instantiate(
+                ops, "digest", goal="acc", ctx=ctx):
+            res = simulate_plan(cand, rows)
+            assert sorted(r["lang"] for r in res.rows) == ["en", "fr"], want
     frontier = s.search()
     assert frontier
-    explored = {d for n in s.frontier.plans for d, _ in n.memo}
     for n in frontier:
         res = simulate_plan(n.ops, rows, default_model=n.default_model)
         assert sorted(r["lang"] for r in res.rows) == ["en", "fr"], n.path()
@@ -784,3 +790,78 @@ def test_search_explores_reduce_directives():
     s2 = MoarSearch(ops, rows, max_iterations=20, token_limit=128, seed=4)
     s2.search()
     assert s.summary() == s2.summary()
+
+
+def test_note_stacking_preserves_prior_directive_credit():
+    """A second directive on the same op stacks the prior note instead
+    of erasing it: acc deltas keep counting and the prior directive
+    stays in the plan ledger (no degenerate re-stacking)."""
+    red = {"name": "digest", "type": "reduce", "reduce_key": "lang",
+           "prompt": ("Digest:\n{% for i in inputs %}{{ i.text }}\n"
+                      "{% endfor %}"),
+           "output": {"schema": {"digest": "str"}}}
+    rows = [{"doc_id": i, "lang": ["en", "fr"][i % 2],
+             "site": ["a.com", "b.com"][i % 2 == 0 and i < 4],
+             "text": f"doc {i} " + " ".join(f"w{i}_{j}" for j in range(40))}
+            for i in range(8)]
+    ctx = moar.SearchContext(rows, 128, "det-large")
+    base_q, _ = plan_quality_permille([red], "det-large")
+
+    (gleaned,) = moar.ReduceGleaningDirective().instantiate(
+        [red], "digest", goal="acc", ctx=ctx)
+    (hier,) = moar.HierarchicalReduceDirective().instantiate(
+        gleaned, "digest", goal="acc", ctx=ctx)
+    q, _ = plan_quality_permille(hier, "det-large")
+    assert q == base_q + 25 + 10          # both deltas survive
+    assert moar._plan_directives(hier) == {"reduce_gleaning",
+                                           "hierarchical_reduce"}
+    # reduce_chaining keeps the gleaning note AND config on the reduce
+    (chained,) = moar.ReduceChainingDirective().instantiate(
+        gleaned, "digest", goal="acc", ctx=ctx)
+    q2, _ = plan_quality_permille(chained, "det-large")
+    assert q2 == base_q + 25 + 10
+    new_red = next(o for o in chained if o["type"] == "reduce")
+    assert new_red.get("gleaning")        # still executes (and bills)
+
+
+def test_reduce_chaining_ignores_raw_block_refs():
+    """Field refs quoted inside {% raw %} (doc_chunking's combine prompt
+    embeds the original map prompt there) are NOT live template refs:
+    the directive must not target them, and rewrites must leave raw
+    text byte-identical."""
+    rows = [{"doc_id": i, "text": f"doc {i} "
+             + " ".join(f"w{i}_{j}" for j in range(300))} for i in range(4)]
+    ctx = moar.SearchContext(rows, 128, "det-large")
+    chunked = moar.DocChunkingDirective().instantiate(
+        [dict(MAP_OP)], "classify", goal="acc", ctx=ctx)[0]
+    combine = next(o for o in chunked if o["type"] == "reduce")
+    d = moar.ReduceChainingDirective()
+    # the only .text ref sits inside {% raw %} -> no candidates
+    assert d.instantiate(chunked, combine["name"], goal="acc", ctx=ctx) == []
+    # a prompt with BOTH a live ref and a raw-quoted ref rewrites only
+    # the live one, and the extract prompt renders (no nested raw)
+    red = {"name": "digest", "type": "reduce", "reduce_key": "doc_id",
+           "prompt": ('Task was: "{% raw %}{{ input.text }}{% endraw %}"\n'
+                      "{% for i in inputs %}{{ i.text }}{% endfor %}"),
+           "output": {"schema": {"digest": "str"}}}
+    (cand,) = d.instantiate([red], "digest", goal="acc", ctx=ctx)
+    new_red = next(o for o in cand if o["type"] == "reduce")
+    assert "{% raw %}{{ input.text }}{% endraw %}" in new_red["prompt"]
+    assert "i.text_notes" in new_red["prompt"]
+    res = simulate_plan(cand, rows)
+    assert len(res.rows) == len(rows)
+
+
+def test_swap_with_code_skips_empty_field_values():
+    d = moar.SwapWithCodeDirective()
+    red = {"name": "collect", "type": "reduce", "reduce_key": "lang",
+           "prompt": "Sites: {% for i in inputs %}{{ i.site }}{% endfor %}",
+           "output": {"schema": {"sites": "list[str]", "joined": "str"}}}
+    rows = [{"lang": "en", "site": "a.com"},
+            {"lang": "en", "site": None},
+            {"lang": "en", "site": ""}]
+    ctx = moar.SearchContext(rows, 128, "det-large")
+    (cand,) = d.instantiate([red], "collect", goal="cost", ctx=ctx)
+    res = simulate_plan(cand, rows)
+    assert res.rows[0]["sites"] == ["a.com"]
+    assert res.rows[0]["joined"] == "a.com"
