@@ -173,6 +173,12 @@ def _build_moar(args, cfg: dict) -> int:
         ops = [dict(o) for o in node.ops]
         for o in ops:
             o.pop("_moar", None)  # decision notes are not execution config
+            # the node's default model is search state, not op config —
+            # pin it onto every prompt op lacking an explicit override so
+            # the emitted YAML executes with exactly the client the
+            # simulator billed (simulate_plan's client_for fallback)
+            if "prompt" in o and "code" not in o:
+                o.setdefault("model", node.default_model)
         plan_cfg["operations"] = ops
         plan_cfg["pipeline"] = dict(cfg["pipeline"])
         plan_cfg["pipeline"]["steps"] = [

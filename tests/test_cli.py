@@ -107,5 +107,13 @@ pipeline:
     assert costs == sorted(costs)            # frontier ordered by cost
     assert accs == sorted(accs)              # strictly better with cost
     plan = out["frontier"][0]["file"]
+    # every prompt op carries an explicit model so the YAML executes
+    # with exactly the client the search simulated (client_for fallback)
+    import yaml as _yaml
+
+    emitted = _yaml.safe_load(open(plan))
+    for o in emitted["operations"]:
+        if "prompt" in o and "code" not in o:
+            assert o.get("model"), o["name"]
     ran = json.loads(_cli("run", plan))
     assert ran["output_rows"] == len(docs)

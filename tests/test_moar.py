@@ -865,3 +865,57 @@ def test_swap_with_code_skips_empty_field_values():
     res = simulate_plan(cand, rows)
     assert res.rows[0]["sites"] == ["a.com"]
     assert res.rows[0]["joined"] == "a.com"
+
+
+def test_chunk_header_summary_plan_runner_matches_simulator(ray_session,
+                                                            tmp_path):
+    """A chunk_header_summary plan executed for REAL through the YAML
+    runner produces the same rows as the driver-side simulation — the
+    fidelity contract for the shared gather_reference_render_group and
+    is_reference_gather dispatch."""
+    import json as _json
+
+    from docetl_ray.runner import PipelineRunner
+
+    rows = [{"doc_id": i,
+             "text": f"# Title {i}\nintro {i}\n## Sub\n"
+                     + " ".join(f"w{i}_{j}" for j in range(250))}
+            for i in range(3)]
+    ctx = moar.SearchContext(rows, 128, "det-large")
+    chunked = moar.DocChunkingDirective().instantiate(
+        [dict(MAP_OP)], "classify", goal="acc", ctx=ctx)[0]
+    split = next(o for o in chunked if o["type"] == "split")
+    (plan,) = moar.ChunkHeaderSummaryDirective().instantiate(
+        chunked, split["name"], goal="acc", ctx=ctx)
+    sim = simulate_plan(plan, rows)
+
+    (tmp_path / "docs.json").write_text(_json.dumps(rows))
+    ops = []
+    for o in plan:
+        o = copy.deepcopy(o)
+        o.pop("_moar", None)
+        if "prompt" in o and "code" not in o:
+            o.setdefault("model", "det-large")  # what _build_moar emits
+        ops.append(o)
+    cfg = {
+        "datasets": {"docs": {"type": "json",
+                              "path": str(tmp_path / "docs.json")}},
+        "operations": ops,
+        "pipeline": {
+            "steps": [{"name": "s1", "input": "docs",
+                       "operations": [o["name"] for o in ops]}],
+            "output": {"type": "file", "path": str(tmp_path / "out"),
+                       "format": "parquet"},
+        },
+    }
+    PipelineRunner(cfg).run()
+    import pyarrow.parquet as _pq
+
+    got = _pq.read_table(str(tmp_path / "out")).to_pylist()
+    key = lambda r: r.get("classify_split_id", "")
+    sim_rows = sorted(sim.rows, key=key)
+    got_rows = sorted(got, key=key)
+    assert len(got_rows) == len(sim_rows) == len(rows)
+    for a, b in zip(sim_rows, got_rows):
+        for col in ("topic", "title", "classify_split_id"):
+            assert a.get(col) == b.get(col), col
