@@ -929,8 +929,7 @@ class ReduceChainingDirective(MoarDirective):
     def applicable(self, op, ops):
         return (_is_prompt_op(op) and op["type"] in ("reduce", "llm_reduce")
                 and not op.get("fold_prompt")
-                and not any(o.get("_moar", {}).get("directive") == self.name
-                            for o in ops))
+                and self.name not in _plan_directives(ops))
 
     def instantiate(self, ops, target, *, goal, ctx):
         op = next(o for o in ops if o.get("name") == target)
