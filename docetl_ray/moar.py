@@ -59,8 +59,11 @@ operator_fusion, map_reduce_fusion, swap_with_code).
 per-model ``ChangeModelDirective`` pool (the reference builds one
 directive per catalog model the same way,
 ``change_model_cost.create_model_specific_directives``).
-``arbitrary_rewrite`` — the agent free-editing the pipeline JSON — has
-no deterministic substance to recast and is intentionally omitted.
+``arbitrary_rewrite`` — the agent free-editing the pipeline JSON — is
+recast with the agent's AUTHORING step replaced by caller-supplied
+search/replace edits (``ArbitraryRewriteDirective(edits=...)``, passed
+via ``MoarSearch(directives=...)``); the apply mechanics mirror the
+reference 1:1.
 """
 
 from __future__ import annotations
@@ -886,6 +889,69 @@ class MapReduceFusionDirective(MoarDirective):
                 continue
             else:
                 out.append(copy.deepcopy(o))
+        return [out]
+
+
+class ArbitraryRewriteDirective(MoarDirective):
+    """Search/replace edits over the pipeline JSON (reference
+    ``arbitrary_rewrite.py``).  The reference's agent AUTHORS the edits;
+    that part has no deterministic substance, so this recast takes the
+    edits from the CALLER (``edits=[{"search": ..., "replace": ...,
+    "acc_delta_permille": ...}]``) and mirrors the reference's apply
+    mechanics 1:1 (``arbitrary_rewrite.py:288-322``): dump ops as
+    4-indent JSON, apply each edit to the FIRST occurrence in sequence
+    (missing search strings skip with the other edits still applied),
+    re-parse, drop empty ops.  Not in ``BASE_DIRECTIVES`` — pass it via
+    ``MoarSearch(directives=...)`` like the reference passes the
+    directive to the agent loop."""
+
+    name = "arbitrary_rewrite"
+
+    def __init__(self, edits: list[dict], acc_delta_permille: int = 0):
+        self.edits = list(edits)
+        self.acc_delta = acc_delta_permille
+
+    def _apply(self, ops: list[dict]) -> list[dict] | None:
+        text = json.dumps(ops, indent=4)
+        hit = False
+        for e in self.edits:
+            if e["search"] in text:
+                text = text.replace(e["search"], e["replace"], 1)
+                hit = True
+        if not hit:
+            return None
+        try:
+            new_ops = json.loads(text)
+        except json.JSONDecodeError:
+            return None  # reference raises; the search treats it as dead
+        if not isinstance(new_ops, list):
+            return None
+        return [op for op in new_ops if op]
+
+    def applicable(self, op, ops):
+        # pipeline-level: anchor on the first op so the action space
+        # carries exactly one (op, directive) option per plan
+        if not ops or op is not ops[0]:
+            return False
+        stripped = [{k: v for k, v in o.items() if k != "_moar"}
+                    for o in ops]
+        return self._apply(stripped) is not None
+
+    def instantiate(self, ops, target, *, goal, ctx):
+        notes = {o.get("name"): o.get("_moar") for o in ops}
+        stripped = [{k: v for k, v in o.items() if k != "_moar"}
+                    for o in ops]
+        new_ops = self._apply(stripped)
+        if new_ops is None:
+            return []
+        out = []
+        for i, o in enumerate(new_ops):
+            prior = notes.get(o.get("name"))
+            if prior:
+                o = dict(o, _moar=prior)  # surviving ops keep their notes
+            if i == 0:
+                o = _note(o, self.name, self.acc_delta)
+            out.append(o)
         return [out]
 
 

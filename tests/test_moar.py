@@ -919,3 +919,35 @@ def test_chunk_header_summary_plan_runner_matches_simulator(ray_session,
     for a, b in zip(sim_rows, got_rows):
         for col in ("topic", "title", "classify_split_id"):
             assert a.get(col) == b.get(col), col
+
+
+def test_arbitrary_rewrite_applies_caller_edits():
+    """Reference apply mechanics (arbitrary_rewrite.py:288-322): 4-indent
+    JSON, first-occurrence sequential replaces, missing searches skipped,
+    invalid JSON -> dead candidate."""
+    ops = [dict(MAP_OP),
+           {"name": "m2", "type": "map",
+            "prompt": "Extract dates:\n{{ input.text }}",
+            "output": {"schema": {"dates": "str"}}}]
+    d = moar.ArbitraryRewriteDirective(
+        edits=[{"search": '"name": "m2"', "replace": '"name": "m2_renamed"'},
+               {"search": "NOT-IN-PIPELINE", "replace": "x"}],
+        acc_delta_permille=5)
+    assert d.applicable(ops[0], ops)
+    assert not d.applicable(ops[1], ops)        # anchored on the first op
+    (cand,) = d.instantiate(ops, "classify", goal="cost",
+                            ctx=_ctx(_rows(4)))
+    assert [o["name"] for o in cand] == ["classify", "m2_renamed"]
+    assert cand[0]["_moar"]["directive"] == "arbitrary_rewrite"
+    res = simulate_plan(cand, _rows(4))
+    assert res.rows and all("dates" in r for r in res.rows)
+    # an edit that breaks the JSON is a dead candidate, not a crash
+    broken = moar.ArbitraryRewriteDirective(
+        edits=[{"search": '"type": "map"', "replace": '"type": "map"...,'}])
+    assert not broken.applicable(ops[0], ops)
+    # searchable via the directives= override, like any other directive
+    s = MoarSearch(ops, _rows(8), max_iterations=6, token_limit=256,
+                   seed=3, directives=[d])
+    assert ("classify", "arbitrary_rewrite") in s._action_options(s.root,
+                                                                  "acc")
+    assert s.search()
