@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -130,7 +131,7 @@ def cmd_build(args) -> int:
     out_cfg = optimize_config(
         cfg, sample_limit=args.sample_limit, token_limit=args.token_limit
     )
-    out_path = args.output or args.pipeline.rsplit(".", 1)[0] + "_opt.yaml"
+    out_path = args.output or os.path.splitext(args.pipeline)[0] + "_opt.yaml"
     # decision records are for inspection, not execution config
     for op in out_cfg.get("operations", []):
         op.pop("_optimizer", None)
@@ -159,6 +160,17 @@ def _build_moar(args, cfg: dict) -> int:
         return 2
     step = steps[0]
     ops_by_name = {o["name"]: o for o in cfg.get("operations", [])}
+    missing = [n for n in step.get("operations", []) if n not in ops_by_name]
+    if missing or not step.get("operations"):
+        print(json.dumps({"error": f"step operations not defined: "
+                          f"{missing or 'none listed'} "
+                          f"(operations: {sorted(ops_by_name)})"}))
+        return 2
+    if step["input"] not in cfg.get("datasets", {}):
+        print(json.dumps({"error": f"unknown input dataset "
+                          f"{step['input']!r} "
+                          f"(datasets: {sorted(cfg.get('datasets', {}))})"}))
+        return 2
     base_ops = [ops_by_name[n] for n in step["operations"]]
     rows = (_load_dataset(cfg["datasets"][step["input"]])
             .limit(args.sample_limit).take_all())
@@ -166,7 +178,10 @@ def _build_moar(args, cfg: dict) -> int:
                         max_iterations=args.moar_iterations,
                         token_limit=args.token_limit, seed=args.moar_seed)
     frontier = search.search()
-    stem = args.pipeline.rsplit(".", 1)[0]
+    # -o names the plan-file stem (plan i -> <stem>_moar_<i>.yaml);
+    # default: next to the input pipeline.  splitext, not rsplit('.') —
+    # a dotted DIRECTORY (../v1.2/pipe) must not truncate the stem.
+    stem = os.path.splitext(args.output or args.pipeline)[0]
     written = []
     for i, node in enumerate(frontier):
         plan_cfg = dict(cfg)

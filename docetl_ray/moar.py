@@ -275,7 +275,16 @@ def simulate_plan(ops: list[dict], rows: list[dict], *,
 def _sim_groups(rows, op, reduce_fn):
     key = op.get("reduce_key", "_all")
     keys = [key] if isinstance(key, str) else list(key)
-    if keys == ["_all"]:
+    # counts-column naming must match what PipelineRunner emits for the
+    # same op, or simulated plans diverge from executed ones: keyed CODE
+    # reduces get the reference-style suffixed column
+    # (runner.py code_reduce counts_column=_counts_prereduce_{name});
+    # LLM reduces and the _all code path use the plain name
+    # (llm.py llm_reduce / runner.py _all branch).
+    grouped = keys != ["_all"]
+    counts_col = (f"_counts_prereduce_{op.get('name', 'reduce')}"
+                  if "code" in op and grouped else "_counts_prereduce")
+    if not grouped:
         groups = {(): rows}
         keys = []
     else:
@@ -292,7 +301,7 @@ def _sim_groups(rows, op, reduce_fn):
             for c, v in g[0].items():
                 row.setdefault(c, v)
         row.update(res)
-        row["_counts_prereduce"] = len(g)
+        row[counts_col] = len(g)
         out.append(row)
     return out
 
@@ -629,23 +638,34 @@ class DocChunkingDirective(MoarDirective):
         split_key = _doc_field(op, ctx.sample_rows)
         if split_key is None:
             return []
-        counts = sorted(_ntokens(str(r.get(split_key, "")))
-                        for r in ctx.sample_rows) or [0]
-        p90 = counts[min(len(counts) - 1, int(0.9 * (len(counts) - 1)))]
-        budget = int(ctx.token_limit * 0.75)
-        delta = +40 if p90 > budget else -15
-        ladder = _chunk_ladder(counts, ctx.token_limit)
-        fitting = [c for c in ladder if c <= budget] or ladder[:1]
-        rungs = [fitting[-1]]
-        if len(fitting) > 1:
-            rungs.append(fitting[len(fitting) // 2])
+        rungs, p90, overflows = _chunk_rungs(split_key, ctx)
+        delta = +40 if overflows else -15
         out = []
-        for rung in dict.fromkeys(rungs):
+        for rung in rungs:
             plan = build_chunk_plan(copy.deepcopy(op), split_key, rung)
             plan[0] = _note(plan[0], self.name, delta,
                             chunk_tokens=rung, p90_doc_tokens=p90)
             out.append(self._replace(ops, target, plan))
         return out
+
+
+def _chunk_rungs(split_key: str,
+                 ctx: "SearchContext") -> tuple[list[int], int, bool]:
+    """Data-driven chunk-size candidates shared by both chunking
+    directives (``doc_chunking`` / ``doc_chunking_topk`` must always
+    pick from the same ladder): the largest budget-fitting rung plus a
+    mid-ladder alternative, the sampled p90 doc tokens, and whether p90
+    overflows the 0.75×token-limit budget (the accuracy-delta signal)."""
+    counts = sorted(_ntokens(str(r.get(split_key, "")))
+                    for r in ctx.sample_rows) or [0]
+    p90 = counts[min(len(counts) - 1, int(0.9 * (len(counts) - 1)))]
+    budget = int(ctx.token_limit * 0.75)
+    ladder = _chunk_ladder(counts, ctx.token_limit)
+    fitting = [c for c in ladder if c <= budget] or ladder[:1]
+    rungs = [fitting[-1]]
+    if len(fitting) > 1:
+        rungs.append(fitting[len(fitting) // 2])
+    return list(dict.fromkeys(rungs)), p90, p90 > budget
 
 
 def _truncate_code(field: str, head: int, tail: int) -> str:
@@ -1170,22 +1190,14 @@ class DocChunkingTopKDirective(MoarDirective):
         split_key = _doc_field(op, ctx.sample_rows)
         if split_key is None:
             return []
-        counts = sorted(_ntokens(str(r.get(split_key, "")))
-                        for r in ctx.sample_rows) or [0]
-        p90 = counts[min(len(counts) - 1, int(0.9 * (len(counts) - 1)))]
-        budget = int(ctx.token_limit * 0.75)
-        delta = +20 if p90 > budget else -25
-        ladder = _chunk_ladder(counts, ctx.token_limit)
-        fitting = [c for c in ladder if c <= budget] or ladder[:1]
-        rungs = [fitting[-1]]
-        if len(fitting) > 1:
-            rungs.append(fitting[len(fitting) // 2])
+        rungs, _p90, overflows = _chunk_rungs(split_key, ctx)
+        delta = +20 if overflows else -25
         kws = _prompt_keywords(op["prompt"])
         name = op.get("name", "map")
         chunk_col = f"{split_key}_chunk"
         num_col = f"{name}_split_chunk_num"
         out = []
-        for rung in dict.fromkeys(rungs):
+        for rung in rungs:
             plan = build_chunk_plan(copy.deepcopy(op), split_key, rung)
             plan[0] = _note(plan[0], self.name, delta,
                             chunk_tokens=rung, keywords=kws)
@@ -1603,11 +1615,19 @@ class MoarSearch:
         node.cost = res.cost_micro
         node.result_rows = res.rows
         qp, qmodel = plan_quality_permille(node.ops, node.default_model)
-        if self.evaluate_func is not None:
-            node.accuracy = float(self.evaluate_func(res.rows, qp, qmodel))
-        else:
-            node.accuracy = default_accuracy(res.rows, qp, qmodel,
-                                             id_field=self.id_field)
+        try:
+            if self.evaluate_func is not None:
+                node.accuracy = float(self.evaluate_func(res.rows, qp, qmodel))
+            else:
+                node.accuracy = default_accuracy(res.rows, qp, qmodel,
+                                                 id_field=self.id_field)
+        except Exception:
+            # a raising evaluation harness fails THIS plan, not the whole
+            # search (reference MOARSearch.evaluate_node catches and
+            # returns -inf, MOARSearch.py:1060-1074)
+            node.cost = -1
+            node.accuracy = float("-inf")
+            return -1, float("-inf")
         self.total_search_cost += max(res.cost_micro, 0)
         return node.cost, node.accuracy
 
@@ -1737,8 +1757,11 @@ class MoarSearch:
                 avg = float("inf")
             else:
                 avg = self.frontier.action_rewards.get(name, 0.0) / n
-            return (-avg, order.get(name, 1 << 30), op_name)
+            return (-avg, order.get(name, 1 << 30))
 
+        # min() is first-of-equals stable and _action_options appends in
+        # plan-op order, so remaining ties break on op ORDER IN THE PLAN
+        # (the documented rule) — not on the op-name string
         return min(options, key=score)
 
     def expand(self, node: PlanNode, goal: str) -> list[PlanNode]:

@@ -951,3 +951,44 @@ def test_arbitrary_rewrite_applies_caller_edits():
     assert ("classify", "arbitrary_rewrite") in s._action_options(s.root,
                                                                   "acc")
     assert s.search()
+
+
+def test_raising_evaluate_func_fails_plan_not_search():
+    """A pluggable evaluation harness that raises on some plan's rows
+    marks THAT plan failed (cost -1 / acc -inf) and the search continues
+    (reference MOARSearch.evaluate_node catches, MOARSearch.py:1060-74)."""
+    calls = {"n": 0}
+
+    def flaky(rows, qp, model):
+        calls["n"] += 1
+        if calls["n"] % 3 == 0:
+            raise KeyError("missing field the harness reads")
+        return default_accuracy(rows, qp, model, id_field="doc_id")
+
+    s = MoarSearch([copy.deepcopy(MAP_OP)], _rows(8), max_iterations=8,
+                   token_limit=256, seed=5, evaluate_func=flaky)
+    frontier = s.search()            # must not raise
+    assert frontier
+    assert calls["n"] > 3            # the raising call happened mid-search
+
+
+def test_sim_groups_counts_column_matches_runner(ray_session):
+    """Keyed CODE reduces emit _counts_prereduce_{name} in BOTH the
+    simulator and the real runner (runner.py code_reduce counts_column);
+    LLM reduces keep the plain column in both."""
+    from docetl_ray.runner import PipelineRunner
+
+    rows = [{"doc_id": i, "lang": ["en", "fr"][i % 2], "v": i}
+            for i in range(6)]
+    code_red = {"name": "agg", "type": "code_reduce", "reduce_key": "lang",
+                "code": "def transform(rows):\n"
+                        "    return {'total': sum(r['v'] for r in rows)}\n"}
+    sim = simulate_plan([code_red], rows)
+    assert all("_counts_prereduce_agg" in r for r in sim.rows)
+    cfg = {"datasets": {"docs": {"type": "memory", "data": rows}},
+           "operations": [code_red],
+           "pipeline": {"steps": [{"name": "s1", "input": "docs",
+                                   "operations": ["agg"]}]}}
+    real = sorted(PipelineRunner(cfg).run().take_all(),
+                  key=lambda r: r["lang"])
+    assert sorted(sim.rows, key=lambda r: r["lang"]) == real
