@@ -612,10 +612,17 @@ def run_scaling():
         eff = (r_lo["value"] / r_hi["value"]) / (hi / lo)
         s_lo = r_lo.get("headline_steal_pct") or 0.0
         s_hi = r_hi.get("headline_steal_pct") or 0.0
-        b_lo = ((r_lo.get("cpu_calib") or {}).get("after") or {}).get(
-            "burn_wide_med_sec") or 0.0
-        b_hi = ((r_hi.get("cpu_calib") or {}).get("after") or {}).get(
-            "burn_wide_med_sec") or 0.0
+        # gate on the WORST of the leg's before/after burns: a throttle
+        # episode covering the timed apply but ending before the leg
+        # finishes would pass an after-only gate
+        def _worst_burn(r):
+            calib = r.get("cpu_calib") or {}
+            return max(
+                (calib.get(side) or {}).get("burn_wide_med_sec") or 0.0
+                for side in ("before", "after"))
+
+        b_lo = _worst_burn(r_lo)
+        b_hi = _worst_burn(r_hi)
         pairs.append({"sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
                       "eff": round(eff, 3),
                       "eps_lo": r_lo["events_per_sec"],
@@ -706,34 +713,31 @@ def _emit(res: dict):
         ops = res["scale10m_ops"]
         res["scale10m_ops"] = {k: v for k, v in ops.items()
                                if k.endswith("_sec") or k.endswith("_rows")}
-    # embed the cached --scaling summary so the driver artifact carries
-    # the scaling evidence (r4's was builder-recorded only)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "SCALING.json")) as f:
-            sc = json.load(f)
-        res["scaling"] = {
-            "efficiency": sc.get("scaling_efficiency"),
-            "cpus": sc.get("cpus"),
-            "clean_pairs": sc.get("clean_pairs"),
-            "eps": [sc.get("events_per_sec_%d" % c, None)
-                    for c in (sc.get("cpus") or [])],
-        }
-    except (OSError, ValueError):
-        pass
-    # likewise the cached --n50m segmented-ingest record
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "N50M.json")) as f:
-            n50 = json.load(f)
-        res["n50m"] = {
-            "events_per_sec": n50.get("events_per_sec"),
-            "n_epochs": n50.get("n_epochs"),
-            "max_levels": n50.get("max_levels"),
-            "read_state_sec": n50.get("read_state_sec"),
-        }
-    except (OSError, ValueError):
-        pass
+    # embed cached mode summaries so the driver artifact carries the
+    # scaling / segmented-ingest evidence (r4's was builder-recorded
+    # only)
+    def _embed_cached(key: str, filename: str, project):
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    filename)) as f:
+                res[key] = project(json.load(f))
+        except (OSError, ValueError):
+            pass
+
+    _embed_cached("scaling", "SCALING.json", lambda sc: {
+        "efficiency": sc.get("scaling_efficiency"),
+        "cpus": sc.get("cpus"),
+        "clean_pairs": sc.get("clean_pairs"),
+        "eps": [sc.get("events_per_sec_%d" % c, None)
+                for c in (sc.get("cpus") or [])],
+    })
+    _embed_cached("n50m", "N50M.json", lambda n50: {
+        "events_per_sec": n50.get("events_per_sec"),
+        "n_epochs": n50.get("n_epochs"),
+        "max_levels": n50.get("max_levels"),
+        "read_state_sec": n50.get("read_state_sec"),
+    })
     # demote remaining bulky blocks until the final line fits the window
     for key in ("scale10m_ops", "scale1m", "n10m", "queries"):
         if len(json.dumps(res)) <= TAIL_LIMIT:

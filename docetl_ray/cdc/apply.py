@@ -635,10 +635,16 @@ def compact(
     if drop_tombstones_below_lsn is not None:
         policy = "full"
     pmap = table.partition_map()
+    # plain compaction only folds stacked levels (len > 1); a GC
+    # watermark must ALSO rewrite single-level partitions — their
+    # tombstones below the watermark would otherwise be retained
+    # forever with no signal (the docstring promises the watermark
+    # forces full folds everywhere it applies)
+    min_levels = 1 if drop_tombstones_below_lsn is not None else 2
     todo = [
         {"pid": pid, "paths": paths}
         for pid, paths in sorted(pmap.items())
-        if (pids is None or pid in pids) and len(paths) > 1
+        if (pids is None or pid in pids) and len(paths) >= min_levels
     ]
     if not todo:
         return table.manifest()

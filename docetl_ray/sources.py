@@ -50,15 +50,19 @@ def _metadata_free_schema(path: str, columns):
     # a directory may hold heterogeneous-but-unifiable schemas (e.g.
     # pandas writers with differing null-typed columns); forcing file 0's
     # schema on every file would miscast or fail the read, so only force
-    # it when every file's metadata-stripped schema is identical —
-    # otherwise fall back to Ray's own inference/unification.  The check
-    # is a sequential driver-side footer read per file, so it is capped:
-    # past 32 files (machine-written WAL/lake dirs, where the pandas-
-    # metadata problem this helper strips doesn't arise) skip the force
-    # rather than pay O(files) startup latency before the read begins
-    if len(paths) > 32:
-        return None
-    for other in paths[1:]:
+    # it when the files' metadata-stripped schemas agree — otherwise
+    # fall back to Ray's own inference/unification.  The check is a
+    # sequential driver-side footer read per file, so it is bounded: up
+    # to 32 files are verified exhaustively; larger directories (which
+    # only reach here when pandas-written — machine-written dirs carry
+    # no metadata and returned above — and where skipping the strip
+    # costs the measured 4x schema-dedup wall) verify a head+tail
+    # sample of 32 (schema evolution shows up at the ends; a divergent
+    # UNSAMPLED file fails the forced read loudly, it does not miscast
+    # silently, because Arrow raises on incompatible column sets)
+    check = (paths[1:] if len(paths) <= 32
+             else paths[1:17] + paths[-16:])
+    for other in check:
         try:
             if pq.read_schema(other).remove_metadata() != schema:
                 return None

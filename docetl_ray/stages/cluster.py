@@ -445,9 +445,20 @@ def kmeans_cells(
             h = hash_codes(batch, [id_col])
             mask = h <= thr
             t = batch.filter(pa.array(mask))
+            # ids are not guaranteed unique (dedup.py documents
+            # last-wins on dup ids); an embedding-bytes hash breaks
+            # (h, id) ties layout-independently so the seed ORDER never
+            # depends on which block a dup-id row arrived in
+            import hashlib as _hl
+
+            eh = [
+                _hl.md5(np.asarray(v, np.float64).tobytes()).hexdigest()
+                for v in t[emb_col].to_pylist()
+            ]
             return pa.table({
                 "_h": pa.array(h[mask], pa.uint64()),
                 "_sid": t[id_col],
+                "_eh": pa.array(eh, pa.string()),
                 "_semb": t[emb_col],
             })
 
@@ -456,7 +467,8 @@ def kmeans_cells(
         if cand.num_rows >= min(want, n) or frac >= 1.0:
             break
         frac = min(1.0, frac * 8.0)
-    cand = cand.sort_by([("_h", "ascending"), ("_sid", "ascending")])
+    cand = cand.sort_by([("_h", "ascending"), ("_sid", "ascending"),
+                         ("_eh", "ascending")])
     S = _emb_matrix(cand["_semb"].slice(0, want))
     if len(S) == 0:
         raise ValueError("kmeans_cells: empty input")
@@ -498,7 +510,13 @@ def kmeans_cells(
                 + (Cc * Cc).sum(axis=1)[None, :]
             )
             a = d2.argmin(axis=1)
-            Xq = np.rint(np.clip(X * fxp, -(2.0**62), 2.0**62)).astype(np.int64)
+            # clip at 2^40 (64x the 2^34 seed-sample-derived scale, to
+            # spare in-range outliers), NOT near int64 max: rows far
+            # outside the seed range (corrupt values, inf) must saturate
+            # small enough that summing them cannot wrap the int64
+            # accumulator — 2^40 keeps ~2^23 such rows per cell safe,
+            # where a 2^62 clip wrapped at the SECOND one
+            Xq = np.rint(np.clip(X * fxp, -(2.0**40), 2.0**40)).astype(np.int64)
             sums = np.zeros((len(Cc), Xq.shape[1]), dtype=np.int64)
             np.add.at(sums, a, Xq)
             cnt = np.bincount(a, minlength=len(Cc))
@@ -629,8 +647,17 @@ def cluster_dendrogram_coarse(
         # sort by id: partition row order depends on upstream block
         # layout / CPU count, and both the leaf indices and the
         # positional skew-split below must be reproducible (the exact
-        # path sorts the collected table by id for the same reason)
-        g = g.sort_values(id_col, ignore_index=True)
+        # path sorts the collected table by id for the same reason).
+        # ids are not guaranteed unique, so break ties on an
+        # embedding-bytes hash — a plain (even stable) sort would leave
+        # dup-id rows in arrival order, which IS the layout
+        import hashlib as _hl
+
+        g = g.assign(_tb=[
+            _hl.md5(np.asarray(v, np.float64).tobytes()).hexdigest()
+            for v in g[emb_col]
+        ]).sort_values([id_col, "_tb"], ignore_index=True,
+                       kind="mergesort").drop(columns=["_tb"])
         cell = int(g["_cell"].iloc[0])
         tpath = top_paths.get(cell, [])
         out_chunks = []

@@ -144,3 +144,27 @@ def test_crash_mid_compaction_leaves_state_intact(tmp_path, ray_session):
     # a NEW tag still folds the stacked delta
     compact(table, tag="t2", policy="tiered")
     assert _state(table)["text"].to_pylist() == oracle["text"].to_pylist()
+
+
+def test_gc_watermark_rewrites_single_level_partitions(tmp_path,
+                                                       ray_session):
+    """A tombstone-GC watermark must fold partitions that are ALREADY at
+    one level — their below-watermark tombstones would otherwise be
+    retained forever with no signal."""
+    import ray.data as rd
+
+    table = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    apply_events(table, rd.from_arrow(synth.events_table(0, 3000)),
+                 epoch=0, mode="merge")  # merge mode -> 1 level/partition
+    assert all(len(p) == 1 for p in table.partition_map().values())
+    with_t = _state(table, include_tombstones=True)
+    dead = [r["lsn"] for r in with_t.to_pylist() if r["_deleted"]]
+    assert dead
+    watermark = max(dead) + 1            # GC every tombstone
+
+    compact(table, tag="gc1", drop_tombstones_below_lsn=watermark)
+    after = _state(table, include_tombstones=True)
+    assert not any(r["_deleted"] for r in after.to_pylist())
+    live_before = [r["url"] for r in with_t.to_pylist() if not r["_deleted"]]
+    live_after = [r["url"] for r in after.to_pylist() if not r["_deleted"]]
+    assert live_before == live_after

@@ -372,19 +372,25 @@ def test_minhash_exact_prefilter_tolerates_duplicate_ids(ray_session):
     assert out.num_rows <= 41
 
 
-def test_metadata_free_schema_caps_directory_footer_scan(tmp_path):
-    """Past 32 files the per-file driver-side footer check is skipped
-    (returns None -> Ray unification) rather than paying O(files)
-    startup latency on machine-written WAL/lake directories."""
+def test_metadata_free_schema_bounded_footer_scan(tmp_path):
+    """Past 32 files the per-file footer check verifies a head+tail
+    SAMPLE instead of O(files) — large pandas-written dirs (the 4x
+    schema-dedup wall this helper fixes) still get the strip, and a
+    schema divergence at either end still disables the force."""
     from docetl_ray.sources import _metadata_free_schema
 
     d = tmp_path / "many"
     d.mkdir()
     t = pa.Table.from_pandas(pd.DataFrame({"a": [1, 2]}))
-    for i in range(33):
+    for i in range(40):
         pq.write_table(t, str(d / f"f{i:03d}.parquet"))
+    s = _metadata_free_schema(str(d), None)
+    assert s is not None and s.metadata is None   # large dir still strips
+    # a divergent TAIL file (schema evolution) is caught by the sample
+    t2 = pa.Table.from_pandas(pd.DataFrame({"a": [1, 2], "b": ["x", "y"]}))
+    pq.write_table(t2, str(d / "f999.parquet"))
     assert _metadata_free_schema(str(d), None) is None
-    # under the cap the pandas-metadata strip still applies
+    # under 32 files the pandas-metadata strip applies with a full check
     few = tmp_path / "few"
     few.mkdir()
     for i in range(2):
