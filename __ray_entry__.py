@@ -2539,14 +2539,17 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE d AS (
               SELECT doc_id, text, doc_id & 63 AS blk FROM documents),
             adm AS (
-              SELECT DISTINCT a.blk
+              SELECT count(*) AS n
               FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
                    AND substr(a.text, 1, 4) = substr(b.text, 1, 4)),
             edges AS (
+              -- fallback-to-all-pairs is GLOBAL (reference
+              -- resolve.py:411-412): only when no pair is admitted
+              -- anywhere does every block compare all pairs
               SELECT a.doc_id AS u, b.doc_id AS v
               FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
               WHERE (substr(a.text, 1, 4) = substr(b.text, 1, 4)
-                     OR a.blk NOT IN (SELECT blk FROM adm))
+                     OR (SELECT n FROM adm) = 0)
                 AND ('0x' || substr(md5('Same?' || chr(10) || 'A: ' || a.text
                                         || chr(10) || 'B: ' || b.text), 1, 8))::UBIGINT
                     % 2 = 1),

@@ -494,9 +494,13 @@ def run_n50m():
     files = sorted(
         os.path.join(wal, f) for f in os.listdir(wal) if f.endswith(".parquet")
     )
+    # a small smoke config can have fewer WAL files than epochs; an
+    # empty segment would crash rd.read_parquet([]) mid-run
+    n_epochs = min(n_epochs, len(files))
     per = max(1, len(files) // n_epochs)
     segments = [files[i * per:(i + 1) * per] for i in range(n_epochs - 1)]
     segments.append(files[(n_epochs - 1) * per:])
+    segments = [s for s in segments if s]
 
     from docetl_ray.cdc import LakeTable, apply_events, read_state
 

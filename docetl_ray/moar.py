@@ -78,7 +78,8 @@ from typing import Any, Callable
 
 import pyarrow as pa
 
-from .optimizer import _chunk_ladder, _ntokens, _prompt_fields, build_chunk_plan
+from .optimizer import (_RAW_RE, _chunk_ladder, _ntokens, _prompt_fields,
+                        _sub_field_refs, build_chunk_plan)
 from .stages.llm import FakeDeterministicClient, LLMMapStage, render_prompt
 
 # ---------------------------------------------------------------------------
@@ -307,18 +308,14 @@ def _sim_groups(rows, op, reduce_fn):
 
 
 def _sim_llm_reduce(rows, op, client):
-    """Prompt-reduce simulation mirroring ``llm_reduce``'s plain and
-    incremental-fold call shapes (llm.py:473-523): one ``prompt`` call
-    per group, or sequential ``fold_prompt`` calls over
-    ``fold_batch_size`` batches threading the accumulated ``output``.
-    ``gleaning`` wraps every generation in the SAME validator loop the
-    Ray stage runs (``glean_loop``), so simulated token counts match."""
-    from .stages.llm import glean_loop
+    """Prompt-reduce simulation: executes the SAME per-group plan the
+    Ray stage runs — ``llm.make_reduce_group`` covers plain, incremental
+    fold, fold+merge-tree, ``scratchpad`` threading, and
+    ``value_sampling`` — so simulated call counts and token totals equal
+    the engine's by construction.  ``gleaning`` wraps every generation
+    in the same validator loop (``glean_loop``)."""
+    from .stages.llm import glean_loop, make_reduce_group
 
-    prompt = op["prompt"]
-    schema = op["output"]["schema"]
-    fold_prompt = op.get("fold_prompt")
-    fbs = op.get("fold_batch_size")
     gleaning = op.get("gleaning")
 
     def _complete(rendered, sch):
@@ -327,22 +324,23 @@ def _sim_llm_reduce(rows, op, client):
             out = glean_loop(client, rendered, out, sch, gleaning)
         return out
 
+    key = op.get("reduce_key", "_all")
+    keys = [] if key == "_all" else ([key] if isinstance(key, str)
+                                     else list(key))
+    reduce_group = make_reduce_group(
+        _complete, op["prompt"], op["output"]["schema"], keys,
+        fold_prompt=op.get("fold_prompt"),
+        fold_batch_size=op.get("fold_batch_size"),
+        merge_prompt=op.get("merge_prompt"),
+        merge_batch_size=op.get("merge_batch_size"),
+        scratchpad=op.get("scratchpad", False),
+        value_sampling=op.get("value_sampling"),
+        associative=op.get("associative", True),
+    )
+
     def reduce_fn(g, key_ctx):
-        if fold_prompt and fbs and fbs < len(g):
-            current = None
-            for i in range(0, len(g), fbs):
-                batch = g[i: i + fbs]
-                if current is None:
-                    ctx = {"inputs": batch, "reduce_key": key_ctx}
-                    current = _complete(render_prompt(prompt, ctx), schema)
-                else:
-                    ctx = {"inputs": batch, "output": current,
-                           "reduce_key": key_ctx}
-                    current = _complete(
-                        render_prompt(fold_prompt, ctx), schema)
-            return current
-        ctx = {"inputs": g, "reduce_key": key_ctx}
-        return _complete(render_prompt(prompt, ctx), schema)
+        out = reduce_group(g, key_ctx)
+        return {k: v for k, v in out.items() if k != "updated_scratchpad"}
 
     return _sim_groups(rows, op, reduce_fn)
 
@@ -431,23 +429,6 @@ def _doc_field(op: dict, sample_rows: list[dict]) -> str | None:
         _ntokens(str(r.get(f, ""))) for r in sample_rows))
 
 
-_RAW_RE = re.compile(r"\{%\s*raw\s*%\}.*?\{%\s*endraw\s*%\}", re.DOTALL)
-
-
-def _sub_field_refs(prompt: str, field: str, repl: str) -> str:
-    """Rewrite ``.{field}`` references to ``.{repl}`` OUTSIDE
-    ``{% raw %}`` regions only — raw blocks are quoted task text (e.g.
-    doc_chunking's combine prompt embeds the original map prompt there)
-    and must stay byte-identical."""
-    out, pos = [], 0
-    for m in _RAW_RE.finditer(prompt):
-        out.append(re.sub(r"\.(\s*)%s\b" % re.escape(field),
-                          r".\1" + repl, prompt[pos:m.start()]))
-        out.append(m.group(0))
-        pos = m.end()
-    out.append(re.sub(r"\.(\s*)%s\b" % re.escape(field),
-                      r".\1" + repl, prompt[pos:]))
-    return "".join(out)
 
 
 def _reduce_doc_field(op: dict, ctx: "SearchContext") -> str | None:
@@ -656,7 +637,7 @@ def _chunk_rungs(split_key: str,
     pick from the same ladder): the largest budget-fitting rung plus a
     mid-ladder alternative, the sampled p90 doc tokens, and whether p90
     overflows the 0.75×token-limit budget (the accuracy-delta signal)."""
-    counts = sorted(_ntokens(str(r.get(split_key, "")))
+    counts = sorted(_ntokens(str(r.get(split_key) or ""))
                     for r in ctx.sample_rows) or [0]
     p90 = counts[min(len(counts) - 1, int(0.9 * (len(counts) - 1)))]
     budget = int(ctx.token_limit * 0.75)

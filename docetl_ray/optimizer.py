@@ -167,6 +167,27 @@ def find_optimal_threshold(
     return best, (n_pos / len(labels))
 
 
+_RAW_RE = re.compile(r"\{%\s*raw\s*%\}.*?\{%\s*endraw\s*%\}", re.DOTALL)
+
+
+def _sub_field_refs(prompt: str, field: str, repl: str) -> str:
+    """Rewrite ``.{field}`` references to ``.{repl}`` OUTSIDE
+    ``{% raw %}`` regions only — raw blocks are quoted task text (e.g.
+    doc_chunking's combine prompt embeds the original map prompt there)
+    and must stay byte-identical.  The ``\\b`` word boundary keeps a
+    reference to ``input.text_summary`` intact when ``field`` is
+    ``text``; a plain substring replace would corrupt it."""
+    out, pos = [], 0
+    for m in _RAW_RE.finditer(prompt):
+        out.append(re.sub(r"\.(\s*)%s\b" % re.escape(field),
+                          r".\1" + repl, prompt[pos:m.start()]))
+        out.append(m.group(0))
+        pos = m.end()
+    out.append(re.sub(r"\.(\s*)%s\b" % re.escape(field),
+                      r".\1" + repl, prompt[pos:]))
+    return "".join(out)
+
+
 def build_chunk_plan(op: dict, split_key: str, chunk_tokens: int,
                      note: dict | None = None) -> list[dict]:
     """Expand a prompt map into the reference's chunked plan shape —
@@ -181,7 +202,7 @@ def build_chunk_plan(op: dict, split_key: str, chunk_tokens: int,
     doc_id = f"{split_name}_id"
     order = f"{split_name}_chunk_num"
     rendered = f"{content}_rendered"
-    sub_prompt = prompt.replace(f"input.{split_key}", f"input.{rendered}")
+    sub_prompt = _sub_field_refs(prompt, split_key, rendered)
     schema = op["output"]["schema"]
     combine_prompt = (
         "The original task, applied per chunk of a long document, "
@@ -298,7 +319,9 @@ class Optimizer:
             fields,
             key=lambda f: sum(_ntokens(str(r.get(f, ""))) for r in rows),
         )
-        counts = sorted(_ntokens(str(r.get(split_key, ""))) for r in rows)
+        # `or ""`: a present-but-NULL document must count 0 tokens (as
+        # the DuckDB oracle's coalesce(text,'') does), not 1 for 'None'
+        counts = sorted(_ntokens(str(r.get(split_key) or "")) for r in rows)
         p90 = counts[min(len(counts) - 1, int(0.9 * (len(counts) - 1)))]
         budget = int(self.token_limit * 0.75)
         if p90 <= budget:
@@ -443,6 +466,12 @@ class Optimizer:
                 "sample_size": int(max_batch) * 10,
             }
             note["value_sampling"] = "enabled"
+        # every rewrite path carries an explicit decision (the map path
+        # sets chunked/unchanged); a resolve-only rewrite or a pure
+        # analysis pass must be distinguishable without parsing the chain
+        note.setdefault(
+            "decision", "synthesized_resolve" if chain else "unchanged"
+        )
         op["_optimizer"] = note
         return chain + [op]
 

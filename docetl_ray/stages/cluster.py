@@ -254,19 +254,21 @@ def cluster_dendrogram(
     if coarse:
         # count BEFORE collecting: the whole point of the coarse path is
         # that an over-cap corpus never lands on the driver.  Materialize
-        # first — the count is a full execution either way, and the
-        # coarse path re-reads the input ~kmeans_iters+2 more times
-        # (seeding, each Lloyd pass, the final assign), which would
-        # otherwise re-execute the whole upstream pipeline per pass;
-        # cached blocks live in the object store and spill, never on
-        # the driver
-        ds = ds.materialize()
-        if ds.count() > max_driver_rows:
+        # only the two-column PROJECTION — the coarse path's seed +
+        # Lloyd passes re-read id/emb ~kmeans_iters+1 times and would
+        # otherwise re-execute the whole upstream pipeline per pass, but
+        # pinning payload columns (text etc.) just to count rows is a
+        # full extra copy of the corpus in the object store
+        slim = ds.select_columns([id_col, emb_col]).materialize()
+        if slim.count() > max_driver_rows:
             return cluster_dendrogram_coarse(
                 ds, emb_col, id_col, collapse=collapse,
                 output_key=output_key, max_driver_rows=max_driver_rows,
+                _slim=slim,
             )
-    small = collect_small(ds.select_columns([id_col, emb_col]))
+        small = collect_small(slim)
+    else:
+        small = collect_small(ds.select_columns([id_col, emb_col]))
     if small.num_rows > max_driver_rows:
         raise ValueError(
             f"cluster_dendrogram: {small.num_rows} rows > max_driver_rows="
@@ -394,6 +396,18 @@ def cluster_threshold(
 # Coarse (distributed) dendrogram above the driver cap
 # ---------------------------------------------------------------------------
 
+def _emb_tiebreak(values) -> list[str]:
+    """md5-of-embedding-bytes used to break dup-id ties layout-
+    independently (ids are not guaranteed unique; arrival order IS the
+    layout).  Both seed sampling and the per-cell dendrogram sort with
+    THIS hash — sharing one implementation keeps them byte-identical,
+    which the hierarchy's layout-independence guarantee relies on."""
+    import hashlib
+
+    return [hashlib.md5(np.asarray(v, np.float64).tobytes()).hexdigest()
+            for v in values]
+
+
 def _emb_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     """(n, dim) float64 view of a list<float> column (one combine, one
     flatten — no per-row Python)."""
@@ -418,6 +432,7 @@ def kmeans_cells(
     iters: int = 8,
     sample_rows: int = 4096,
     cell_col: str = "_cell",
+    _slim=None,
 ):
     """Distributed Lloyd k-means into ``num_cells`` coarse cells.
 
@@ -434,8 +449,13 @@ def kmeans_cells(
     path the dendrogram cap routes to."""
     from .util_ray import closure_broadcast, collect_small, hash_codes
 
+    # seed + Lloyd passes touch only (id, emb): run them over a cached
+    # projection so payload columns are never pinned or re-computed;
+    # only the final assign streams the full-width table (once)
+    slim = _slim if _slim is not None \
+        else ds.select_columns([id_col, emb_col]).materialize()
     want = max(sample_rows, num_cells)
-    n = ds.count()
+    n = slim.count()
     frac = 1.0 if n <= want else min(1.0, 4.0 * want / n)
     while True:
         thr = (np.uint64(0xFFFFFFFFFFFFFFFF) if frac >= 1.0
@@ -446,15 +466,10 @@ def kmeans_cells(
             mask = h <= thr
             t = batch.filter(pa.array(mask))
             # ids are not guaranteed unique (dedup.py documents
-            # last-wins on dup ids); an embedding-bytes hash breaks
-            # (h, id) ties layout-independently so the seed ORDER never
-            # depends on which block a dup-id row arrived in
-            import hashlib as _hl
-
-            eh = [
-                _hl.md5(np.asarray(v, np.float64).tobytes()).hexdigest()
-                for v in t[emb_col].to_pylist()
-            ]
+            # last-wins on dup ids); the shared embedding-bytes hash
+            # breaks (h, id) ties layout-independently so the seed ORDER
+            # never depends on which block a dup-id row arrived in
+            eh = _emb_tiebreak(t[emb_col].to_pylist())
             return pa.table({
                 "_h": pa.array(h[mask], pa.uint64()),
                 "_sid": t[id_col],
@@ -463,7 +478,7 @@ def kmeans_cells(
             })
 
         pick_seeds.__name__ = "kmeans_seed_sample"
-        cand = collect_small(ds.map_batches(pick_seeds, batch_format="pyarrow"))
+        cand = collect_small(slim.map_batches(pick_seeds, batch_format="pyarrow"))
         if cand.num_rows >= min(want, n) or frac >= 1.0:
             break
         frac = min(1.0, frac * 8.0)
@@ -533,7 +548,7 @@ def kmeans_cells(
     for _ in range(iters):
         get_c = closure_broadcast(C)
         part = collect_small(
-            ds.map_batches(partials_fn(get_c), batch_format="pyarrow")
+            slim.map_batches(partials_fn(get_c), batch_format="pyarrow")
         )
         cells = part["cell"].to_numpy()
         cnts = part["cnt"].to_numpy()
@@ -581,6 +596,7 @@ def cluster_dendrogram_coarse(
     max_driver_rows: int = 10_000,
     num_cells: int | None = None,
     kmeans_iters: int = 8,
+    _slim=None,
 ):
     """Dendrogram past the driver cap: distributed k-means into ~sqrt(n)
     coarse cells, an EXACT per-cell dendrogram inside each cell (one
@@ -601,10 +617,13 @@ def cluster_dendrogram_coarse(
 
     from .grouped import grouped_map
 
-    # k-means + the final assign re-read the input kmeans_iters+2 times;
-    # cache the blocks once (object store, spills — never the driver)
-    ds = ds.materialize()
-    n = ds.count()
+    # the seed + Lloyd passes re-read id/emb kmeans_iters+1 times: cache
+    # the two-column projection once (object store, spills — never the
+    # driver).  The full-width table streams through exactly ONCE, at
+    # the final assign — payload columns are never pinned.
+    slim = _slim if _slim is not None \
+        else ds.select_columns([id_col, emb_col]).materialize()
+    n = slim.count()
     if n <= max_driver_rows:
         return cluster_dendrogram(
             ds, emb_col, id_col, collapse=collapse, output_key=output_key,
@@ -628,7 +647,8 @@ def cluster_dendrogram_coarse(
         )
 
     centroids, assigned = kmeans_cells(
-        ds, emb_col, id_col, num_cells=num_cells, iters=kmeans_iters
+        ds, emb_col, id_col, num_cells=num_cells, iters=kmeans_iters,
+        _slim=slim,
     )
     # top-of-hierarchy tree over the cell centroids (driver, k rows)
     cell_ids = [f"cell{i}" for i in range(len(centroids))]
@@ -648,16 +668,12 @@ def cluster_dendrogram_coarse(
         # layout / CPU count, and both the leaf indices and the
         # positional skew-split below must be reproducible (the exact
         # path sorts the collected table by id for the same reason).
-        # ids are not guaranteed unique, so break ties on an
+        # ids are not guaranteed unique, so break ties on the shared
         # embedding-bytes hash — a plain (even stable) sort would leave
         # dup-id rows in arrival order, which IS the layout
-        import hashlib as _hl
-
-        g = g.assign(_tb=[
-            _hl.md5(np.asarray(v, np.float64).tobytes()).hexdigest()
-            for v in g[emb_col]
-        ]).sort_values([id_col, "_tb"], ignore_index=True,
-                       kind="mergesort").drop(columns=["_tb"])
+        g = g.assign(_tb=_emb_tiebreak(g[emb_col])) \
+             .sort_values([id_col, "_tb"], ignore_index=True,
+                          kind="mergesort").drop(columns=["_tb"])
         cell = int(g["_cell"].iloc[0])
         tpath = top_paths.get(cell, [])
         out_chunks = []

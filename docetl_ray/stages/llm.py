@@ -439,6 +439,76 @@ def _value_sample(rows: list[dict], cfg: dict, keys: list[str]) -> list[dict]:
     )
 
 
+def make_reduce_group(complete, prompt: str, output_schema: dict,
+                      keys: list, *, fold_prompt: str | None = None,
+                      fold_batch_size: int | None = None,
+                      merge_prompt: str | None = None,
+                      merge_batch_size: int | None = None,
+                      scratchpad: bool = False,
+                      value_sampling: dict | None = None,
+                      associative: bool = True):
+    """Per-group reduce plan (plain / fold / fold+merge-tree /
+    scratchpad / value_sampling — reduce.py:324-699) shared byte-exact
+    by the Ray stage (``llm_reduce``) and the MOAR plan simulator
+    (``moar._sim_llm_reduce``): both execute THIS function, so the
+    simulator's call count and token totals equal the engine's by
+    construction.  ``complete(rendered, schema) -> dict`` supplies the
+    client (and any gleaning loop); the returned callable maps
+    ``(rows, key_ctx) -> dict`` and may include ``updated_scratchpad``,
+    which callers strip from the final output."""
+
+    def _batch_reduce(rows, key_ctx, pad=None):
+        schema = dict(output_schema)
+        ctx = {"inputs": rows, "reduce_key": key_ctx}
+        if pad is not None:
+            schema["updated_scratchpad"] = "str"
+            ctx["scratchpad"] = pad
+        return complete(render_prompt(prompt, ctx), schema)
+
+    def _fold(rows, current, key_ctx, pad=None):
+        if current is None:
+            return _batch_reduce(rows, key_ctx, pad)
+        schema = dict(output_schema)
+        ctx = {"inputs": rows, "output": current, "reduce_key": key_ctx}
+        if pad is not None:
+            schema["updated_scratchpad"] = "str"
+            ctx["scratchpad"] = pad
+        return complete(render_prompt(fold_prompt, ctx), schema)
+
+    def _merge(outputs, key_ctx):
+        ctx = {"outputs": outputs, "reduce_key": key_ctx}
+        return complete(render_prompt(merge_prompt, ctx), output_schema)
+
+    def _reduce_group(rows, key_ctx) -> dict:
+        sampled = _value_sample(rows, value_sampling, keys)
+        if merge_prompt and associative and fold_batch_size:
+            # fold each batch independently, then merge-tree the outputs
+            folds = [
+                _batch_reduce(sampled[i : i + fold_batch_size], key_ctx)
+                for i in range(0, len(sampled), fold_batch_size)
+            ]
+            mb = merge_batch_size or 2
+            while len(folds) > 1:
+                folds = [
+                    _merge(folds[i : i + mb], key_ctx)
+                    for i in range(0, len(folds), mb)
+                ]
+            return folds[0]
+        if fold_batch_size and fold_batch_size >= len(sampled):
+            return _batch_reduce(sampled, key_ctx)  # reduce.py:328-334
+        if fold_prompt and fold_batch_size:
+            current, pad = None, ("" if scratchpad else None)
+            for i in range(0, len(sampled), fold_batch_size):
+                out = _fold(sampled[i : i + fold_batch_size], current, key_ctx, pad)
+                if scratchpad and "updated_scratchpad" in out:
+                    pad = out.pop("updated_scratchpad")  # reduce.py:686-693
+                current = out
+            return current if current is not None else {}
+        return _batch_reduce(sampled, key_ctx)
+
+    return _reduce_group
+
+
 def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
                client_factory=None, pass_through: bool = False,
                fold_prompt: str | None = None, fold_batch_size: int | None = None,
@@ -490,54 +560,13 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
             out = glean_loop(_client(), rendered, out, schema, gleaning)
         return out
 
-    def _batch_reduce(rows, key_ctx, pad=None):
-        schema = dict(output_schema)
-        ctx = {"inputs": rows, "reduce_key": key_ctx}
-        if pad is not None:
-            schema["updated_scratchpad"] = "str"
-            ctx["scratchpad"] = pad
-        return _complete(render_prompt(prompt, ctx), schema)
-
-    def _fold(rows, current, key_ctx, pad=None):
-        if current is None:
-            return _batch_reduce(rows, key_ctx, pad)
-        schema = dict(output_schema)
-        ctx = {"inputs": rows, "output": current, "reduce_key": key_ctx}
-        if pad is not None:
-            schema["updated_scratchpad"] = "str"
-            ctx["scratchpad"] = pad
-        return _complete(render_prompt(fold_prompt, ctx), schema)
-
-    def _merge(outputs, key_ctx):
-        ctx = {"outputs": outputs, "reduce_key": key_ctx}
-        return _complete(render_prompt(merge_prompt, ctx), output_schema)
-
-    def _reduce_group(rows, key_ctx) -> dict:
-        sampled = _value_sample(rows, value_sampling, keys)
-        if merge_prompt and associative and fold_batch_size:
-            # fold each batch independently, then merge-tree the outputs
-            folds = [
-                _batch_reduce(sampled[i : i + fold_batch_size], key_ctx)
-                for i in range(0, len(sampled), fold_batch_size)
-            ]
-            mb = merge_batch_size or 2
-            while len(folds) > 1:
-                folds = [
-                    _merge(folds[i : i + mb], key_ctx)
-                    for i in range(0, len(folds), mb)
-                ]
-            return folds[0]
-        if fold_batch_size and fold_batch_size >= len(sampled):
-            return _batch_reduce(sampled, key_ctx)  # reduce.py:328-334
-        if fold_prompt and fold_batch_size:
-            current, pad = None, ("" if scratchpad else None)
-            for i in range(0, len(sampled), fold_batch_size):
-                out = _fold(sampled[i : i + fold_batch_size], current, key_ctx, pad)
-                if scratchpad and "updated_scratchpad" in out:
-                    pad = out.pop("updated_scratchpad")  # reduce.py:686-693
-                current = out
-            return current if current is not None else {}
-        return _batch_reduce(sampled, key_ctx)
+    _reduce_group = make_reduce_group(
+        _complete, prompt, output_schema, keys,
+        fold_prompt=fold_prompt, fold_batch_size=fold_batch_size,
+        merge_prompt=merge_prompt, merge_batch_size=merge_batch_size,
+        scratchpad=scratchpad, value_sampling=value_sampling,
+        associative=associative,
+    )
 
     def fn(group: pa.Table) -> pa.Table:
         rows = group.to_pylist()

@@ -337,10 +337,10 @@ def llm_resolve(
        ``_safe_eval`` (no builtins), and skipped pairs do not consume
        the comparison budget (matching the reference, which filters
        blocked pairs before capping).  When no condition admits ANY
-       pair in a block, ALL of that block's pairs are compared
-       (reference ``resolve.py:411-412`` falls back to the full pair
-       set; scoped per block here since the blocking key already
-       partitions the pair space).
+       pair GLOBALLY, all pairs within every block are compared
+       (reference ``resolve.py:411-412`` — a misconfiguration guard;
+       a sparse block with zero admitted pairs while other blocks
+       admit some legitimately compares nothing).
     2. per multi-row cluster: ``resolution_prompt`` rendered with the
        cluster ``inputs``; the output-schema keys are merged over EVERY
        cluster row, and overwritten keys' prior values are preserved
@@ -364,42 +364,62 @@ def llm_resolve(
         [blocking_col] if isinstance(blocking_col, str) else list(blocking_col)
     )
 
-    def compare_block(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
-        n = len(g)
-        rows = g.to_dict("records")
-        client = (client_factory or FakeDeterministicClient)()
-        uf = _UnionFind(n)
-        pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
-        if blocking_conditions:
-            admitted = [
-                (i, j)
-                for (i, j) in pairs
-                if any(
-                    _safe_eval(c, {"input1": rows[i], "input2": rows[j]})
-                    for c in blocking_conditions
+    def _make_compare_block(use_conditions: bool):
+        def compare_block(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+            n = len(g)
+            rows = g.to_dict("records")
+            client = (client_factory or FakeDeterministicClient)()
+            uf = _UnionFind(n)
+            pairs = [(i, j) for i in range(n) for j in range(i + 1, n)]
+            n_adm = -1
+            if use_conditions:
+                pairs = [
+                    (i, j)
+                    for (i, j) in pairs
+                    if any(
+                        _safe_eval(c, {"input1": rows[i], "input2": rows[j]})
+                        for c in blocking_conditions
+                    )
+                ]
+                n_adm = len(pairs)
+            if limit_comparisons is not None:
+                pairs = pairs[:limit_comparisons]
+            for i, j in pairs:
+                rendered = render_prompt(
+                    comparison_prompt, {"input1": rows[i], "input2": rows[j]}
                 )
-            ]
-            # reference resolve.py:411-412: when no blocker admits ANY
-            # pair, fall back to comparing all pairs (here: within this
-            # block — the reference has no hard blocking key, so its
-            # "all comparison pairs" is this block's pair set)
-            pairs = admitted or pairs
-        if limit_comparisons is not None:
-            pairs = pairs[:limit_comparisons]
-        for i, j in pairs:
-            rendered = render_prompt(
-                comparison_prompt, {"input1": rows[i], "input2": rows[j]}
+                if client.complete(rendered, {"is_match": "bool"}).get(
+                    "is_match"
+                ):
+                    uf.union(i, j)
+            ids = g[id_col].to_numpy()
+            out = pd.DataFrame(
+                {id_col: ids, "_canonical": ids[[uf.find(i) for i in range(n)]]}
             )
-            if client.complete(rendered, {"is_match": "bool"}).get("is_match"):
-                uf.union(i, j)
-        ids = g[id_col].to_numpy()
-        return pd.DataFrame(
-            {id_col: ids, "_canonical": ids[[uf.find(i) for i in range(n)]]}
-        )
+            if use_conditions:
+                out["_n_adm"] = n_adm
+            return out
 
-    compare_block.__name__ = "llm_resolve_compare"
-    labels = grouped_map(ds, blocking_cols, compare_block)
+        compare_block.__name__ = "llm_resolve_compare"
+        return compare_block
+
+    if blocking_conditions:
+        # reference resolve.py:411-412: the fall-back-to-all-pairs is a
+        # GLOBAL misconfiguration guard — it fires only when no blocker
+        # admits any pair anywhere, never per block (a sparse block with
+        # zero admitted pairs legitimately compares nothing).  The
+        # filtered pass records each block's admitted-pair count; only
+        # if the global total is zero does a second all-pairs pass run.
+        labels = grouped_map(
+            ds, blocking_cols, _make_compare_block(True)
+        ).materialize()
+        if not labels.sum("_n_adm"):
+            labels = grouped_map(ds, blocking_cols, _make_compare_block(False))
+        else:
+            labels = labels.drop_columns(["_n_adm"])
+    else:
+        labels = grouped_map(ds, blocking_cols, _make_compare_block(False))
 
     # route the canonical label back onto the rows (keyed-shuffle join),
     # then run the per-cluster resolution in a second grouped exchange

@@ -132,6 +132,79 @@ def test_simulate_reduce_plain_and_fold():
     assert len(fold.rows) == 2
 
 
+def test_simulate_reduce_merge_tree_and_scratchpad_match_engine(ray_session):
+    """Reduce features beyond the sequential fold — merge_prompt's
+    fold+merge tree, scratchpad threading, value_sampling — must
+    simulate with the ENGINE's per-group plan (shared make_reduce_group),
+    not a silently-simplified one: same rows and same call count as the
+    real llm_reduce run through PipelineRunner."""
+    from docetl_ray.moar import ModelSeededClient
+
+    rows = [{"g": i % 2, "v": i, "text": f"doc {i} " + "w " * i}
+            for i in range(12)]
+    op = {"name": "r", "type": "reduce", "reduce_key": "g",
+          "prompt": "Summarize {{ inputs | length }} items",
+          "fold_batch_size": 2, "merge_batch_size": 2,
+          "merge_prompt": "Merge {{ outputs | length }} outputs",
+          "value_sampling": {"enabled": True, "method": "random",
+                             "sample_size": 4},
+          "output": {"schema": {"summary": "str"}}}
+    sim = simulate_plan([op], rows)
+    # 2 groups x (ceil(4/2)=2 batch folds + 1 merge) = 6 calls; the old
+    # simulator would bill the full 6-row group (3 folds, no merge)
+    assert sim.calls == 6
+
+    # engine side: the real llm_reduce with a call-counting seeded client
+    import ray
+    import ray.data as rd
+
+    from docetl_ray.stages.llm import llm_reduce
+
+    @ray.remote
+    class CallCounter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    counter = CallCounter.remote()
+
+    class CountingClient(ModelSeededClient):
+        def __init__(self):
+            super().__init__("det-large")
+
+        def complete(self, prompt, schema):
+            ray.get(counter.add.remote(1))
+            return super().complete(prompt, schema)
+
+    out = llm_reduce(
+        rd.from_items(rows), "g", op["prompt"], op["output"]["schema"],
+        client_factory=CountingClient,
+        fold_batch_size=2, merge_batch_size=2,
+        merge_prompt=op["merge_prompt"],
+        value_sampling=op["value_sampling"],
+    )
+    got = sorted(out.take_all(), key=lambda r: r["g"])
+    want = sorted(sim.rows, key=lambda r: r["g"])
+    for g, w in zip(got, want):
+        assert {k: g[k] for k in w} == w
+    assert ray.get(counter.get.remote()) == sim.calls
+
+    # scratchpad changes the fold schema (extra updated_scratchpad
+    # tokens) — simulated token totals must track it
+    pad_op = dict(op, scratchpad=True,
+                  fold_prompt="Fold {{ inputs | length }} "
+                              "(pad: {{ scratchpad }}) into {{ output }}")
+    pad_op.pop("merge_prompt")
+    sim_pad = simulate_plan([pad_op], rows)
+    assert sim_pad.calls == 4  # 2 groups x 2 sequential folds of the 4 sampled
+    assert all("updated_scratchpad" not in r for r in sim_pad.rows)
+
+
 def test_simulate_unsupported_op_raises():
     with pytest.raises(ValueError):
         simulate_plan([{"name": "x", "type": "rank"}], _rows(3))

@@ -15,19 +15,25 @@ def _collect(ds) -> pa.Table:
         else pa.table({})
 
 
-def test_llm_resolve_no_admitted_pairs_falls_back_to_all(ray_session):
-    """When no blocking condition admits ANY pair in a block, ALL pairs
-    are compared (reference resolve.py:411-412) — blocks with at least
-    one admitted pair keep the filtered behavior."""
+def test_llm_resolve_fallback_is_global_not_per_block(ray_session):
+    """The fall-back-to-all-pairs fires only when NO blocking condition
+    admits any pair GLOBALLY (reference resolve.py:411-412 — a
+    misconfiguration guard).  A sparse block with zero admitted pairs,
+    while another block admits some, compares nothing."""
     from docetl_ray.stages.resolve import llm_resolve
 
+    class AlwaysMatch:
+        model = "always"
+
+        def complete(self, prompt, schema):
+            return {"is_match": True}
+
     rows = [
-        # block x: no pair shares a 4-char prefix -> fallback, all merge
+        # block x: no pair shares a 4-char prefix -> zero admitted
         {"eid": 1, "blk": "x", "text": "aaaa one"},
         {"eid": 2, "blk": "x", "text": "bbbb two"},
         {"eid": 3, "blk": "x", "text": "cccc three"},
-        # block y: one admitted pair (4,5); 6 stays out despite the
-        # always-match client because y does NOT fall back
+        # block y: one admitted pair (4,5)
         {"eid": 4, "blk": "y", "text": "dddd one"},
         {"eid": 5, "blk": "y", "text": "dddd two"},
         {"eid": 6, "blk": "y", "text": "eeee three"},
@@ -37,12 +43,7 @@ def test_llm_resolve_no_admitted_pairs_falls_back_to_all(ray_session):
         batch_format="pyarrow",
     )
 
-    class AlwaysMatch:
-        model = "always"
-
-        def complete(self, prompt, schema):
-            return {"is_match": True}
-
+    # some pair admitted globally: block x must NOT fall back
     out = _collect(llm_resolve(
         ds, blocking_col="blk", id_col="eid",
         comparison_prompt="{{ input1.text }} vs {{ input2.text }}",
@@ -50,7 +51,18 @@ def test_llm_resolve_no_admitted_pairs_falls_back_to_all(ray_session):
         blocking_conditions=['input1["text"][:4] == input2["text"][:4]'],
     ))
     canon = dict(zip(out["eid"].to_pylist(), out["_canonical"].to_pylist()))
-    assert canon == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+    assert canon == {1: 1, 2: 2, 3: 3, 4: 4, 5: 4, 6: 6}
+
+    # zero pairs admitted anywhere: the guard fires, every block
+    # compares all of its pairs
+    out2 = _collect(llm_resolve(
+        ds, blocking_col="blk", id_col="eid",
+        comparison_prompt="{{ input1.text }} vs {{ input2.text }}",
+        client_factory=AlwaysMatch,
+        blocking_conditions=['input1["text"][:9] == input2["text"][:9]'],
+    ))
+    canon2 = dict(zip(out2["eid"].to_pylist(), out2["_canonical"].to_pylist()))
+    assert canon2 == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
 
 
 def test_combine_partials_all_empty_count_is_int64():
