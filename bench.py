@@ -496,6 +496,8 @@ def run_n50m():
     )
     # a small smoke config can have fewer WAL files than epochs; an
     # empty segment would crash rd.read_parquet([]) mid-run
+    if not files:
+        raise RuntimeError(f"run_n50m: no WAL parquet files under {wal}")
     n_epochs = min(n_epochs, len(files))
     per = max(1, len(files) // n_epochs)
     segments = [files[i * per:(i + 1) * per] for i in range(n_epochs - 1)]

@@ -79,7 +79,7 @@ from typing import Any, Callable
 import pyarrow as pa
 
 from .optimizer import (_RAW_RE, _chunk_ladder, _ntokens, _prompt_fields,
-                        _sub_field_refs, build_chunk_plan)
+                        _sub_field_refs, _tok_str, build_chunk_plan)
 from .stages.llm import FakeDeterministicClient, LLMMapStage, render_prompt
 
 # ---------------------------------------------------------------------------
@@ -324,11 +324,8 @@ def _sim_llm_reduce(rows, op, client):
             out = glean_loop(client, rendered, out, sch, gleaning)
         return out
 
-    key = op.get("reduce_key", "_all")
-    keys = [] if key == "_all" else ([key] if isinstance(key, str)
-                                     else list(key))
     reduce_group = make_reduce_group(
-        _complete, op["prompt"], op["output"]["schema"], keys,
+        _complete, op["prompt"], op["output"]["schema"],
         fold_prompt=op.get("fold_prompt"),
         fold_batch_size=op.get("fold_batch_size"),
         merge_prompt=op.get("merge_prompt"),
@@ -426,7 +423,7 @@ def _doc_field(op: dict, sample_rows: list[dict]) -> str | None:
     if not fields:
         return None
     return max(fields, key=lambda f: sum(
-        _ntokens(str(r.get(f, ""))) for r in sample_rows))
+        _ntokens(_tok_str(r.get(f))) for r in sample_rows))
 
 
 
@@ -447,7 +444,7 @@ def _reduce_doc_field(op: dict, ctx: "SearchContext") -> str | None:
     if not fields:
         return None
     return max(fields, key=lambda f: sum(
-        _ntokens(str(r.get(f, ""))) for r in ctx.sample_rows))
+        _ntokens(_tok_str(r.get(f))) for r in ctx.sample_rows))
 
 
 class MoarDirective:
@@ -637,7 +634,7 @@ def _chunk_rungs(split_key: str,
     pick from the same ladder): the largest budget-fitting rung plus a
     mid-ladder alternative, the sampled p90 doc tokens, and whether p90
     overflows the 0.75×token-limit budget (the accuracy-delta signal)."""
-    counts = sorted(_ntokens(str(r.get(split_key) or ""))
+    counts = sorted(_ntokens(_tok_str(r.get(split_key)))
                     for r in ctx.sample_rows) or [0]
     p90 = counts[min(len(counts) - 1, int(0.9 * (len(counts) - 1)))]
     budget = int(ctx.token_limit * 0.75)

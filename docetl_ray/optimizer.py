@@ -81,6 +81,14 @@ def _ntokens(s: str) -> int:
     return len(_TOKEN_RE.findall(s or ""))
 
 
+def _tok_str(v) -> str:
+    """Render a sampled value for token counting: NULL counts zero
+    tokens (the oracle's ``coalesce(text, '')``), everything else counts
+    its rendered text — ``str(r.get(k) or "")`` would also swallow falsy
+    0/False, which the engine's prompt renders as ``'0'``/``'False'``."""
+    return "" if v is None else str(v)
+
+
 def _prompt_fields(template: str) -> list[str]:
     """Field names a prompt template references (reference
     ``extract_jinja_variables``, ``reduce_optimizer.py:1306-1309``)."""
@@ -170,21 +178,35 @@ def find_optimal_threshold(
 _RAW_RE = re.compile(r"\{%\s*raw\s*%\}.*?\{%\s*endraw\s*%\}", re.DOTALL)
 
 
-def _sub_field_refs(prompt: str, field: str, repl: str) -> str:
+def _sub_field_refs(prompt: str, field: str, repl: str,
+                    var: str | None = None) -> str:
     """Rewrite ``.{field}`` references to ``.{repl}`` OUTSIDE
     ``{% raw %}`` regions only — raw blocks are quoted task text (e.g.
     doc_chunking's combine prompt embeds the original map prompt there)
     and must stay byte-identical.  The ``\\b`` word boundary keeps a
     reference to ``input.text_summary`` intact when ``field`` is
-    ``text``; a plain substring replace would corrupt it."""
+    ``text``; a plain substring replace would corrupt it.
+
+    With ``var`` the rewrite is anchored to that variable only
+    (``var="input"`` rewrites ``input.text`` but leaves a loop var's
+    ``c.text`` and a nested ``input.meta.text`` alone — only the
+    top-level column is renamed by a split/gather plan).  Without it,
+    ``.{field}`` after ANY variable rewrites — the reduce-prompt case,
+    where rows are reached through an arbitrary loop variable
+    (``{% for item in inputs %}{{ item.text }}``)."""
+    if var is not None:
+        pat = re.compile(r"\b%s(\s*\.\s*)%s\b" % (re.escape(var),
+                                                  re.escape(field)))
+        sub = lambda s: pat.sub(lambda m: var + m.group(1) + repl, s)  # noqa: E731
+    else:
+        pat = re.compile(r"\.(\s*)%s\b" % re.escape(field))
+        sub = lambda s: pat.sub(lambda m: "." + m.group(1) + repl, s)  # noqa: E731
     out, pos = [], 0
     for m in _RAW_RE.finditer(prompt):
-        out.append(re.sub(r"\.(\s*)%s\b" % re.escape(field),
-                          r".\1" + repl, prompt[pos:m.start()]))
+        out.append(sub(prompt[pos:m.start()]))
         out.append(m.group(0))
         pos = m.end()
-    out.append(re.sub(r"\.(\s*)%s\b" % re.escape(field),
-                      r".\1" + repl, prompt[pos:]))
+    out.append(sub(prompt[pos:]))
     return "".join(out)
 
 
@@ -202,7 +224,7 @@ def build_chunk_plan(op: dict, split_key: str, chunk_tokens: int,
     doc_id = f"{split_name}_id"
     order = f"{split_name}_chunk_num"
     rendered = f"{content}_rendered"
-    sub_prompt = _sub_field_refs(prompt, split_key, rendered)
+    sub_prompt = _sub_field_refs(prompt, split_key, rendered, var="input")
     schema = op["output"]["schema"]
     combine_prompt = (
         "The original task, applied per chunk of a long document, "
@@ -317,11 +339,9 @@ class Optimizer:
         # the split key is the referenced field carrying the most tokens
         split_key = max(
             fields,
-            key=lambda f: sum(_ntokens(str(r.get(f, ""))) for r in rows),
+            key=lambda f: sum(_ntokens(_tok_str(r.get(f))) for r in rows),
         )
-        # `or ""`: a present-but-NULL document must count 0 tokens (as
-        # the DuckDB oracle's coalesce(text,'') does), not 1 for 'None'
-        counts = sorted(_ntokens(str(r.get(split_key) or "")) for r in rows)
+        counts = sorted(_ntokens(_tok_str(r.get(split_key))) for r in rows)
         p90 = counts[min(len(counts) - 1, int(0.9 * (len(counts) - 1)))]
         budget = int(self.token_limit * 0.75)
         if p90 <= budget:
@@ -467,10 +487,14 @@ class Optimizer:
             }
             note["value_sampling"] = "enabled"
         # every rewrite path carries an explicit decision (the map path
-        # sets chunked/unchanged); a resolve-only rewrite or a pure
-        # analysis pass must be distinguishable without parsing the chain
+        # sets chunked/unchanged); a resolve-only or sampling-only
+        # rewrite must be distinguishable without parsing the chain —
+        # "unchanged" is reserved for a genuinely untouched op
         note.setdefault(
-            "decision", "synthesized_resolve" if chain else "unchanged"
+            "decision",
+            "synthesized_resolve" if chain
+            else ("value_sampling" if "value_sampling" in note
+                  else "unchanged"),
         )
         op["_optimizer"] = note
         return chain + [op]

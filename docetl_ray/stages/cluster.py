@@ -254,12 +254,16 @@ def cluster_dendrogram(
     if coarse:
         # count BEFORE collecting: the whole point of the coarse path is
         # that an over-cap corpus never lands on the driver.  Materialize
-        # only the two-column PROJECTION — the coarse path's seed +
-        # Lloyd passes re-read id/emb ~kmeans_iters+1 times and would
-        # otherwise re-execute the whole upstream pipeline per pass, but
-        # pinning payload columns (text etc.) just to count rows is a
-        # full extra copy of the corpus in the object store
-        slim = ds.select_columns([id_col, emb_col]).materialize()
+        # the INPUT once (object store blocks, spillable — never the
+        # driver): the coarse path's seed + Lloyd passes and the final
+        # full-width assign all re-read it, and without cached blocks
+        # each pass would re-execute the whole upstream pipeline (a
+        # non-deterministic upstream could even hand the assign pass
+        # different rows than the ones that built the tree).  The Lloyd
+        # passes then read a cheap (id, emb) projection OF the cached
+        # blocks, so payload columns ride only the one final assign.
+        ds = ds.materialize()
+        slim = ds.select_columns([id_col, emb_col])
         if slim.count() > max_driver_rows:
             return cluster_dendrogram_coarse(
                 ds, emb_col, id_col, collapse=collapse,
@@ -449,11 +453,14 @@ def kmeans_cells(
     path the dendrogram cap routes to."""
     from .util_ray import closure_broadcast, collect_small, hash_codes
 
-    # seed + Lloyd passes touch only (id, emb): run them over a cached
-    # projection so payload columns are never pinned or re-computed;
-    # only the final assign streams the full-width table (once)
-    slim = _slim if _slim is not None \
-        else ds.select_columns([id_col, emb_col]).materialize()
+    # materialize the input ONCE (see cluster_dendrogram's coarse
+    # branch): seed + Lloyd passes read the (id, emb) projection of the
+    # cached blocks; the final assign streams the full-width cache once
+    if _slim is None:
+        ds = ds.materialize()
+        slim = ds.select_columns([id_col, emb_col])
+    else:
+        slim = _slim
     want = max(sample_rows, num_cells)
     n = slim.count()
     frac = 1.0 if n <= want else min(1.0, 4.0 * want / n)
@@ -617,17 +624,22 @@ def cluster_dendrogram_coarse(
 
     from .grouped import grouped_map
 
-    # the seed + Lloyd passes re-read id/emb kmeans_iters+1 times: cache
-    # the two-column projection once (object store, spills — never the
-    # driver).  The full-width table streams through exactly ONCE, at
-    # the final assign — payload columns are never pinned.
-    slim = _slim if _slim is not None \
-        else ds.select_columns([id_col, emb_col]).materialize()
+    # materialize the input ONCE (see cluster_dendrogram's coarse
+    # branch): seed + Lloyd passes + the final assign all re-read it;
+    # callers passing _slim guarantee ds is already materialized
+    if _slim is None:
+        ds = ds.materialize()
+        slim = ds.select_columns([id_col, emb_col])
+    else:
+        slim = _slim
     n = slim.count()
     if n <= max_driver_rows:
+        # under the cap after all: run the exact driver path over the
+        # already-cached blocks (coarse=False — one projection pass;
+        # re-entering the auto branch would re-materialize and re-count)
         return cluster_dendrogram(
             ds, emb_col, id_col, collapse=collapse, output_key=output_key,
-            max_driver_rows=max_driver_rows,
+            max_driver_rows=max_driver_rows, coarse=False,
         )
     if num_cells is None:
         # sqrt(n) cells, raised until the EXPECTED cell size fits the

@@ -362,7 +362,7 @@ def _kmeans_labels(embs, k: int, iters: int = 20):
     return labels
 
 
-def _value_sample(rows: list[dict], cfg: dict, keys: list[str]) -> list[dict]:
+def _value_sample(rows: list[dict], cfg: dict) -> list[dict]:
     """Deterministic recast of reduce value_sampling (reduce.py:298-322):
     bound the rows fed to the prompt.  ``first_n`` is verbatim;
     ``random`` replaces RNG with an md5-of-position keep-rule (stable
@@ -440,7 +440,7 @@ def _value_sample(rows: list[dict], cfg: dict, keys: list[str]) -> list[dict]:
 
 
 def make_reduce_group(complete, prompt: str, output_schema: dict,
-                      keys: list, *, fold_prompt: str | None = None,
+                      *, fold_prompt: str | None = None,
                       fold_batch_size: int | None = None,
                       merge_prompt: str | None = None,
                       merge_batch_size: int | None = None,
@@ -480,7 +480,7 @@ def make_reduce_group(complete, prompt: str, output_schema: dict,
         return complete(render_prompt(merge_prompt, ctx), output_schema)
 
     def _reduce_group(rows, key_ctx) -> dict:
-        sampled = _value_sample(rows, value_sampling, keys)
+        sampled = _value_sample(rows, value_sampling)
         if merge_prompt and associative and fold_batch_size:
             # fold each batch independently, then merge-tree the outputs
             folds = [
@@ -561,7 +561,7 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
         return out
 
     _reduce_group = make_reduce_group(
-        _complete, prompt, output_schema, keys,
+        _complete, prompt, output_schema,
         fold_prompt=fold_prompt, fold_batch_size=fold_batch_size,
         merge_prompt=merge_prompt, merge_batch_size=merge_batch_size,
         scratchpad=scratchpad, value_sampling=value_sampling,

@@ -275,13 +275,13 @@ def test_reduce_value_sampling_first_n_and_random():
     from docetl_ray.stages.llm import _value_sample
 
     rows = [{"v": i} for i in range(20)]
-    assert _value_sample(rows, {"enabled": True, "method": "first_n", "sample_size": 5}, ["k"]) == rows[:5]
-    r = _value_sample(rows, {"enabled": True, "method": "random", "sample_size": 5}, ["k"])
+    assert _value_sample(rows, {"enabled": True, "method": "first_n", "sample_size": 5}) == rows[:5]
+    r = _value_sample(rows, {"enabled": True, "method": "random", "sample_size": 5})
     assert len(r) == 5 and r == sorted(r, key=lambda x: x["v"])  # original order kept
     # deterministic across calls
-    assert r == _value_sample(rows, {"enabled": True, "method": "random", "sample_size": 5}, ["k"])
+    assert r == _value_sample(rows, {"enabled": True, "method": "random", "sample_size": 5})
     with pytest.raises(NotImplementedError):
-        _value_sample(rows, {"enabled": True, "method": "sem_sim", "sample_size": 5}, ["k"])
+        _value_sample(rows, {"enabled": True, "method": "sem_sim", "sample_size": 5})
 
 
 # ---------------------------------------------------------------------------

@@ -181,8 +181,13 @@ def test_simulate_reduce_merge_tree_and_scratchpad_match_engine(ray_session):
             ray.get(counter.add.remote(1))
             return super().complete(prompt, schema)
 
+    # single block: value_sampling("random") keys on row POSITION within
+    # the group, so per-row equality with the simulator needs the engine
+    # to see the same within-group order; one block pins arrival order
+    # (call COUNTS are order-independent either way)
     out = llm_reduce(
-        rd.from_items(rows), "g", op["prompt"], op["output"]["schema"],
+        rd.from_items(rows).repartition(1), "g",
+        op["prompt"], op["output"]["schema"],
         client_factory=CountingClient,
         fold_batch_size=2, merge_batch_size=2,
         merge_prompt=op["merge_prompt"],

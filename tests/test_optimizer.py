@@ -257,3 +257,44 @@ def test_pipeline_api_optimize(ray_session):
         "summarize_combine"]
     rows = p2.run().take_all()
     assert len(rows) == 3
+
+
+def test_sub_field_refs_var_anchor_and_any_prefix():
+    """build_chunk_plan rewrites only the INPUT variable's split-key
+    reference: loop variables (``c.text``), nested objects
+    (``input.meta.text``), and suffixed names (``input.text_summary``)
+    must survive untouched.  Without ``var`` (the reduce-prompt caller,
+    where rows ride an arbitrary loop variable) any prefix rewrites."""
+    from docetl_ray.optimizer import _sub_field_refs, build_chunk_plan
+
+    p = ("Summarize {{ input.text }}. "
+         "{% for c in input.comments %}{{ c.text }}{% endfor %} "
+         "{{ input.meta.text }} {{ input.text_summary }} "
+         "{% raw %}{{ input.text }}{% endraw %}")
+    got = _sub_field_refs(p, "text", "text_chunk_rendered", var="input")
+    assert "{{ input.text_chunk_rendered }}." in got
+    assert "{{ c.text }}" in got
+    assert "{{ input.meta.text }}" in got
+    assert "{{ input.text_summary }}" in got
+    assert "{% raw %}{{ input.text }}{% endraw %}" in got
+
+    any_pref = _sub_field_refs("{{ item.text }} {{ doc.text }}",
+                               "text", "text_notes")
+    assert any_pref == "{{ item.text_notes }} {{ doc.text_notes }}"
+
+    op = {"name": "m", "type": "map", "prompt": p,
+          "output": {"schema": {"summary": "str"}}}
+    sub = build_chunk_plan(op, "text", 100)[2]
+    assert "{{ c.text }}" in sub["prompt"]
+    assert "{{ input.meta.text }}" in sub["prompt"]
+
+
+def test_tok_str_null_vs_falsy():
+    """NULL counts zero tokens; falsy non-null values (0, False) count
+    their rendered text — what the engine's prompt actually emits."""
+    from docetl_ray.optimizer import _ntokens, _tok_str
+
+    assert _ntokens(_tok_str(None)) == 0
+    assert _ntokens(_tok_str(0)) == 1
+    assert _ntokens(_tok_str(False)) == 1
+    assert _ntokens(_tok_str("a b")) == 2

@@ -270,7 +270,7 @@ def test_value_sample_sem_sim():
     ]
     cfg = {"enabled": True, "method": "sem_sim", "sample_size": 3,
            "embedding_col": "emb", "query_embedding": [1.0, 0.0]}
-    out = _value_sample(rows, cfg, [])
+    out = _value_sample(rows, cfg)
     # ascending similarity: 4 (0.707) < 2 (~0.994) < 0 (1.0)
     assert [r["i"] for r in out] == [4, 2, 0]
 
@@ -286,12 +286,12 @@ def test_value_sample_cluster_covers_clusters():
     )
     cfg = {"enabled": True, "method": "cluster", "sample_size": 2,
            "embedding_col": "emb"}
-    out = _value_sample(rows, cfg, [])
+    out = _value_sample(rows, cfg)
     assert len(out) == 2
     groups = {r["i"] // 10 for r in out}
     assert groups == {0, 1}  # one from each cluster
     # deterministic across calls
-    assert [r["i"] for r in _value_sample(rows, cfg, [])] == [r["i"] for r in out]
+    assert [r["i"] for r in _value_sample(rows, cfg)] == [r["i"] for r in out]
 
 
 def test_value_sample_needs_embedding_col():
@@ -301,7 +301,7 @@ def test_value_sample_needs_embedding_col():
 
     with _pytest.raises(NotImplementedError, match="embedding_col"):
         _value_sample([{"i": 0}] * 5, {"enabled": True, "method": "cluster",
-                                       "sample_size": 2}, [])
+                                       "sample_size": 2})
 
 
 def test_llm_reduce_value_sampling_cluster(ray_session):
