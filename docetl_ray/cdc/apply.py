@@ -660,13 +660,18 @@ def compact(
             kept: list[str] = []
             if policy == "tiered":
                 sizes = [os.path.getsize(p) for p in paths]
-                big = int(np.argmax(sizes))
-                # deltas strictly below half the base -> partial fold;
-                # deltas >= half -> escalate to a full fold (2x keeps the
+                # partial fold ONLY when the OLDEST level (the base run,
+                # paths[0]) dominates: keeping any newer level would
+                # break the manifest's oldest->newest path order and the
+                # newest-level checksum contract (table.py:28-35).  A
+                # bulk delta that outgrew the base escalates to a full
+                # fold instead — one exact rewrite, after which it IS
+                # the base.  Deltas strictly below half the base ->
+                # partial fold; >= half -> full fold (2x keeps the
                 # comparison integer-exact, no floor drift at odd sizes)
-                if 2 * (sum(sizes) - sizes[big]) < sizes[big]:
-                    kept = [paths[big]]
-                    paths = paths[:big] + paths[big + 1:]
+                if 2 * (sum(sizes) - sizes[0]) < sizes[0]:
+                    kept = [paths[0]]
+                    paths = paths[1:]
             tables = [pq.read_table(p) for p in paths]
             merged = lww_last_per_url(unify_tables(tables)).sort_by(STATE_SORT_KEYS)
             if drop_tombstones_below_lsn is not None:

@@ -184,8 +184,9 @@ class LakeTable:
         for rec in partition_records:
             pid = str(rec["pid"])
             prev = parts.get(pid, {})
-            # tiered compaction keeps the (largest) base run untouched
-            # and stacks the folded middle run after it
+            # tiered compaction keeps the oldest (base) run untouched
+            # and stacks the folded middle run after it, preserving the
+            # oldest->newest path order and newest-checksum contracts
             kept = [p for p in rec.get("kept_paths") or [] if p]
             parts[pid] = {
                 "paths": kept + [rec["path"]],

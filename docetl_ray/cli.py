@@ -36,6 +36,15 @@ def _init_ray():
     DataContext.get_current().enable_progress_bars = False
 
 
+def _compact_after(v: str):
+    """argparse type for --compact-after: int, "auto", or "none"."""
+    if v == "auto":
+        return v
+    if v in ("none", "None"):
+        return None
+    return int(v)
+
+
 def cmd_apply(args) -> int:
     _init_ray()
     import ray
@@ -241,7 +250,13 @@ def main(argv=None) -> int:
     ap.add_argument("--epoch", type=int, required=True)
     ap.add_argument("--mode", choices=["merge", "delta"], default="merge")
     ap.add_argument("--num-partitions", type=int, default=64)
-    ap.add_argument("--compact-after", type=int, default=None)
+    # mirror the library default: "auto" folds any partition past 4
+    # stacked levels; "none" restores manual compact() (an int default
+    # of None here would silently disable auto-compaction for every
+    # CLI delta ingest — the exact unbounded-level hazard it prevents)
+    ap.add_argument("--compact-after", type=_compact_after, default="auto",
+                    help='level-count trigger: an int, "auto" (4), or '
+                         '"none" to disable')
     ap.set_defaults(fn=cmd_apply)
 
     tp = sub.add_parser("tail", help="tail a WAL directory of segments")

@@ -368,10 +368,8 @@ def minhash_candidates(
         # pairs by the same two keyed-shuffle joins the texts use.
         # Either way no driver-side corpus structure exists on the
         # exact path (the old full id->sig map capped it at ~10M docs).
-        import ray
-
         from .joins import _ds_arrow_schema_lazy, hash_join
-        from .util_ray import collect_small as _cs
+        from .util_ray import closure_broadcast, collect_small as _cs
 
         pre_thr = max(0.0, threshold - 0.25)
         # id-only pairs: materializing is bounded by the banded candidate
@@ -406,13 +404,29 @@ def minhash_candidates(
             pair_df = pt0.select(["id_a", "id_b"]).to_pandas().drop_duplicates(
                 subset=["id_a", "id_b"], ignore_index=True
             )
-            need0 = sorted(set(pair_df["id_a"]) | set(pair_df["id_b"]))
-            need0_arr = pa.array(need0)
+            # vectorized unique over the pair-touched ids (Arrow kernel;
+            # Python sets would box ~2x pair count of values), sorted
+            # once so per-batch membership below is a searchsorted —
+            # pc.is_in would rebuild its hash set from the value_set on
+            # EVERY corpus batch, and a bare closure over a multi-MB
+            # array would ship per task instead of once per worker
+            import pyarrow.compute as pc
+
+            need_np = np.sort(
+                pc.unique(pa.chunked_array(
+                    list(pt0["id_a"].chunks) + list(pt0["id_b"].chunks)
+                )).to_numpy(zero_copy_only=False)
+            )
+            get_need = closure_broadcast(need_np)
 
             def pick_sigs(batch: pa.Table) -> pa.Table:
-                import pyarrow.compute as pc
-
-                t = batch.filter(pc.is_in(batch[id_col], value_set=need0_arr))
+                need = get_need()
+                ids = batch[id_col].to_numpy(zero_copy_only=False)
+                ix = np.minimum(
+                    np.searchsorted(need, ids), len(need) - 1
+                )
+                mask = np.asarray(need[ix] == ids, dtype=bool)
+                t = batch.filter(pa.array(mask))
                 return pa.table({"_pid": t[id_col], "_psig": t["_sig"]})
 
             pick_sigs.__name__ = "minhash_pick_pair_sigs"

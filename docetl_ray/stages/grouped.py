@@ -29,6 +29,46 @@ import pyarrow as pa
 from .util_ray import bucket_codes
 
 
+def _drop_bucket(df: pd.DataFrame) -> pd.DataFrame:
+    if "_gbucket" in df.columns:  # the exchange drops it already
+        df = df.drop(columns=["_gbucket"])
+    return df
+
+
+def _arrow_out(out: pd.DataFrame | None) -> pa.Table:
+    """Wrap a pandas result for the exchange.  A ``None`` / no-column
+    empty frame becomes a no-column table: collect()/union skip it, and
+    ``fn``'s output schema is unknown when a partition yielded nothing."""
+    if out is None or not len(out.columns):
+        return pa.table({})
+    return pa.Table.from_pandas(
+        out, preserve_index=False
+    ).replace_schema_metadata(None)
+
+
+def _bucketed_exchange(ds, keys: list[str], num_partitions: int, arrow_fn):
+    """ONE take()-based task exchange on a vectorized hash-bucket column
+    — shared by ``grouped_map`` and ``partitioned_map`` so their
+    bucketing / empty-output plumbing cannot drift.  The exchange
+    replaces ``ds.groupby``: Ray's sort shuffle slices map blocks, and
+    sliced Arrow tables pickle their FULL parent buffers — payload rows
+    (texts) would ship ~num_partitions times, plus the sort pays seconds
+    of fixed cost per invocation (same reasoning as the CDC apply /
+    asof_join / lww_latest exchanges)."""
+    from .util_ray import exchange_map_groups
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        b = bucket_codes(batch, keys, num_partitions)
+        return batch.append_column("_gbucket", pa.array(b, pa.int32()))
+
+    return exchange_map_groups(
+        ds.map_batches(add_bucket, batch_format="pyarrow"),
+        "_gbucket",
+        num_partitions,
+        arrow_fn,
+    )
+
+
 def grouped_map(
     ds,
     keys,
@@ -39,50 +79,21 @@ def grouped_map(
     """Apply ``fn`` to each key-group; returns the concatenated result."""
     keys = [keys] if isinstance(keys, str) else list(keys)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = bucket_codes(batch, keys, num_partitions)
-        return batch.append_column("_gbucket", pa.array(b, pa.int32()))
-
     def per_bucket(bucket_df: pd.DataFrame) -> pd.DataFrame:
-        if "_gbucket" in bucket_df.columns:  # the exchange drops it already
-            bucket_df = bucket_df.drop(columns=["_gbucket"])
         outs = []
         for _, g in bucket_df.groupby(keys, sort=True, dropna=False):
             out = fn(g)
             if out is not None and len(out):
                 outs.append(out)
         if not outs:
-            # no-column empty frame: collect()/union skip it; fn's output
-            # schema is unknown when every group yielded nothing
             return pd.DataFrame()
         return pd.concat(outs, ignore_index=True)
 
     def per_bucket_arrow(group: pa.Table) -> pa.Table:
-        out = per_bucket(group.to_pandas())
-        if not len(out.columns):
-            # no-column empty table: collect()/union skip it; fn's output
-            # schema is unknown when every group yielded nothing
-            return pa.table({})
-        return pa.Table.from_pandas(
-            out, preserve_index=False
-        ).replace_schema_metadata(None)
+        return _arrow_out(per_bucket(_drop_bucket(group.to_pandas())))
 
-    per_bucket.__name__ = getattr(fn, "__name__", "grouped_map")
-    per_bucket_arrow.__name__ = per_bucket.__name__
-    # The take()-based task exchange instead of ds.groupby: Ray's sort
-    # shuffle slices map blocks, and sliced Arrow tables pickle their
-    # FULL parent buffers — payload rows (texts) would ship
-    # ~num_partitions times, plus the sort pays seconds of fixed cost
-    # per invocation (same reasoning as the CDC apply / asof_join /
-    # lww_latest exchanges).
-    from .util_ray import exchange_map_groups
-
-    return exchange_map_groups(
-        ds.map_batches(add_bucket, batch_format="pyarrow"),
-        "_gbucket",
-        num_partitions,
-        per_bucket_arrow,
-    )
+    per_bucket_arrow.__name__ = getattr(fn, "__name__", "grouped_map")
+    return _bucketed_exchange(ds, keys, num_partitions, per_bucket_arrow)
 
 
 def partitioned_map(
@@ -103,24 +114,8 @@ def partitioned_map(
     shipped sliced blocks' full parent buffers."""
     keys = [keys] if isinstance(keys, str) else list(keys)
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        b = bucket_codes(batch, keys, num_partitions)
-        return batch.append_column("_gbucket", pa.array(b, pa.int32()))
-
     def whole_partition(group: pa.Table) -> pa.Table:
-        out = fn(group.to_pandas())
-        if out is None or not len(out.columns):
-            return pa.table({})
-        return pa.Table.from_pandas(
-            out, preserve_index=False
-        ).replace_schema_metadata(None)
+        return _arrow_out(fn(_drop_bucket(group.to_pandas())))
 
     whole_partition.__name__ = getattr(fn, "__name__", "partitioned_map")
-    from .util_ray import exchange_map_groups
-
-    return exchange_map_groups(
-        ds.map_batches(add_bucket, batch_format="pyarrow"),
-        "_gbucket",
-        num_partitions,
-        whole_partition,
-    )
+    return _bucketed_exchange(ds, keys, num_partitions, whole_partition)

@@ -642,3 +642,43 @@ def test_resplit_over_tiered_mixed_schema_layout(tmp_path, ray_session):
     engine = collect(read_state(table)).sort_by([("url", "ascending")])
     assert engine["text"].to_pylist() == oracle["text"].to_pylist()
     assert "fetch_status" in engine.column_names
+
+
+def test_tiered_fold_never_keeps_a_newer_level(tmp_path, ray_session):
+    """A bulk delta that OUTGROWS the base must escalate to a full fold
+    — keeping the (larger, newer) delta would break the manifest's
+    oldest->newest path order and the newest-level checksum contract
+    (table.py module docstring); the partial fold fires only while the
+    oldest level dominates."""
+    import ray.data as rd
+
+    from docetl_ray import synth
+    from docetl_ray.cdc import LakeTable, apply_events, read_state, replay_oracle
+    from docetl_ray.cdc.apply import compact
+    from docetl_ray.util import collect
+
+    table = LakeTable(str(tmp_path / "lake"), num_partitions=2)
+    # tiny bootstrap base, then a bulk delta far larger than it
+    segs = [synth.events_table(0, 100)]
+    apply_events(table, rd.from_arrow(segs[0]), epoch=0, mode="delta",
+                 compact_after=None)
+    segs.append(synth.events_table(100, 5000))
+    apply_events(table, rd.from_arrow(segs[-1]), epoch=1, mode="delta",
+                 compact_after=None)
+    compact(table, tag="bulk", policy="tiered")
+    assert all(len(p) == 1 for p in table.partition_map().values()), \
+        "a delta outgrowing the base must trigger a FULL fold"
+    oracle = replay_oracle(pa.concat_tables(segs))
+    engine = collect(read_state(table)).sort_by([("url", "ascending")])
+    assert engine["text"].to_pylist() == oracle["text"].to_pylist()
+
+
+def test_cli_compact_after_parses_auto_none_int():
+    """The CLI mirrors the library's compact_after="auto" default — an
+    int-typed None default silently disabled auto-compaction for every
+    CLI delta ingest; "none" restores manual compact()."""
+    from docetl_ray.cli import _compact_after
+
+    assert _compact_after("auto") == "auto"
+    assert _compact_after("none") is None
+    assert _compact_after("3") == 3
