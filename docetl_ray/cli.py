@@ -240,7 +240,7 @@ def cmd_state(args) -> int:
     return 0
 
 
-def main(argv=None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="docetl_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -300,8 +300,11 @@ def main(argv=None) -> int:
     sp.add_argument("--table", required=True)
     sp.add_argument("--tombstones", action="store_true")
     sp.set_defaults(fn=cmd_state)
+    return p
 
-    args = p.parse_args(argv)
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
     return args.fn(args)
 
 

@@ -280,6 +280,13 @@ def minhash_candidates(
     # map stays broadcastable up to ~10M docs.  Beyond that, switch the
     # verify join to a second keyed shuffle).
     def sig_table(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # a null id cannot participate in pair identity (band-bucket
+        # pair generation sorts/compares ids, and None vs str raises);
+        # drop such rows here — same semantics as the pc.is_in
+        # membership filters downstream, which treat null as non-member
+        batch = batch.filter(pc.is_valid(batch[id_col]))
         texts = batch[text_col].to_pylist()
         sigs = minhash_signatures_batch(texts, a, b, shingle_k).astype(np.int64)
         flat = pa.array(sigs.reshape(-1), pa.int64())
@@ -413,25 +420,35 @@ def minhash_candidates(
             import pyarrow.compute as pc
 
             need_np = np.sort(
-                pc.unique(pa.chunked_array(
+                pc.drop_null(pc.unique(pa.chunked_array(
                     list(pt0["id_a"].chunks) + list(pt0["id_b"].chunks)
-                )).to_numpy(zero_copy_only=False)
+                ))).to_numpy(zero_copy_only=False)
             )
             get_need = closure_broadcast(need_np)
 
             def pick_sigs(batch: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+
                 need = get_need()
+                # drop null ids FIRST (parity with the pc.is_in filter
+                # this replaced, which treated null as non-member): a
+                # None inside an object array makes searchsorted raise,
+                # and a null in an int64 column degrades to_numpy to
+                # float64, breaking bit-exact id comparison past 2^53
+                batch = batch.filter(pc.is_valid(batch[id_col]))
                 ids = batch[id_col].to_numpy(zero_copy_only=False)
-                ix = np.minimum(
-                    np.searchsorted(need, ids), len(need) - 1
-                )
-                mask = np.asarray(need[ix] == ids, dtype=bool)
-                t = batch.filter(pa.array(mask))
+                if not len(need) or not len(ids):
+                    t = batch.slice(0, 0)
+                else:
+                    ix = np.minimum(
+                        np.searchsorted(need, ids), len(need) - 1
+                    )
+                    mask = np.asarray(need[ix] == ids, dtype=bool)
+                    t = batch.filter(pa.array(mask))
                 return pa.table({"_pid": t[id_col], "_psig": t["_sig"]})
 
             pick_sigs.__name__ = "minhash_pick_pair_sigs"
             small_sig = _cs(sig_ds.map_batches(pick_sigs, batch_format="pyarrow"))
-            import pyarrow.compute as pc
 
             sig_mat = (
                 pc.list_flatten(small_sig["_psig"].combine_chunks())
@@ -536,7 +553,15 @@ def minhash_candidates(
             def pick(batch: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc
 
-                t = batch.filter(pc.is_in(batch[id_col], value_set=need_arr))
+                ids = batch[id_col]
+                if pa.types.is_null(ids.type):
+                    # an all-null-id block (e.g. a one-row from_items
+                    # block) types its column as null; is_in raises on
+                    # the null-vs-string value_set mismatch.  Null ids
+                    # are non-members by definition.
+                    return pa.table({"_pid": pa.array([], need_arr.type),
+                                     "_ptxt": batch[text_col].slice(0, 0)})
+                t = batch.filter(pc.is_in(ids, value_set=need_arr))
                 return pa.table({"_pid": t[id_col], "_ptxt": t[text_col]})
 
             pick.__name__ = "minhash_pick_texts"

@@ -676,9 +676,42 @@ def test_tiered_fold_never_keeps_a_newer_level(tmp_path, ray_session):
 def test_cli_compact_after_parses_auto_none_int():
     """The CLI mirrors the library's compact_after="auto" default — an
     int-typed None default silently disabled auto-compaction for every
-    CLI delta ingest; "none" restores manual compact()."""
-    from docetl_ray.cli import _compact_after
+    CLI delta ingest; "none" restores manual compact().  Guards the
+    PARSED namespace (not just the type fn), so reverting the default
+    back to None fails here."""
+    from docetl_ray.cli import _compact_after, build_parser
 
     assert _compact_after("auto") == "auto"
     assert _compact_after("none") is None
     assert _compact_after("3") == 3
+
+    base = ["apply", "--wal", "w", "--table", "t", "--epoch", "0"]
+    parse = build_parser().parse_args
+    assert parse(base).compact_after == "auto"
+    assert parse(base + ["--compact-after", "none"]).compact_after is None
+    assert parse(base + ["--compact-after", "7"]).compact_after == 7
+
+
+def test_minhash_pick_sigs_tolerates_null_ids(ray_session):
+    """Null corpus ids on the exact-verify small-pair branch must be
+    treated as non-members (parity with the pc.is_in filter the
+    searchsorted rewrite replaced) — a None inside an object id array
+    made np.searchsorted raise TypeError, failing the whole run."""
+    import ray.data as rd
+
+    from docetl_ray.stages.dedup import minhash_candidates
+
+    texts = {
+        "a": "the quick brown fox jumps over the lazy dog again today",
+        "b": "the quick brown fox jumps over the lazy dog again now",
+        "c": "completely unrelated text about arrow batches and ray data",
+    }
+    rows = [{"id": k, "text": v * 4} for k, v in texts.items()]
+    rows.append({"id": None, "text": rows[0]["text"]})  # null id dupe
+    ds = rd.from_items(rows)
+    pairs = minhash_candidates(ds, "text", "id", threshold=0.5,
+                               verify="exact")
+    got = {tuple(sorted((r["id_a"], r["id_b"])))
+           for r in pairs.take_all()}
+    assert ("a", "b") in got
+    assert all(None not in p for p in got)
