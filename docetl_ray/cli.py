@@ -226,6 +226,14 @@ def _build_moar(args, cfg: dict) -> int:
     return 0
 
 
+def cmd_serve(args) -> int:
+    _init_ray()
+    from .server import serve
+
+    serve(args.root, host=args.host, port=args.port)
+    return 0
+
+
 def cmd_state(args) -> int:
     _init_ray()
     import ray
@@ -300,6 +308,14 @@ def build_parser() -> argparse.ArgumentParser:
     sp.add_argument("--table", required=True)
     sp.add_argument("--tombstones", action="store_true")
     sp.set_defaults(fn=cmd_state)
+
+    srv = sub.add_parser("serve", help="HTTP pipeline/run API (flask "
+                         "recast of the reference server)")
+    srv.add_argument("--root", required=True,
+                     help="storage root for pipeline/run metadata + outputs")
+    srv.add_argument("--host", default="127.0.0.1")
+    srv.add_argument("--port", type=int, default=8000)
+    srv.set_defaults(fn=cmd_serve)
     return p
 
 

@@ -487,13 +487,29 @@ def _op_chain_hash(ops: list[dict]) -> str:
     return hashlib.sha256(json.dumps(ops, sort_keys=True).encode()).hexdigest()[:16]
 
 
-class PipelineRunner:
-    """Execute a declarative pipeline config over Ray Data."""
+class RunCancelled(Exception):
+    """Raised between operations when a cooperative cancel is requested
+    (the reference cancels runs through handlers registered with
+    ``server/app/run_manager.py:11-27``)."""
 
-    def __init__(self, config: dict):
+
+class PipelineRunner:
+    """Execute a declarative pipeline config over Ray Data.
+
+    ``cancel_event`` (a ``threading.Event``-like object with ``is_set()``)
+    is checked before each operation; once set, ``run()`` raises
+    :class:`RunCancelled`.  This is the cooperative analogue of the
+    reference's per-run cancel handlers."""
+
+    def __init__(self, config: dict, cancel_event: Any = None):
         self.config = config
         self.ops = {o["name"]: o for o in config.get("operations", [])}
         self.datasets: dict[str, Any] = {}
+        self.cancel_event = cancel_event
+
+    def _check_cancel(self):
+        if self.cancel_event is not None and self.cancel_event.is_set():
+            raise RunCancelled("run cancelled")
 
     @classmethod
     def from_yaml(cls, path: str) -> "PipelineRunner":
@@ -517,6 +533,7 @@ class PipelineRunner:
             ds = self.datasets[step["input"]] if "input" in step else last
             chain: list[dict] = []
             for op_name in step.get("operations", []):
+                self._check_cancel()
                 if op_name not in self.ops:
                     raise ValueError(
                         f"step {step['name']!r}: unknown operation {op_name!r} "
@@ -608,6 +625,7 @@ class PipelineRunner:
             last = ds
 
         out_cfg = self.config["pipeline"].get("output")
+        self._check_cancel()
         if out_cfg and last is not None:
             fmt = out_cfg.get("format", "parquet")
             path = out_cfg["path"]
