@@ -3,10 +3,13 @@ document parsers (SURVEY.md §2.2; reference ``docetl/dataset.py:156-239``,
 ``docetl/parsing_tools.py``) recast as Ray Data readers + ``flat_map``
 parse stages.
 
-Text-native formats are first-class; binary office/audio formats need
-libraries absent from this environment, so their parsers are registered
-stubs that raise ``NotImplementedError`` at call time with the real
-signature in place (same plumbing contract as the multimodal stages).
+Text-native formats are first-class.  OOXML office formats (xlsx/docx/
+pptx) are parsed for real with the stdlib (zip+XML, ``docetl_ray/
+ooxml.py``).  Audio/OCR/vision parsers (whisper, paddleocr, azure-DI)
+need models or network access absent from this environment, so those
+are registered stubs that raise ``NotImplementedError`` at call time
+with the real signature in place (same plumbing contract as the
+multimodal stages).
 """
 
 from __future__ import annotations
@@ -118,9 +121,10 @@ def _stub(name: str, needs: str):
     return fn
 
 
-xlsx_to_string = _stub("xlsx_to_string", "openpyxl")
-docx_to_string = _stub("docx_to_string", "python-docx")
-pptx_to_string = _stub("pptx_to_string", "python-pptx")
+# OOXML office formats are zip+XML: parsed with the stdlib (docetl_ray/
+# ooxml.py), no codec library needed — real implementations, not stubs.
+from .ooxml import docx_to_string, pptx_to_string, xlsx_to_string  # noqa: E402
+
 whisper_speech_to_text = _stub("whisper_speech_to_text", "openai-whisper")
 paddleocr_pdf_to_string = _stub("paddleocr_pdf_to_string", "paddleocr")
 azure_di_read = _stub("azure_di_read", "azure-ai-documentintelligence")
