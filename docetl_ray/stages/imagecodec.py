@@ -1,0 +1,232 @@
+"""Pure-stdlib image/audio decoders for the multimodal stages.
+
+The reference treats image/audio decoding as a library call (PIL /
+librosa / ffmpeg — none present here).  But several common formats are
+decodable with nothing beyond ``zlib`` + numpy:
+
+- PNG — zlib-compressed filtered scanlines (RFC 2083): 8-bit depth,
+  color types gray / gray+alpha / RGB / RGBA, all five scanline filters
+  (none/sub/up/average/paeth), non-interlaced.
+- BMP — uncompressed 24/32-bit BITMAPINFOHEADER, bottom-up or top-down.
+- PPM / PGM — binary P6 / P5, maxval <= 255.
+- WAV — PCM RIFF via the stdlib ``wave`` module (8/16/32-bit).
+
+These power the REAL (``fake=False``) decode path of
+``stages/multimodal.py``; JPEG (entropy decoding) and video codecs stay
+honestly stubbed.  Decoders return ``(array, format)`` with ``array``
+shaped (H, W, C) uint8, or raise ``ValueError`` on unsupported input —
+actor-pool callers decide whether to skip or fail the row.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: PNG color type -> channel count (8-bit depth only)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_defilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo per-scanline filtering.  Vertical-only filters (none/up) are
+    vectorized per row; left-dependent ones (sub/average/paeth) walk the
+    row in C-speed numpy int16 arithmetic per pixel column group."""
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        line = raw[pos + 1: pos + 1 + stride].astype(np.int16)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int16) if y > 0 else np.zeros(stride, np.int16)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:
+            cur = np.zeros(stride, dtype=np.int16)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:  # Sub
+                    v = line[x] + a
+                elif ftype == 3:  # Average
+                    v = line[x] + ((a + b) >> 1)
+                elif ftype == 4:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pred
+                else:
+                    raise ValueError(f"unknown PNG filter {ftype}")
+                cur[x] = v & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos: pos + 4])
+        ctype = payload[pos + 4: pos + 8]
+        data = payload[pos + 8: pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = \
+                struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (depth={bit_depth}, color_type={color_type}); "
+            "palette/16-bit need a full decoder")
+    if interlace:
+        raise ValueError("interlaced PNG unsupported")
+    channels = _PNG_CHANNELS[color_type]
+    stride = width * channels
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if raw.size != height * (stride + 1):
+        raise ValueError("PNG scanline data size mismatch")
+    return _png_defilter(raw, height, stride, channels).reshape(
+        height, width, channels)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (data_offset,) = struct.unpack("<I", payload[10:14])
+    (header_size,) = struct.unpack("<I", payload[14:18])
+    if header_size < 40:
+        raise ValueError("BMP core header unsupported")
+    width, height = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"unsupported BMP (bpp={bpp}, compression={compression})")
+    bottom_up = height > 0
+    height = abs(height)
+    channels = bpp // 8
+    row_size = (width * channels + 3) & ~3  # rows pad to 4 bytes
+    img = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * height, offset=data_offset
+    ).reshape(height, row_size)[:, : width * channels]
+    img = img.reshape(height, width, channels)
+    if bottom_up:
+        img = img[::-1]
+    # BMP stores BGR(A) -> return RGB(A)
+    rgb = img[..., [2, 1, 0]] if channels == 3 else img[..., [2, 1, 0, 3]]
+    return np.ascontiguousarray(rgb)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary P5 (gray) / P6 (RGB), maxval <= 255."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM")
+    channels = 1 if payload[:2] == b"P5" else 3
+    # header = magic, width, height, maxval — whitespace/comment separated
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos: pos + 1].isspace():
+            pos += 1
+        if payload[pos: pos + 1] == b"#":  # comment to EOL
+            while pos < len(payload) and payload[pos] not in (10, 13):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos: pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    width, height, maxval = fields
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    return np.frombuffer(payload, np.uint8, count=width * height * channels,
+                         offset=pos).reshape(height, width, channels)
+
+
+def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
+    """Sniff + decode -> ((H, W, C) uint8, format name)."""
+    if payload[:8] == _PNG_SIG:
+        return decode_png(payload), "png"
+    if payload[:2] == b"BM":
+        return decode_bmp(payload), "bmp"
+    if payload[:2] in (b"P5", b"P6"):
+        return decode_ppm(payload), "ppm"
+    if payload[:3] == b"\xff\xd8\xff":
+        raise ValueError("JPEG needs an entropy decoder (PIL/libjpeg); "
+                         "not decodable with the stdlib")
+    raise ValueError("unrecognized image format")
+
+
+def image_features(img: np.ndarray, dim: int) -> np.ndarray:
+    """Deterministic feature vector from a decoded image: per-channel
+    mean/std (normalized to [0,1]) followed by a coarse grayscale grid
+    (block means), truncated/padded to ``dim``."""
+    h, w, c = img.shape
+    f = np.asarray(img, dtype=np.float64) / 255.0
+    parts = []
+    for ch in range(min(c, 4)):
+        parts += [float(f[..., ch].mean()), float(f[..., ch].std())]
+    gray = f[..., : min(c, 3)].mean(axis=2)
+    g = max(1, int(np.sqrt(max(0, dim - len(parts)))))
+    ys = np.linspace(0, h, g + 1).astype(int)
+    xs = np.linspace(0, w, g + 1).astype(int)
+    for i in range(g):
+        for j in range(g):
+            cell = gray[ys[i]: max(ys[i] + 1, ys[i + 1]),
+                        xs[j]: max(xs[j] + 1, xs[j + 1])]
+            parts.append(float(cell.mean()))
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(parts))] = parts[:dim]
+    return out
+
+
+_WAV_DTYPES = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV -> (float64 mono samples in [-1, 1], sample rate)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        nch, sampwidth, rate, nframes = (w.getnchannels(), w.getsampwidth(),
+                                         w.getframerate(), w.getnframes())
+        frames = w.readframes(nframes)
+    if sampwidth not in _WAV_DTYPES:
+        raise ValueError(f"unsupported WAV sample width {sampwidth}")
+    samples = np.frombuffer(frames, dtype=_WAV_DTYPES[sampwidth]).astype(np.float64)
+    if sampwidth == 1:  # 8-bit WAV is unsigned, centered at 128
+        samples = (samples - 128.0) / 128.0
+    else:
+        samples = samples / float(2 ** (8 * sampwidth - 1))
+    if nch > 1:
+        samples = samples[: (samples.size // nch) * nch] \
+            .reshape(-1, nch).mean(axis=1)
+    return samples, rate
+
+
+def wav_frame_energies(payload: bytes, num_frames: int) -> list[float]:
+    """RMS energy of ``num_frames`` equal windows over the mono mixdown."""
+    samples, _ = decode_wav(payload)
+    if samples.size == 0:
+        return [0.0] * num_frames
+    bounds = np.linspace(0, samples.size, num_frames + 1).astype(int)
+    out = []
+    for i in range(num_frames):
+        win = samples[bounds[i]: max(bounds[i] + 1, bounds[i + 1])]
+        out.append(float(np.sqrt(np.mean(win * win))))
+    return out

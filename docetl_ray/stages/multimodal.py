@@ -1,12 +1,18 @@
 """Multimodal column stages: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by actor-pool ``map_batches``.
 
-The decode libraries (PIL/ffmpeg/librosa) are NOT in this environment, so
-the codec step is stubbed: ``fake=True`` (default) produces a
-deterministic fake decode (content-hash-derived features) so the
-Ray-side plumbing — schema, batch sizing, actor signature, output layout
-— is real and tested; ``fake=False`` raises ``NotImplementedError`` at
-the decode call, exactly where a real decoder plugs in.
+Two decode paths:
+
+- ``fake=True`` (default) — deterministic content-hash-derived features,
+  so the Ray-side plumbing (schema, batch sizing, actor signature,
+  output layout) is testable and the DuckDB correctness oracle can
+  replicate the values bit-for-bit (``sql_parity``).
+- ``fake=False`` — REAL decode for stdlib-decodable formats via
+  ``stages/imagecodec.py``: PNG/BMP/PPM images (zlib + numpy) and PCM
+  WAV audio (``wave``).  JPEG (entropy decoder) and video codecs remain
+  honestly stubbed — those genuinely need PIL/ffmpeg; the real-path
+  ``ValueError`` for them is where such a decoder plugs in
+  (``on_error="skip"`` drops undecodable rows instead of failing).
 
 Batch-size guidance: binary payloads are wide — size ``batch_size`` so
 ``batch_size × mean_payload × concurrency`` fits the worker heap (see
@@ -15,6 +21,7 @@ module users; default 64 rows).
 
 from __future__ import annotations
 
+import struct
 import zlib
 
 import numpy as np
@@ -37,24 +44,28 @@ class ImageFeatureStage:
     __name__ = "image_features"
 
     def __init__(self, *, dim: int = 16, fake: bool = True, bytes_col: str = "image",
-                 sql_parity: bool = False):
+                 sql_parity: bool = False, on_error: str = "raise"):
         self.dim = dim
         self.fake = fake
         self.bytes_col = bytes_col
         # sql_parity: md5-derived float64 features with 12-bit mantissas,
         # exactly replicable in DuckDB for the correctness oracle
         self.sql_parity = sql_parity
-        # real impl would load the decoder/model here, once per actor
+        self.on_error = on_error
+        # heavier decoder/model state would load here, once per actor
 
     def _decode(self, payload: bytes | None) -> np.ndarray:
         dtype = np.float64 if self.sql_parity else np.float32
         if payload is None:
             return np.zeros(self.dim, dtype=dtype)
         if not self.fake:
-            raise NotImplementedError(
-                "image decoding requires PIL/cv2, not present in this "
-                "environment; plug the real decoder here"
-            )
+            # real stdlib decode: PNG/BMP/PPM (imagecodec.py); JPEG and
+            # beyond raise ValueError — handled per on_error in __call__
+            from .imagecodec import decode_image, image_features
+
+            img, self._last_format = decode_image(payload)
+            self._last_shape = img.shape
+            return image_features(img, self.dim)
         if self.sql_parity:
             import hashlib
 
@@ -75,11 +86,38 @@ class ImageFeatureStage:
         return vals
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [self._decode(b).tolist() for b in batch[self.bytes_col].to_pylist()]
-        sizes = [len(b) if b is not None else 0 for b in batch[self.bytes_col].to_pylist()]
+        payloads = batch[self.bytes_col].to_pylist()
         ftype = pa.list_(pa.float64() if self.sql_parity else pa.float32())
-        out = batch.drop_columns([self.bytes_col])  # project the payload away early
+        if self.fake:
+            feats = [self._decode(b).tolist() for b in payloads]
+            sizes = [len(b) if b is not None else 0 for b in payloads]
+            out = batch.drop_columns([self.bytes_col])  # project payload away early
+            out = out.append_column("image_bytes_len", pa.array(sizes, pa.int64()))
+            return out.append_column("image_features", pa.array(feats, ftype))
+        # real decode path: true metadata columns; on_error="skip" drops
+        # undecodable rows (e.g. JPEG without libjpeg) instead of failing
+        keep, feats, sizes, widths, heights, formats = [], [], [], [], [], []
+        for i, b in enumerate(payloads):
+            try:
+                vec = self._decode(b)
+            except ValueError:
+                if self.on_error == "skip":
+                    continue
+                raise
+            keep.append(i)
+            feats.append(vec.tolist())
+            sizes.append(len(b) if b is not None else 0)
+            if b is None:
+                widths.append(0), heights.append(0), formats.append("empty")
+            else:
+                h, w = self._last_shape[:2]
+                widths.append(w), heights.append(h)
+                formats.append(self._last_format)
+        out = batch.drop_columns([self.bytes_col]).take(pa.array(keep, pa.int64()))
         out = out.append_column("image_bytes_len", pa.array(sizes, pa.int64()))
+        out = out.append_column("image_width", pa.array(widths, pa.int32()))
+        out = out.append_column("image_height", pa.array(heights, pa.int32()))
+        out = out.append_column("image_format", pa.array(formats, pa.string()))
         return out.append_column("image_features", pa.array(feats, ftype))
 
 
@@ -93,13 +131,14 @@ class AudioFrameSampleStage:
     __name__ = "audio_frames"
 
     def __init__(self, *, num_frames: int = 4, fake: bool = True, bytes_col: str = "audio",
-                 sql_parity: bool = False):
+                 sql_parity: bool = False, on_error: str = "raise"):
         self.num_frames = num_frames
         self.fake = fake
         self.bytes_col = bytes_col
         # sql_parity: md5-derived frame energies, exactly replicable in
         # DuckDB (md5(payload || ':' || frame) prefix % 10000 / 10000)
         self.sql_parity = sql_parity
+        self.on_error = on_error
 
     def _energy(self, payload: bytes, f: int) -> float:
         if self.sql_parity:
@@ -112,16 +151,30 @@ class AudioFrameSampleStage:
         return (zlib.crc32(payload, f) % 10_000) / 10_000.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("audio decoding requires ffmpeg/librosa")
         idx, frame_no, energy = [], [], []
         payloads = batch[self.bytes_col].to_pylist()
         for i, b in enumerate(payloads):
-            n = self.num_frames if b else 0
-            for f in range(n):
+            if not b:
+                continue
+            if self.fake:
+                energies = [self._energy(b, f) for f in range(self.num_frames)]
+            else:
+                # real stdlib decode: PCM WAV windowed RMS (imagecodec.py);
+                # compressed formats raise — skipped under on_error="skip"
+                import wave
+
+                from .imagecodec import wav_frame_energies
+
+                try:
+                    energies = wav_frame_energies(b, self.num_frames)
+                except (ValueError, EOFError, wave.Error, struct.error):
+                    if self.on_error == "skip":
+                        continue
+                    raise
+            for f, en in enumerate(energies):
                 idx.append(i)
                 frame_no.append(f)
-                energy.append(self._energy(b, f))
+                energy.append(en)
         out = batch.drop_columns([self.bytes_col]).take(pa.array(idx, pa.int64()))
         out = out.append_column("frame_no", pa.array(frame_no, pa.int32()))
         return out.append_column("frame_energy", pa.array(energy, pa.float64()))

@@ -1,0 +1,255 @@
+"""Stdlib image/audio decoders (stages/imagecodec.py) and the real
+(fake=False) multimodal decode path.  Fixtures are encoded in-test:
+PNG scanlines are filtered with every filter type and must round-trip
+exactly; BMP/PPM/WAV are built byte-by-byte per their specs."""
+
+import io
+import struct
+import wave
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from docetl_ray.stages.imagecodec import (
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_ppm,
+    decode_wav,
+    image_features,
+    wav_frame_energies,
+)
+
+rng = np.random.default_rng(7)
+
+
+# -- encoders (test-side inverses of the decoders) ---------------------------
+
+def _paeth(a, b, c):
+    p = a.astype(np.int32) + b - c
+    pa_, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa_ <= pb) & (pa_ <= pc), a, np.where(pb <= pc, b, c))
+
+
+def encode_png(img: np.ndarray, filters=None) -> bytes:
+    """Minimal non-interlaced 8-bit PNG encoder with per-row filter
+    choice (the exact inverse of decode_png's defilter)."""
+    h, w, c = img.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    bpp = c
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.uint8)
+    flat = img.reshape(h, w * c)
+    filters = filters or [0] * h
+    for y in range(h):
+        line = flat[y].astype(np.int32)
+        left = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+        up = prev.astype(np.int32)
+        ul = np.concatenate([np.zeros(bpp, np.int32), up[:-bpp]])
+        ftype = filters[y]
+        if ftype == 0:
+            enc = line
+        elif ftype == 1:
+            enc = line - left
+        elif ftype == 2:
+            enc = line - up
+        elif ftype == 3:
+            enc = line - ((left + up) >> 1)
+        else:
+            enc = line - _paeth(left, up, ul)
+        raw.append(ftype)
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = flat[y]
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data +
+                struct.pack(">I", zlib.crc32(ctype + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    h, w, c = img.shape
+    assert c == 3
+    row = w * 3
+    pad = (-row) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body.extend(img[y][:, [2, 1, 0]].tobytes())  # RGB -> BGR
+        body.extend(b"\x00" * pad)
+    offset = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", offset + len(body), 0, 0, offset) +
+              struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                          2835, 2835, 0, 0))
+    return bytes(header + body)
+
+
+def encode_wav(samples: np.ndarray, rate=16000, nch=1) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(nch)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes((samples * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+# -- image decoders ----------------------------------------------------------
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip_all_filters(channels):
+    img = rng.integers(0, 256, size=(10, 7, channels), dtype=np.uint8)
+    # cycle through every filter type across rows
+    payload = encode_png(img, filters=[y % 5 for y in range(10)])
+    out = decode_png(payload)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_png_via_sniffer():
+    img = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    arr, fmt = decode_image(encode_png(img))
+    assert fmt == "png"
+    np.testing.assert_array_equal(arr, img)
+
+
+def test_bmp_roundtrip_with_row_padding():
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # 9B rows -> pad 3
+    arr, fmt = decode_image(encode_bmp(img))
+    assert fmt == "bmp"
+    np.testing.assert_array_equal(arr, img)
+
+
+def test_ppm_and_pgm_with_comment():
+    img = rng.integers(0, 256, size=(3, 4, 3), dtype=np.uint8)
+    payload = b"P6\n# a comment\n4 3\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(decode_ppm(payload), img)
+    gray = rng.integers(0, 256, size=(2, 5, 1), dtype=np.uint8)
+    payload = b"P5 5 2 255\n" + gray.tobytes()
+    np.testing.assert_array_equal(decode_ppm(payload), gray)
+
+
+def test_jpeg_and_garbage_raise():
+    with pytest.raises(ValueError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0junk")
+    with pytest.raises(ValueError):
+        decode_image(b"not an image at all")
+
+
+def test_image_features_shape_and_range():
+    img = np.full((8, 8, 3), 128, dtype=np.uint8)
+    f = image_features(img, 16)
+    assert f.shape == (16,) and f.dtype == np.float32
+    # uniform mid-gray: means ~0.502, stds 0
+    assert abs(f[0] - 128 / 255) < 1e-6 and f[1] == 0.0
+
+
+# -- wav ----------------------------------------------------------------------
+
+def test_wav_decode_and_energies():
+    t = np.arange(16000) / 16000
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    samples, rate = decode_wav(encode_wav(sine))
+    assert rate == 16000 and samples.shape == (16000,)
+    assert abs(samples.max() - 0.5) < 1e-3
+    energies = wav_frame_energies(encode_wav(sine), 4)
+    assert len(energies) == 4
+    # RMS of a 0.5-amplitude sine = 0.5/sqrt(2)
+    for e in energies:
+        assert abs(e - 0.5 / np.sqrt(2)) < 0.01
+
+
+def test_wav_stereo_mixdown():
+    left = np.full(100, 0.25)
+    right = np.full(100, -0.25)
+    inter = np.empty(200)
+    inter[0::2], inter[1::2] = left, right
+    samples, _ = decode_wav(encode_wav(inter, nch=2))
+    assert samples.shape == (100,)
+    assert np.allclose(samples, 0.0, atol=1e-3)  # channels cancel
+
+
+# -- real-path multimodal stages ----------------------------------------------
+
+def test_image_stage_real_decode_skips_jpeg(ray_session):
+    import ray.data as rd
+
+    from docetl_ray.stages.multimodal import ImageFeatureStage
+
+    img = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    rows = [
+        {"id": 1, "image": encode_png(img)},
+        {"id": 2, "image": b"\xff\xd8\xff\xe0jpeg-payload"},
+        {"id": 3, "image": encode_bmp(img)},
+    ]
+    out = rd.from_items(rows).map_batches(
+        ImageFeatureStage,
+        fn_constructor_kwargs={"fake": False, "on_error": "skip", "dim": 8},
+        batch_format="pyarrow", batch_size=8, concurrency=1,
+    ).take_all()
+    by_id = {r["id"]: r for r in sorted(out, key=lambda r: r["id"])}
+    assert set(by_id) == {1, 3}  # jpeg row skipped
+    for r in by_id.values():
+        assert (r["image_width"], r["image_height"]) == (9, 6)
+        assert len(r["image_features"]) == 8
+    assert by_id[1]["image_format"] == "png"
+    assert by_id[3]["image_format"] == "bmp"
+    # identical pixels -> identical features regardless of container
+    assert by_id[1]["image_features"] == pytest.approx(
+        by_id[3]["image_features"])
+
+
+def test_image_stage_real_decode_raises_by_default(ray_session):
+    from docetl_ray.stages.multimodal import ImageFeatureStage
+
+    stage = ImageFeatureStage(fake=False)
+    batch = pa.table({"image": [b"\xff\xd8\xff\xe0jpeg"]})
+    with pytest.raises(ValueError):
+        stage(batch)
+
+
+def test_audio_stage_real_decode(ray_session):
+    import ray.data as rd
+
+    from docetl_ray.stages.multimodal import AudioFrameSampleStage
+
+    t = np.arange(8000) / 8000
+    loud = encode_wav(0.8 * np.sin(2 * np.pi * 220 * t), rate=8000)
+    quiet = encode_wav(0.1 * np.sin(2 * np.pi * 220 * t), rate=8000)
+    rows = [{"id": 1, "audio": loud}, {"id": 2, "audio": quiet},
+            {"id": 3, "audio": b"mp3-gibberish"}]
+    out = rd.from_items(rows).map_batches(
+        AudioFrameSampleStage,
+        fn_constructor_kwargs={"fake": False, "on_error": "skip",
+                               "num_frames": 2},
+        batch_format="pyarrow", batch_size=8, concurrency=1,
+    ).take_all()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["id"], []).append(r)
+    assert set(by_id) == {1, 2}  # undecodable row skipped
+    assert all(len(v) == 2 for v in by_id.values())
+    e_loud = by_id[1][0]["frame_energy"]
+    e_quiet = by_id[2][0]["frame_energy"]
+    assert abs(e_loud - 0.8 / np.sqrt(2)) < 0.02
+    assert abs(e_quiet - 0.1 / np.sqrt(2)) < 0.02
+
+
+def test_fake_paths_unchanged_for_oracle(ray_session):
+    """The sql_parity fake path (what the driver oracle checks) must be
+    byte-stable across the real-decode addition."""
+    from docetl_ray.stages.multimodal import ImageFeatureStage
+
+    stage = ImageFeatureStage(sql_parity=True, dim=2)
+    batch = pa.table({"image": [b"payload"]})
+    out = stage(batch)
+    import hashlib
+
+    expect = [(int.from_bytes(hashlib.md5(b"payload:" + str(i).encode())
+                              .digest()[:8], "big") % 4096) / 4096.0
+              for i in range(2)]
+    assert out["image_features"].to_pylist() == [expect]
+    assert "image_width" not in out.column_names  # fake path schema unchanged

@@ -324,8 +324,10 @@ def test_multimodal_image_stage():
     # deterministic: same payload -> same features
     s = ImageFeatureStage()
     assert s._decode(b"\x89PNGfake1").tolist() == feats[0]
-    # real-decode path is explicitly stubbed
-    with pytest.raises(NotImplementedError):
+    # real-decode path (stdlib PNG/BMP/PPM, stages/imagecodec.py) rejects
+    # undecodable bytes with ValueError; tests/test_multimodal_codec.py
+    # covers the successful decodes
+    with pytest.raises(ValueError):
         ImageFeatureStage(fake=False)._decode(b"x")
 
 
