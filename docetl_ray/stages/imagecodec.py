@@ -10,12 +10,14 @@ decodable with nothing beyond ``zlib`` + numpy:
 - BMP — uncompressed 24/32-bit BITMAPINFOHEADER, bottom-up or top-down.
 - PPM / PGM — binary P6 / P5, maxval <= 255.
 - WAV — PCM RIFF via the stdlib ``wave`` module (8/16/32-bit).
+- JPEG — baseline sequential via ``jpegcodec.py`` (pure-Python huffman
+  entropy decode + numpy IDCT; progressive/arithmetic unsupported).
 
 These power the REAL (``fake=False``) decode path of
-``stages/multimodal.py``; JPEG (entropy decoding) and video codecs stay
-honestly stubbed.  Decoders return ``(array, format)`` with ``array``
-shaped (H, W, C) uint8, or raise ``ValueError`` on unsupported input —
-actor-pool callers decide whether to skip or fail the row.
+``stages/multimodal.py``; video codecs stay honestly stubbed.  Decoders
+return ``(array, format)`` with ``array`` shaped (H, W, C) uint8, or
+raise ``ValueError`` on unsupported input — actor-pool callers decide
+whether to skip or fail the row.
 """
 
 from __future__ import annotations
@@ -166,8 +168,11 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload), "ppm"
     if payload[:3] == b"\xff\xd8\xff":
-        raise ValueError("JPEG needs an entropy decoder (PIL/libjpeg); "
-                         "not decodable with the stdlib")
+        # baseline sequential JPEG: pure-Python/numpy huffman+IDCT
+        # (jpegcodec.py); progressive/arithmetic raise ValueError there
+        from .jpegcodec import decode_jpeg
+
+        return decode_jpeg(payload), "jpeg"
     raise ValueError("unrecognized image format")
 
 

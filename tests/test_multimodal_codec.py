@@ -174,16 +174,18 @@ def test_wav_stereo_mixdown():
 
 # -- real-path multimodal stages ----------------------------------------------
 
-def test_image_stage_real_decode_skips_jpeg(ray_session):
+def test_image_stage_real_decode_skips_undecodable(ray_session):
     import ray.data as rd
+    from test_jpegcodec import encode_jpeg
 
     from docetl_ray.stages.multimodal import ImageFeatureStage
 
     img = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
     rows = [
         {"id": 1, "image": encode_png(img)},
-        {"id": 2, "image": b"\xff\xd8\xff\xe0jpeg-payload"},
+        {"id": 2, "image": b"GIF89a-no-lzw-decoder-here"},
         {"id": 3, "image": encode_bmp(img)},
+        {"id": 4, "image": encode_jpeg(img)},
     ]
     out = rd.from_items(rows).map_batches(
         ImageFeatureStage,
@@ -191,15 +193,19 @@ def test_image_stage_real_decode_skips_jpeg(ray_session):
         batch_format="pyarrow", batch_size=8, concurrency=1,
     ).take_all()
     by_id = {r["id"]: r for r in sorted(out, key=lambda r: r["id"])}
-    assert set(by_id) == {1, 3}  # jpeg row skipped
+    assert set(by_id) == {1, 3, 4}  # GIF row skipped; JPEG decodes for real
     for r in by_id.values():
         assert (r["image_width"], r["image_height"]) == (9, 6)
         assert len(r["image_features"]) == 8
     assert by_id[1]["image_format"] == "png"
     assert by_id[3]["image_format"] == "bmp"
+    assert by_id[4]["image_format"] == "jpeg"
     # identical pixels -> identical features regardless of container
     assert by_id[1]["image_features"] == pytest.approx(
         by_id[3]["image_features"])
+    # lossy container: close but not identical
+    assert by_id[4]["image_features"] == pytest.approx(
+        by_id[1]["image_features"], abs=0.05)
 
 
 def test_image_stage_real_decode_raises_by_default(ray_session):

@@ -33,10 +33,12 @@ def test_parse_files_fan_out(tmp_path):
 
 
 def test_stub_parsers_raise():
-    from docetl_ray.sources import xlsx_to_string
+    # xlsx/docx/pptx are real stdlib parsers now (docetl_ray/ooxml.py,
+    # tests/test_ooxml.py); only the model/network-dependent parsers stub
+    from docetl_ray.sources import whisper_speech_to_text
 
     with pytest.raises(NotImplementedError):
-        xlsx_to_string("/tmp/x.xlsx")
+        whisper_speech_to_text("/tmp/x.wav")
 
 
 def test_top_fts_bm25_matches_reference_impl():
