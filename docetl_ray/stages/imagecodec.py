@@ -9,6 +9,8 @@ decodable with nothing beyond ``zlib`` + numpy:
   (none/sub/up/average/paeth), non-interlaced.
 - BMP — uncompressed 24/32-bit BITMAPINFOHEADER, bottom-up or top-down.
 - PPM / PGM — binary P6 / P5, maxval <= 255.
+- GIF — 87a/89a first frame: pure-Python LZW, global/local palettes,
+  interlacing; transparency index renders as the palette color.
 - WAV — PCM RIFF via the stdlib ``wave`` module (8/16/32-bit).
 - JPEG — baseline sequential via ``jpegcodec.py`` (pure-Python huffman
   entropy decode + numpy IDCT; progressive/arithmetic unsupported).
@@ -159,6 +161,119 @@ def decode_ppm(payload: bytes) -> np.ndarray:
                          offset=pos).reshape(height, width, channels)
 
 
+def _gif_lzw(data: bytes, min_code_size: int, npixels: int) -> np.ndarray:
+    """GIF-flavor LZW: LSB-first bit packing, dynamic code width 3-12
+    bits, CLEAR resets the table.  Returns palette indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = np.empty(npixels, dtype=np.uint8)
+    n_out = 0
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    prev: bytes | None = None
+    acc = nbits = pos = 0
+    while n_out < npixels:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("truncated GIF LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:  # freeze at cap (deferred-clear GIFs)
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("corrupt GIF LZW code")
+        take = min(len(entry), npixels - n_out)
+        out[n_out: n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        # widen once the next code to assign (len(table)) would not fit
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if n_out < npixels:
+        raise ValueError("GIF pixel data ended early")
+    return out
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First frame of a GIF87a/89a as (H, W, 3) uint8 RGB."""
+    if payload[:4] != b"GIF8" or len(payload) < 14:
+        raise ValueError("not a GIF (or truncated header)")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    global_pal = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        global_pal = np.frombuffer(payload, np.uint8, count=3 * n,
+                                   offset=pos).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + length-prefixed sub-blocks
+            pos += 1
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h, ipacked = struct.unpack("<HHHHB",
+                                                     payload[pos: pos + 9])
+            pos += 9
+            pal = global_pal
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(payload, np.uint8, count=3 * n,
+                                    offset=pos).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data.extend(payload[pos + 1: pos + 1 + ln])
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw(bytes(data), min_code_size, w * h).reshape(h, w)
+            if ipacked & 0x40:  # interlaced: 4-pass row shuffle
+                rows = np.concatenate([np.arange(0, h, 8),
+                                       np.arange(4, h, 8),
+                                       np.arange(2, h, 4),
+                                       np.arange(1, h, 2)])
+                deinter = np.empty_like(idx)
+                deinter[rows] = idx
+                idx = deinter
+            # first frame only; compose onto the logical screen if smaller
+            if (left, top, w, h) != (0, 0, sw, sh):
+                full = np.zeros((sh, sw), dtype=np.uint8)
+                full[top: top + h, left: left + w] = idx
+                idx = full
+            return pal[idx]
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"corrupt GIF block 0x{block:02x}")
+    raise ValueError("GIF has no image data")
+
+
 def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """Sniff + decode -> ((H, W, C) uint8, format name)."""
     if payload[:8] == _PNG_SIG:
@@ -167,6 +282,8 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         return decode_bmp(payload), "bmp"
     if payload[:2] in (b"P5", b"P6"):
         return decode_ppm(payload), "ppm"
+    if payload[:4] == b"GIF8":
+        return decode_gif(payload), "gif"
     if payload[:3] == b"\xff\xd8\xff":
         # baseline sequential JPEG: pure-Python/numpy huffman+IDCT
         # (jpegcodec.py); progressive/arithmetic raise ValueError there

@@ -183,7 +183,7 @@ def test_image_stage_real_decode_skips_undecodable(ray_session):
     img = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
     rows = [
         {"id": 1, "image": encode_png(img)},
-        {"id": 2, "image": b"GIF89a-no-lzw-decoder-here"},
+        {"id": 2, "image": b"RIFF\x00\x00\x00\x00WEBPVP8 no-vp8-decoder"},
         {"id": 3, "image": encode_bmp(img)},
         {"id": 4, "image": encode_jpeg(img)},
     ]
