@@ -488,9 +488,89 @@ def _op_chain_hash(ops: list[dict]) -> str:
 
 
 class RunCancelled(Exception):
-    """Raised between operations when a cooperative cancel is requested
-    (the reference cancels runs through handlers registered with
+    """Raised when a cooperative cancel is requested (the reference
+    cancels runs through handlers registered with
     ``server/app/run_manager.py:11-27``)."""
+
+
+class RayCancelEvent:
+    """A cancel flag readable from Ray workers: a tiny named actor holds
+    one bool.  ``set()``/``is_set()`` mirror ``threading.Event`` so it
+    drops into ``PipelineRunner(cancel_event=...)``; unlike a
+    ``threading.Event`` it is picklable, so the runner can inject a
+    mid-stream probe (see ``_CancelProbe``) and cancellation reaches a
+    pipeline that is already EXECUTING, not just one still being built."""
+
+    def __init__(self):
+        import ray
+
+        @ray.remote(num_cpus=0)
+        class _Flag:
+            def __init__(self):
+                self._set = False
+
+            def set(self):
+                self._set = True
+
+            def is_set(self):
+                return self._set
+
+        self._actor = _Flag.remote()
+
+    def set(self):
+        import ray
+
+        ray.get(self._actor.set.remote())
+
+    def is_set(self) -> bool:
+        import ray
+
+        return ray.get(self._actor.is_set.remote())
+
+
+class _CancelProbe:
+    """Pass-through ``map_batches`` stage that polls a RayCancelEvent at
+    most every ``interval`` seconds per worker process and raises
+    :class:`RunCancelled` mid-stream when it fires.  One probe ahead of
+    the sink covers the whole lazy chain — upstream batches flow through
+    it as they are produced, so an executing pipeline stops within one
+    batch + poll interval."""
+
+    _last_check = 0.0
+
+    def __init__(self, event: "RayCancelEvent", interval: float = 0.5):
+        self.event = event
+        self.interval = interval
+
+    def __call__(self, batch):
+        import time
+
+        now = time.monotonic()
+        if now - _CancelProbe._last_check >= self.interval:
+            _CancelProbe._last_check = now
+            if self.event.is_set():
+                raise RunCancelled("run cancelled")
+        return batch
+
+
+def is_cancelled_error(e: BaseException) -> bool:
+    """True when ``e`` is (or wraps, via Ray task error causes) a
+    :class:`RunCancelled` — callers recording run state use this to
+    distinguish a cancel from a failure."""
+    seen = 0
+    cur: BaseException | None = e
+    while cur is not None and seen < 16:
+        if isinstance(cur, RunCancelled):
+            return True
+        # worker-side RunCancelled arrives wrapped (e.g.
+        # RayTaskError(UserCodeException)) with the original traceback
+        # serialized into the message
+        if (type(cur).__module__.startswith("ray.")
+                and "RunCancelled" in str(cur)):
+            return True
+        cur = cur.__cause__ or cur.__context__
+        seen += 1
+    return False
 
 
 class PipelineRunner:
@@ -626,6 +706,12 @@ class PipelineRunner:
 
         out_cfg = self.config["pipeline"].get("output")
         self._check_cancel()
+        if isinstance(self.cancel_event, RayCancelEvent) and last is not None:
+            # graph construction above is lazy and fast; the compute burns
+            # inside the sink's streaming execution — probe the flag
+            # mid-stream so cancel works while the pipeline is EXECUTING
+            last = last.map_batches(
+                _CancelProbe(self.cancel_event), batch_format="pyarrow")
         if out_cfg and last is not None:
             fmt = out_cfg.get("format", "parquet")
             path = out_cfg["path"]

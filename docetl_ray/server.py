@@ -56,7 +56,7 @@ import time
 import uuid
 from typing import Any
 
-from .runner import PipelineRunner, RunCancelled
+from .runner import PipelineRunner, RayCancelEvent, is_cancelled_error
 
 RUN_STATUSES = ("pending", "running", "completed", "failed", "cancelled")
 _FINISHED = {"completed", "failed", "cancelled"}
@@ -82,7 +82,18 @@ class _Store:
         self.runs: dict[str, dict] = data["runs"]
         # in-memory only: cancel events for live runs (reference
         # run_manager registry)
-        self._cancel_events: dict[str, threading.Event] = {}
+        self._cancel_events: dict[str, Any] = {}
+        # runs persisted as pending/running belong to a dead process
+        # (their threads died with it): fail them on load so no record
+        # is stuck in a non-terminal, non-cancellable state forever
+        dirty = False
+        for rec in self.runs.values():
+            if rec["status"] in ("pending", "running"):
+                rec.update(status="failed", ended_at=time.time(),
+                           error="server restarted while the run was active")
+                dirty = True
+        if dirty:
+            self._flush()
 
     def _flush(self):
         tmp = self.path + ".tmp"
@@ -110,7 +121,9 @@ class _Store:
     def update_pipeline(self, pid: str, *, name=None, config=None,
                         description=None, expected_updated_at=None) -> dict:
         with self.lock:
-            rec = self.pipelines[pid]
+            rec = self.pipelines.get(pid)
+            if rec is None:  # raced with a concurrent delete
+                raise KeyError(pid)
             # optimistic concurrency, reference update_pipeline semantics
             if (expected_updated_at is not None
                     and rec["updated_at"] != expected_updated_at):
@@ -127,12 +140,14 @@ class _Store:
 
     def delete_pipeline(self, pid: str):
         with self.lock:
+            if pid not in self.pipelines:  # raced with a concurrent delete
+                raise KeyError(pid)
             del self.pipelines[pid]
             self._flush()
 
     # -- runs ------------------------------------------------------------
     def create_run(self, config: dict, pipeline_id=None, pipeline_name=None,
-                   trigger: str = "api") -> tuple[dict, threading.Event]:
+                   trigger: str = "api", cancel_event=None):
         with self.lock:
             rid = str(uuid.uuid4())
             rec = {
@@ -149,7 +164,7 @@ class _Store:
                 "error": None,
             }
             self.runs[rid] = rec
-            ev = threading.Event()
+            ev = cancel_event if cancel_event is not None else threading.Event()
             self._cancel_events[rid] = ev
             self._flush()
             return rec, ev
@@ -174,7 +189,7 @@ class _Store:
     def summary(self) -> dict:
         with self.lock:
             runs = list(self.runs.values())
-        out = {"total": len(runs), "running": 0, "failed": 0,
+        out = {"total": len(runs), "pending": 0, "running": 0, "failed": 0,
                "completed": 0, "cancelled": 0, "last_run_at": None}
         for r in runs:
             if r["status"] in out:
@@ -207,8 +222,18 @@ def _jsonable(v: Any) -> Any:
     return str(v)
 
 
+def _written_rows(out_dir: str) -> int:
+    """Row count from the written files' parquet footers — O(metadata),
+    never a second execution of the (lazy) pipeline."""
+    import pyarrow.dataset as pads
+
+    return sum(f.metadata.num_rows if f.metadata is not None
+               else f.count_rows()
+               for f in pads.dataset(out_dir, format="parquet").get_fragments())
+
+
 def _execute_run(store: _Store, rid: str, config: dict, out_dir: str,
-                 cancel_event: threading.Event):
+                 cancel_event):
     """Background-thread body: drive PipelineRunner and record the
     terminal state (the reference's run executor persists the same
     lifecycle transitions into metadata_db)."""
@@ -222,14 +247,15 @@ def _execute_run(store: _Store, rid: str, config: dict, out_dir: str,
     try:
         runner = PipelineRunner(cfg, cancel_event=cancel_event)
         result = runner.run()
-        rows = int(result.count()) if result is not None else 0
+        rows = _written_rows(out_dir) if result is not None else 0
         store.update_run(rid, status="completed", ended_at=time.time(),
                          output_path=out_dir, output_rows=rows)
-    except RunCancelled:
-        store.update_run(rid, status="cancelled", ended_at=time.time())
     except Exception as e:  # noqa: BLE001 — terminal state must be recorded
-        store.update_run(rid, status="failed", ended_at=time.time(),
-                         error=f"{type(e).__name__}: {e}")
+        if is_cancelled_error(e):
+            store.update_run(rid, status="cancelled", ended_at=time.time())
+        else:
+            store.update_run(rid, status="failed", ended_at=time.time(),
+                             error=f"{type(e).__name__}: {e}")
 
 
 def create_app(root: str):
@@ -309,6 +335,8 @@ def create_app(root: str):
                 expected_updated_at=body.get("expected_updated_at"))
         except ConflictError as e:
             return _error(409, str(e))
+        except KeyError:  # deleted between the existence check and here
+            return _error(404, "Pipeline not found")
         return jsonify(rec)
 
     @app.delete("/api/pipelines/<pid>")
@@ -316,13 +344,24 @@ def create_app(root: str):
         rec, err = _get_pipeline_or_404(pid)
         if err:
             return err
-        store.delete_pipeline(pid)
+        try:
+            store.delete_pipeline(pid)
+        except KeyError:  # raced with a concurrent delete
+            return _error(404, "Pipeline not found")
         return jsonify({"status": "deleted"})
 
     # -- runs ------------------------------------------------------------
     def _start_run(config: dict, pipeline_id=None, pipeline_name=None):
+        # a Ray-actor-backed flag (picklable) lets the runner probe it
+        # MID-EXECUTION from workers; fall back to a thread event (cancel
+        # then only lands between ops) if Ray is somehow unavailable
+        try:
+            cancel_event = RayCancelEvent()
+        except Exception:
+            cancel_event = threading.Event()
         rec, ev = store.create_run(config, pipeline_id=pipeline_id,
-                                   pipeline_name=pipeline_name)
+                                   pipeline_name=pipeline_name,
+                                   cancel_event=cancel_event)
         out_dir = os.path.join(store.root, "runs", rec["id"], "output")
         os.makedirs(out_dir, exist_ok=True)
         t = threading.Thread(

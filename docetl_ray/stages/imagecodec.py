@@ -216,7 +216,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
     """First frame of a GIF87a/89a as (H, W, 3) uint8 RGB."""
     if payload[:4] != b"GIF8" or len(payload) < 14:
         raise ValueError("not a GIF (or truncated header)")
-    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     global_pal = None
     if packed & 0x80:
@@ -261,9 +261,11 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 deinter = np.empty_like(idx)
                 deinter[rows] = idx
                 idx = deinter
-            # first frame only; compose onto the logical screen if smaller
+            # first frame only; compose onto the logical screen if smaller,
+            # filling with the header's declared background color index
             if (left, top, w, h) != (0, 0, sw, sh):
-                full = np.zeros((sh, sw), dtype=np.uint8)
+                fill = bg if bg < len(pal) else 0
+                full = np.full((sh, sw), fill, dtype=np.uint8)
                 full[top: top + h, left: left + w] = idx
                 idx = full
             return pal[idx]
@@ -275,21 +277,33 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
-    """Sniff + decode -> ((H, W, C) uint8, format name)."""
-    if payload[:8] == _PNG_SIG:
-        return decode_png(payload), "png"
-    if payload[:2] == b"BM":
-        return decode_bmp(payload), "bmp"
-    if payload[:2] in (b"P5", b"P6"):
-        return decode_ppm(payload), "ppm"
-    if payload[:4] == b"GIF8":
-        return decode_gif(payload), "gif"
-    if payload[:3] == b"\xff\xd8\xff":
-        # baseline sequential JPEG: pure-Python/numpy huffman+IDCT
-        # (jpegcodec.py); progressive/arithmetic raise ValueError there
-        from .jpegcodec import decode_jpeg
+    """Sniff + decode -> ((H, W, C) uint8, format name).
 
-        return decode_jpeg(payload), "jpeg"
+    Guarantees the module contract that bad input raises ``ValueError``:
+    low-level errors from truncated/corrupt payloads (struct.error,
+    zlib.error, IndexError, ...) are normalized here so callers like the
+    multimodal stage's ``on_error="skip"`` can rely on one exception
+    type."""
+    try:
+        if payload[:8] == _PNG_SIG:
+            return decode_png(payload), "png"
+        if payload[:2] == b"BM":
+            return decode_bmp(payload), "bmp"
+        if payload[:2] in (b"P5", b"P6"):
+            return decode_ppm(payload), "ppm"
+        if payload[:4] == b"GIF8":
+            return decode_gif(payload), "gif"
+        if payload[:3] == b"\xff\xd8\xff":
+            # baseline sequential JPEG: pure-Python/numpy huffman+IDCT
+            # (jpegcodec.py); progressive/arithmetic raise ValueError there
+            from .jpegcodec import decode_jpeg
+
+            return decode_jpeg(payload), "jpeg"
+    except ValueError:
+        raise
+    except (struct.error, zlib.error, IndexError, KeyError, OverflowError,
+            EOFError) as e:
+        raise ValueError(f"corrupt or truncated image payload: {e}") from e
     raise ValueError("unrecognized image format")
 
 

@@ -187,10 +187,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise ValueError(
+                    "non-interleaved (multi-scan) baseline JPEG unsupported")
             scan = {}
             for i in range(ns):
                 cid, tables = seg[1 + 2 * i: 3 + 2 * i]
                 scan[cid] = (tables >> 4, tables & 0xF)
+            if any(c["id"] not in scan for c in frame["comps"]):
+                raise ValueError("JPEG scan is missing frame components")
             return _decode_scan(payload, pos + seglen, frame, scan, qt,
                                 huff_dc, huff_ac, restart_interval)
         elif marker == 0xD9:  # EOI before SOS
@@ -263,7 +268,8 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         out_planes.append(p[:height, :width])
     if len(comps) == 1:
-        return np.clip(out_planes[0], 0, 255).astype(np.uint8)[..., None]
+        return np.clip(out_planes[0], 0, 255).round() \
+            .astype(np.uint8)[..., None]
     if len(comps) != 3:
         raise ValueError(f"unsupported JPEG component count {len(comps)}")
     y, cb, cr = out_planes

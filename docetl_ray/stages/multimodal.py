@@ -8,11 +8,11 @@ Two decode paths:
   output layout) is testable and the DuckDB correctness oracle can
   replicate the values bit-for-bit (``sql_parity``).
 - ``fake=False`` — REAL decode for stdlib-decodable formats via
-  ``stages/imagecodec.py``: PNG/BMP/PPM images (zlib + numpy) and PCM
-  WAV audio (``wave``).  JPEG (entropy decoder) and video codecs remain
-  honestly stubbed — those genuinely need PIL/ffmpeg; the real-path
-  ``ValueError`` for them is where such a decoder plugs in
-  (``on_error="skip"`` drops undecodable rows instead of failing).
+  ``stages/imagecodec.py`` / ``jpegcodec.py``: PNG/BMP/PPM/GIF and
+  baseline JPEG images, PCM WAV audio.  WebP/video codecs (and
+  progressive JPEG) remain honestly stubbed — those genuinely need
+  libwebp/ffmpeg; their ``ValueError`` is where such a decoder plugs
+  in (``on_error="skip"`` drops undecodable rows instead of failing).
 
 Batch-size guidance: binary payloads are wide — size ``batch_size`` so
 ``batch_size × mean_payload × concurrency`` fits the worker heap (see
@@ -59,8 +59,9 @@ class ImageFeatureStage:
         if payload is None:
             return np.zeros(self.dim, dtype=dtype)
         if not self.fake:
-            # real stdlib decode: PNG/BMP/PPM (imagecodec.py); JPEG and
-            # beyond raise ValueError — handled per on_error in __call__
+            # real stdlib decode: PNG/BMP/PPM/GIF/baseline-JPEG
+            # (imagecodec.py); undecodable formats raise ValueError —
+            # handled per on_error in __call__
             from .imagecodec import decode_image, image_features
 
             img, self._last_format = decode_image(payload)

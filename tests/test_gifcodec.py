@@ -151,3 +151,16 @@ def test_gif_via_sniffer_and_garbage():
     assert fmt == "gif" and arr.shape == (4, 4, 3)
     with pytest.raises(ValueError):
         decode_gif(b"GIF89a\x00")  # truncated
+
+
+def test_gif_background_color_index_used():
+    from docetl_ray.stages.imagecodec import decode_gif as _dg
+
+    palette = np.array([[255, 255, 255], [0, 0, 0], [7, 8, 9]], np.uint8)
+    idx = np.ones((2, 3), np.uint8)
+    payload = bytearray(encode_gif(idx, palette, frame_box=(4, 5),
+                                   screen=(10, 9)))
+    payload[11] = 2  # background color index byte in the screen descriptor
+    out = _dg(bytes(payload))
+    assert (out[0, 0] == [7, 8, 9]).all()   # bg index honored
+    assert (out[5:7, 4:7] == 0).all()       # frame untouched

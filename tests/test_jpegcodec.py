@@ -236,3 +236,17 @@ def test_progressive_rejected():
 def test_truncated_rejected():
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0junk")
+
+
+def test_non_interleaved_scan_rejected():
+    img = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    payload = bytearray(encode_jpeg(img))
+    i = payload.index(b"\xff\xda")
+    # rewrite the 3-component SOS into a 1-component one (spec-legal
+    # multi-scan layout this decoder deliberately rejects)
+    old_len = struct.unpack(">H", payload[i + 2: i + 4])[0]
+    new_sos = b"\xff\xda" + struct.pack(">H", 8) + bytes([1, 1, 0x00]) + \
+        b"\x00\x3f\x00"
+    payload[i: i + 2 + old_len] = new_sos
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg(bytes(payload))

@@ -193,7 +193,7 @@ def test_image_stage_real_decode_skips_undecodable(ray_session):
         batch_format="pyarrow", batch_size=8, concurrency=1,
     ).take_all()
     by_id = {r["id"]: r for r in sorted(out, key=lambda r: r["id"])}
-    assert set(by_id) == {1, 3, 4}  # GIF row skipped; JPEG decodes for real
+    assert set(by_id) == {1, 3, 4}  # WEBP row skipped; JPEG decodes for real
     for r in by_id.values():
         assert (r["image_width"], r["image_height"]) == (9, 6)
         assert len(r["image_features"]) == 8
@@ -259,3 +259,33 @@ def test_fake_paths_unchanged_for_oracle(ray_session):
               for i in range(2)]
     assert out["image_features"].to_pylist() == [expect]
     assert "image_width" not in out.column_names  # fake path schema unchanged
+
+
+def test_decode_image_normalizes_lowlevel_errors():
+    """Truncated/corrupt payloads of recognized formats must raise
+    ValueError (the on_error='skip' contract), not struct/zlib/Index
+    errors."""
+    import zlib as _zlib
+
+    bad = [
+        b"BM\x00\x01",                      # truncated BMP header
+        b"GIF89a" + b"\x01" * 20,           # garbage GIF blocks
+        encode_png(np.zeros((2, 2, 1), np.uint8))[:20],  # truncated PNG
+        b"\x89PNG\r\n\x1a\n" + b"\x00" * 30,  # PNG, corrupt chunks
+        b"P6 2 2 255\n\x00",                # PPM pixel data too short
+    ]
+    for payload in bad:
+        with pytest.raises(ValueError):
+            decode_image(payload)
+    # corrupt IDAT: valid chunk framing, invalid zlib stream
+    import struct as _struct
+
+    def chunk(t, d):
+        return _struct.pack(">I", len(d)) + t + d + _struct.pack(
+            ">I", _zlib.crc32(t + d))
+
+    ihdr = _struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+           chunk(b"IDAT", b"notzlib") + chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_image(png)

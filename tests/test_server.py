@@ -199,3 +199,63 @@ def test_cli_serve_parser():
     args = build_parser().parse_args(["serve", "--root", "/tmp/x",
                                       "--port", "9999"])
     assert args.root == "/tmp/x" and args.port == 9999 and args.host == "127.0.0.1"
+
+
+def test_run_cancel_mid_execution(client):
+    """Cancel must land while the pipeline is EXECUTING (inside the
+    streaming sink), not just between ops during lazy graph build: the
+    runner injects a _CancelProbe stage ahead of the sink."""
+    cfg = {
+        "datasets": {"rows": {"type": "memory",
+                              "data": [{"i": i} for i in range(64)]}},
+        "operations": [{
+            "name": "slow",
+            "type": "code_map",
+            "code": ("import time\n"
+                     "def transform(doc):\n"
+                     "    time.sleep(0.25)\n"
+                     "    return {'j': doc['i'] + 1}\n"),
+        }],
+        "pipeline": {"steps": [{"name": "s1", "input": "rows",
+                                "operations": ["slow"]}]},
+    }
+    run = client.post("/api/runs", json={"config": cfg}).get_json()
+    # wait until the run is genuinely executing, then cancel
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        if client.get(f"/api/runs/{run['id']}").get_json()["status"] == "running":
+            break
+        time.sleep(0.05)
+    time.sleep(1.0)  # let the streaming sink start pulling batches
+    assert client.post(f"/api/runs/{run['id']}/cancel").status_code == 202
+    rec = _wait_run(client, run["id"], timeout=30)
+    assert rec["status"] == "cancelled"
+
+
+def test_restart_sweep_fails_stuck_runs(tmp_path):
+    import json as _json
+
+    from docetl_ray.server import create_app
+
+    root = tmp_path / "srv"
+    root.mkdir()
+    meta = {
+        "pipelines": {},
+        "runs": {"r1": {"id": "r1", "pipeline_id": None, "pipeline_name": None,
+                        "trigger": "api", "status": "running",
+                        "created_at": 1.0, "started_at": 1.0, "ended_at": None,
+                        "output_path": None, "output_rows": None, "error": None}},
+    }
+    (root / "server_meta.json").write_text(_json.dumps(meta))
+    c = create_app(str(root)).test_client()
+    rec = c.get("/api/runs/r1").get_json()
+    assert rec["status"] == "failed"
+    assert "restarted" in rec["error"]
+    # and it is no longer "cancellable" nor stuck: cancel -> 409 finished
+    assert c.post("/api/runs/r1/cancel").status_code == 409
+
+
+def test_summary_counts_pending_bucket(client):
+    s = client.get("/api/runs/summary").get_json()
+    assert set(s) >= {"total", "pending", "running", "failed",
+                      "completed", "cancelled"}
