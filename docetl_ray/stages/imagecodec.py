@@ -330,6 +330,44 @@ def image_features(img: np.ndarray, dim: int) -> np.ndarray:
     return out
 
 
+def avi_mjpeg_frames(payload: bytes) -> tuple[list[bytes], float]:
+    """MJPEG-in-AVI: return (JPEG payloads in stream order, seconds per
+    frame).  AVI is a RIFF container — video frames live in '00dc'/'00db'
+    chunks under the 'movi' list and each MJPEG frame is a standalone
+    baseline JPEG (decodable by ``jpegcodec``).  Non-MJPEG codecs surface
+    as frames that fail the JPEG signature check -> ValueError.  This is
+    the one video container decodable with the stdlib; anything needing
+    inter-frame codecs (H.264 etc.) raises where ffmpeg would plug in."""
+    if payload[:4] != b"RIFF" or payload[8:12] not in (b"AVI ", b"AVIX"):
+        raise ValueError("not an AVI file")
+    frames: list[bytes] = []
+    spf = 1.0 / 25.0  # default frame duration; avih overrides below
+
+    def walk(buf: bytes, start: int, end: int):
+        nonlocal spf
+        pos = start
+        while pos + 8 <= end:
+            fourcc = buf[pos: pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4: pos + 8])
+            body = pos + 8
+            if fourcc in (b"RIFF", b"LIST"):
+                walk(buf, body + 4, min(body + size, end))
+            elif fourcc == b"avih" and size >= 4:
+                (usec,) = struct.unpack("<I", buf[body: body + 4])
+                if usec > 0:
+                    spf = usec / 1e6
+            elif fourcc[2:4] in (b"dc", b"db"):  # compressed/uncompressed video
+                frames.append(buf[body: body + size])
+            pos = body + size + (size & 1)  # chunks pad to even
+
+    walk(payload, 0, len(payload))
+    if not frames:
+        raise ValueError("AVI contains no video frames")
+    if frames[0][:3] != b"\xff\xd8\xff":
+        raise ValueError("AVI video stream is not MJPEG; needs ffmpeg")
+    return frames, spf
+
+
 _WAV_DTYPES = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}
 
 

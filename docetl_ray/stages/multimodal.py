@@ -185,9 +185,13 @@ class VideoKeyframeStage:
     """Actor-pool stage: sample keyframes from a video payload and emit
     one row per keyframe with a feature vector (flat_map-shaped).
 
-    Stubbed decode (no ffmpeg here): ``fake=True`` derives deterministic
-    frame timestamps/features from the payload hash; ``fake=False``
-    raises at the decode call where a real ffmpeg/PyAV reader plugs in.
+    ``fake=True`` derives deterministic frame timestamps/features from
+    the payload hash (the oracle path); ``fake=False`` REALLY decodes
+    MJPEG-in-AVI (RIFF walk + the baseline JPEG decoder — the one video
+    container the stdlib can handle): evenly-sampled frames become
+    ``image_features`` vectors at their stream timestamps.  Inter-frame
+    codecs (H.264 etc.) raise ValueError where an ffmpeg/PyAV reader
+    plugs in; ``on_error="skip"`` drops those rows.
     Batch sizing: video payloads are the widest rows — use small
     ``batch_size`` (default 8) so batch x concurrency fits worker heap.
     """
@@ -195,7 +199,8 @@ class VideoKeyframeStage:
     __name__ = "video_keyframes"
 
     def __init__(self, *, num_keyframes: int = 3, dim: int = 8, fake: bool = True,
-                 bytes_col: str = "video", sql_parity: bool = False):
+                 bytes_col: str = "video", sql_parity: bool = False,
+                 on_error: str = "raise"):
         self.num_keyframes = num_keyframes
         self.dim = dim
         self.fake = fake
@@ -203,6 +208,20 @@ class VideoKeyframeStage:
         # sql_parity: md5-derived duration/features with small-integer
         # mantissas, exactly replicable in DuckDB for the oracle
         self.sql_parity = sql_parity
+        self.on_error = on_error
+
+    def _real_frames(self, payload: bytes):
+        """Decode MJPEG-AVI and sample num_keyframes evenly; yields
+        (timestamp_sec, feature_vector) per sampled frame."""
+        from .imagecodec import avi_mjpeg_frames, decode_image, image_features
+
+        frames, spf = avi_mjpeg_frames(payload)
+        n = min(self.num_keyframes, len(frames))
+        picks = np.linspace(0, len(frames) - 1, n).round().astype(int)
+        for f in picks:
+            # decode_image normalizes corrupt-frame errors to ValueError
+            img, _ = decode_image(frames[f])
+            yield float(f) * spf, image_features(img, self.dim).tolist()
 
     def _fake_frame(self, payload: bytes, f: int):
         if self.sql_parity:
@@ -229,11 +248,20 @@ class VideoKeyframeStage:
         return ts, v32.tolist()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.fake:
-            raise NotImplementedError("video decoding requires ffmpeg/PyAV")
         idx, frame_ts, feats = [], [], []
         for i, b in enumerate(batch[self.bytes_col].to_pylist()):
             if not b:
+                continue
+            if not self.fake:
+                try:
+                    for ts, v in self._real_frames(b):
+                        idx.append(i)
+                        frame_ts.append(ts)
+                        feats.append(v)
+                except ValueError:
+                    if self.on_error == "skip":
+                        continue
+                    raise
                 continue
             for f in range(self.num_keyframes):
                 ts, v = self._fake_frame(b, f)

@@ -289,3 +289,80 @@ def test_decode_image_normalizes_lowlevel_errors():
            chunk(b"IDAT", b"notzlib") + chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_image(png)
+
+
+# -- mjpeg avi video -----------------------------------------------------------
+
+def encode_avi_mjpeg(jpeg_frames, usec_per_frame=40000):
+    """Minimal RIFF/AVI muxer: avih header + movi list of 00dc chunks."""
+    def chunk(fourcc, body):
+        pad = b"\x00" if len(body) & 1 else b""
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    avih = struct.pack("<IIIIIIIIIIIIII", usec_per_frame, 0, 0, 0,
+                       len(jpeg_frames), 0, 1, 0, 0, 0, 0, 0, 0, 0)
+    hdrl = b"LIST" + struct.pack(
+        "<I", 4 + len(chunk(b"avih", avih))) + b"hdrl" + chunk(b"avih", avih)
+    movi_body = b"".join(chunk(b"00dc", f) for f in jpeg_frames)
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
+
+
+def test_avi_mjpeg_frames_parse():
+    from test_jpegcodec import encode_jpeg
+
+    from docetl_ray.stages.imagecodec import avi_mjpeg_frames
+
+    imgs = [rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+            for _ in range(5)]
+    frames = [encode_jpeg(im) for im in imgs]
+    got, spf = avi_mjpeg_frames(encode_avi_mjpeg(frames, usec_per_frame=100000))
+    assert got == frames
+    assert abs(spf - 0.1) < 1e-9
+    with pytest.raises(ValueError):
+        avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00AVI ")  # no frames
+    with pytest.raises(ValueError):
+        avi_mjpeg_frames(b"nope")
+
+
+def test_video_stage_real_mjpeg_decode(ray_session):
+    import ray.data as rd
+    from test_jpegcodec import encode_jpeg
+
+    from docetl_ray.stages.multimodal import VideoKeyframeStage
+
+    imgs = [np.full((8, 8, 3), 32 * i, dtype=np.uint8) for i in range(8)]
+    avi = encode_avi_mjpeg([encode_jpeg(im) for im in imgs],
+                           usec_per_frame=500000)
+    rows = [{"id": 1, "video": avi},
+            {"id": 2, "video": b"RIFF\x10\x00\x00\x00AVI LISTmovi"},  # no frames
+            {"id": 3, "video": None}]
+    out = rd.from_items(rows).map_batches(
+        VideoKeyframeStage,
+        fn_constructor_kwargs={"fake": False, "on_error": "skip",
+                               "num_keyframes": 4, "dim": 8},
+        batch_format="pyarrow", batch_size=8, concurrency=1,
+    ).take_all()
+    assert all(r["id"] == 1 for r in out)
+    assert len(out) == 4
+    ts = sorted(r["keyframe_ts"] for r in out)
+    # frames 0,2,5,7 of 8 at 0.5 s/frame
+    assert ts == pytest.approx([0.0, 1.0, 2.5, 3.5])
+    # brightness rises across sampled frames: feature[0] is channel mean
+    by_ts = sorted(out, key=lambda r: r["keyframe_ts"])
+    means = [r["keyframe_features"][0] for r in by_ts]
+    assert means == sorted(means) and means[-1] > means[0]
+
+
+def test_video_stage_fake_path_unchanged(ray_session):
+    from docetl_ray.stages.multimodal import VideoKeyframeStage
+
+    stage = VideoKeyframeStage(sql_parity=True, num_keyframes=2, dim=2)
+    batch = pa.table({"id": [1], "video": [b"vid"]})
+    out = stage(batch)
+    import hashlib
+
+    hd = int.from_bytes(hashlib.md5(b"vid").digest()[:8], "big")
+    dur = 1.0 + (hd % 600)
+    assert out["keyframe_ts"].to_pylist() == [dur * 0.25, dur * 0.75]

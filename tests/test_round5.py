@@ -715,3 +715,29 @@ def test_minhash_pick_sigs_tolerates_null_ids(ray_session):
            for r in pairs.take_all()}
     assert ("a", "b") in got
     assert all(None not in p for p in got)
+
+
+def test_correctness_window_rotation_policy():
+    """Every queries() entry must have a green driver row within the
+    last two rounds: entries lacking a row in the newest CORRECTNESS
+    artifact must sit inside the 50-entry window the driver checks."""
+    import json
+    import os
+
+    import __ray_entry__ as entry
+
+    names = list(entry.queries().keys())
+    assert len(names) == len(set(names)), "duplicate query names"
+    arts = sorted(
+        f for f in os.listdir("/root/repo") if f.startswith("CORRECTNESS_r")
+    )
+    if not arts:
+        pytest.skip("no driver correctness artifacts present")
+    with open(os.path.join("/root/repo", arts[-1])) as f:
+        latest = json.load(f)
+    green = {k for k, v in latest.items()
+             if isinstance(v, dict) and v.get("hash_match")}
+    uncovered = [n for n in names if n not in green and n not in names[:50]]
+    assert uncovered == [], (
+        f"queries outside the 50-row driver window with no green row in "
+        f"{arts[-1]}: {uncovered} — rotate them to the front of queries()")
