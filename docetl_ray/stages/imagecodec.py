@@ -16,7 +16,9 @@ decodable with nothing beyond ``zlib`` + numpy:
   entropy decode + numpy IDCT; progressive/arithmetic unsupported).
 
 These power the REAL (``fake=False``) decode path of
-``stages/multimodal.py``; video codecs stay honestly stubbed.  Decoders
+``stages/multimodal.py``; WebP and inter-frame video codecs stay
+honestly stubbed (MJPEG-in-AVI decodes via ``avi_mjpeg_frames`` + the
+JPEG decoder).  Decoders
 return ``(array, format)`` with ``array`` shaped (H, W, C) uint8, or
 raise ``ValueError`` on unsupported input — actor-pool callers decide
 whether to skip or fail the row.

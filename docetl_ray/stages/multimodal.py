@@ -9,7 +9,8 @@ Two decode paths:
   replicate the values bit-for-bit (``sql_parity``).
 - ``fake=False`` — REAL decode for stdlib-decodable formats via
   ``stages/imagecodec.py`` / ``jpegcodec.py``: PNG/BMP/PPM/GIF and
-  baseline JPEG images, PCM WAV audio.  WebP/video codecs (and
+  baseline JPEG images, PCM WAV audio, MJPEG-in-AVI video
+  keyframes.  WebP/inter-frame video codecs (and
   progressive JPEG) remain honestly stubbed — those genuinely need
   libwebp/ffmpeg; their ``ValueError`` is where such a decoder plugs
   in (``on_error="skip"`` drops undecodable rows instead of failing).
@@ -123,10 +124,10 @@ class ImageFeatureStage:
 
 
 class AudioFrameSampleStage:
-    """Actor-pool stage: sample N frames/windows from an audio payload.
-
-    Stubbed decode (see module docstring); emits one row per sampled
-    frame (``flat_map``-shaped: more rows out than in).
+    """Actor-pool stage: sample N frames/windows from an audio payload;
+    emits one row per sampled frame (``flat_map``-shaped: more rows out
+    than in).  ``fake=False`` really decodes PCM WAV (module docstring);
+    compressed audio raises/skips per ``on_error``.
     """
 
     __name__ = "audio_frames"
