@@ -251,7 +251,15 @@ def _execute_run(store: _Store, rid: str, config: dict, out_dir: str,
         store.update_run(rid, status="completed", ended_at=time.time(),
                          output_path=out_dir, output_rows=rows)
     except Exception as e:  # noqa: BLE001 — terminal state must be recorded
-        if is_cancelled_error(e):
+        # once cancel was REQUESTED, any raised error is the cancel taking
+        # effect (the probe's RunCancelled arrives wrapped in Ray's task
+        # error chain, whose exact shape varies) — the event is the truth
+        cancelled = is_cancelled_error(e)
+        try:
+            cancelled = cancelled or cancel_event.is_set()
+        except Exception:  # noqa: BLE001 — flag actor may already be dead
+            pass
+        if cancelled:
             store.update_run(rid, status="cancelled", ended_at=time.time())
         else:
             store.update_run(rid, status="failed", ended_at=time.time(),

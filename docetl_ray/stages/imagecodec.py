@@ -5,8 +5,9 @@ librosa / ffmpeg — none present here).  But several common formats are
 decodable with nothing beyond ``zlib`` + numpy:
 
 - PNG — zlib-compressed filtered scanlines (RFC 2083): 8-bit depth,
-  color types gray / gray+alpha / RGB / RGBA, all five scanline filters
-  (none/sub/up/average/paeth), non-interlaced.
+  color types gray / gray+alpha / RGB / RGBA / palette (PLTE), all five
+  scanline filters (none/sub/up/average/paeth), non-interlaced or
+  Adam7-interlaced.
 - BMP — uncompressed 24/32-bit BITMAPINFOHEADER, bottom-up or top-down.
 - PPM / PGM — binary P6 / P5, maxval <= 255.
 - GIF — 87a/89a first frame: pure-Python LZW, global/local palettes,
@@ -74,6 +75,11 @@ def _png_defilter(raw: np.ndarray, height: int, stride: int, bpp: int) -> np.nda
     return out
 
 
+#: Adam7 interlace passes: (row start, row step, col start, col step)
+_ADAM7 = [(0, 8, 0, 8), (0, 8, 4, 8), (4, 8, 0, 4), (0, 4, 2, 4),
+          (2, 4, 0, 2), (0, 2, 1, 2), (1, 2, 0, 1)]
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     if payload[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
@@ -81,6 +87,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     width = height = None
     bit_depth = color_type = interlace = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(payload):
         (length,) = struct.unpack(">I", payload[pos: pos + 4])
         ctype = payload[pos + 4: pos + 8]
@@ -89,25 +96,48 @@ def decode_png(payload: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             width, height, bit_depth, color_type, _, _, interlace = \
                 struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(data)
         elif ctype == b"IEND":
             break
     if width is None:
         raise ValueError("PNG missing IHDR")
-    if bit_depth != 8 or color_type not in _PNG_CHANNELS:
+    if bit_depth != 8 or (color_type not in _PNG_CHANNELS and color_type != 3):
         raise ValueError(
             f"unsupported PNG (depth={bit_depth}, color_type={color_type}); "
-            "palette/16-bit need a full decoder")
-    if interlace:
-        raise ValueError("interlaced PNG unsupported")
-    channels = _PNG_CHANNELS[color_type]
-    stride = width * channels
+            "sub-8-bit/16-bit need a full decoder")
+    if color_type == 3 and plte is None:
+        raise ValueError("palette PNG missing PLTE chunk")
+    channels = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if raw.size != height * (stride + 1):
-        raise ValueError("PNG scanline data size mismatch")
-    return _png_defilter(raw, height, stride, channels).reshape(
-        height, width, channels)
+    if interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        img = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for r0, rs, c0, cs in _ADAM7:
+            ph = len(range(r0, height, rs))
+            pw = len(range(c0, width, cs))
+            if ph == 0 or pw == 0:
+                continue
+            stride = pw * channels
+            size = ph * (stride + 1)
+            sub = _png_defilter(raw[off: off + size], ph, stride, channels)
+            img[r0::rs, c0::cs] = sub.reshape(ph, pw, channels)
+            off += size
+        if off != raw.size:
+            raise ValueError("PNG Adam7 data size mismatch")
+    elif interlace == 0:
+        stride = width * channels
+        if raw.size != height * (stride + 1):
+            raise ValueError("PNG scanline data size mismatch")
+        img = _png_defilter(raw, height, stride, channels).reshape(
+            height, width, channels)
+    else:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    if color_type == 3:
+        img = plte[img[..., 0]]  # palette indices -> RGB
+    return img
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:

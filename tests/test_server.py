@@ -227,9 +227,11 @@ def test_run_cancel_mid_execution(client):
             break
         time.sleep(0.05)
     time.sleep(1.0)  # let the streaming sink start pulling batches
-    assert client.post(f"/api/runs/{run['id']}/cancel").status_code == 202
-    rec = _wait_run(client, run["id"], timeout=30)
-    assert rec["status"] == "cancelled"
+    r = client.post(f"/api/runs/{run['id']}/cancel")
+    assert r.status_code == 202, (
+        r.status_code, client.get(f"/api/runs/{run['id']}").get_json())
+    rec = _wait_run(client, run["id"], timeout=60)
+    assert rec["status"] == "cancelled", rec
 
 
 def test_restart_sweep_fails_stuck_runs(tmp_path):
