@@ -13,8 +13,9 @@ decodable with nothing beyond ``zlib`` + numpy:
 - GIF — 87a/89a first frame: pure-Python LZW, global/local palettes,
   interlacing; transparency index renders as the palette color.
 - WAV — PCM RIFF via the stdlib ``wave`` module (8/16/32-bit).
-- JPEG — baseline sequential via ``jpegcodec.py`` (pure-Python huffman
-  entropy decode + numpy IDCT; progressive/arithmetic unsupported).
+- JPEG — baseline sequential AND progressive (SOF2, spectral selection
+  + successive approximation) via ``jpegcodec.py`` (pure-Python huffman
+  entropy decode + numpy IDCT; arithmetic coding unsupported).
 
 These power the REAL (``fake=False``) decode path of
 ``stages/multimodal.py``; WebP and inter-frame video codecs stay
@@ -326,8 +327,8 @@ def decode_image(payload: bytes) -> tuple[np.ndarray, str]:
         if payload[:4] == b"GIF8":
             return decode_gif(payload), "gif"
         if payload[:3] == b"\xff\xd8\xff":
-            # baseline sequential JPEG: pure-Python/numpy huffman+IDCT
-            # (jpegcodec.py); progressive/arithmetic raise ValueError there
+            # baseline or progressive JPEG: pure-Python/numpy
+            # huffman+IDCT (jpegcodec.py); arithmetic coding raises there
             from .jpegcodec import decode_jpeg
 
             return decode_jpeg(payload), "jpeg"

@@ -1,10 +1,12 @@
-"""Pure-Python/numpy baseline JPEG decoder.
+"""Pure-Python/numpy JPEG decoder: baseline and progressive.
 
 Completes the stdlib image-codec set (``imagecodec.py``): JFIF baseline
-sequential DCT (SOF0), 8-bit precision, grayscale or YCbCr with any
-1-2× sampling factors, restart markers, standard huffman entropy
-coding.  Progressive (SOF2), arithmetic coding and 12-bit inputs are
-rejected with ``ValueError``.
+sequential DCT (SOF0) and progressive DCT (SOF2) — 8-bit precision,
+grayscale or YCbCr with any 1-2× sampling factors, restart markers,
+standard huffman entropy coding; progressive spectral selection and
+successive approximation (DC and AC first + refinement scans, EOB
+runs) per T.81 §G.  Arithmetic coding, hierarchical (SOF3+) and 12-bit
+inputs are rejected with ``ValueError``.
 
 This is a correctness-first decoder: the entropy loop is Python-level
 (the rest is numpy), so throughput is ~1 MB/s — fine for tests and
@@ -142,6 +144,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     frame = None
     restart_interval = 0
+    coefs = None  # progressive: per-component (by, bx, 64) zigzag int32
     n = len(payload)
     while pos + 4 <= n:
         if payload[pos] != 0xFF:
@@ -169,7 +172,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 symbols = seg[p + 17: p + 17 + total]
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffTable(counts, symbols)
                 p += 17 + total
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             precision, height, width, ncomp = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise ValueError("only 8-bit JPEG supported")
@@ -177,30 +180,62 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for i in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * i: 9 + 3 * i]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
-            frame = {"h": height, "w": width, "comps": comps}
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            frame = {"h": height, "w": width, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise ValueError("only baseline sequential JPEG (SOF0) supported")
+            raise ValueError(
+                "only baseline (SOF0) or progressive (SOF2) JPEG supported")
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the segment
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                raise ValueError(
-                    "non-interleaved (multi-scan) baseline JPEG unsupported")
             scan = {}
             for i in range(ns):
                 cid, tables = seg[1 + 2 * i: 3 + 2 * i]
                 scan[cid] = (tables >> 4, tables & 0xF)
-            if any(c["id"] not in scan for c in frame["comps"]):
-                raise ValueError("JPEG scan is missing frame components")
-            return _decode_scan(payload, pos + seglen, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
-        elif marker == 0xD9:  # EOI before SOS
+            if not frame["progressive"]:
+                if ns != len(frame["comps"]):
+                    raise ValueError(
+                        "non-interleaved (multi-scan) baseline JPEG unsupported")
+                if any(c["id"] not in scan for c in frame["comps"]):
+                    raise ValueError("JPEG scan is missing frame components")
+                return _decode_scan(payload, pos + seglen, frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            # progressive: accumulate coefficients scan by scan (T.81 §G)
+            if any(cid not in {c["id"] for c in frame["comps"]} for cid in scan):
+                raise ValueError("JPEG scan names unknown component")
+            if coefs is None:
+                hmax = max(c["h"] for c in frame["comps"])
+                vmax = max(c["v"] for c in frame["comps"])
+                mcus_x = -(-frame["w"] // (8 * hmax))
+                mcus_y = -(-frame["h"] // (8 * vmax))
+                coefs = [
+                    np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+                    for c in frame["comps"]
+                ]
+            ss, se, ahal = seg[1 + 2 * ns: 4 + 2 * ns]
+            pos = _decode_scan_progressive(
+                payload, pos + seglen, frame, scan, ss, se,
+                ahal >> 4, ahal & 0xF, huff_dc, huff_ac,
+                restart_interval, coefs,
+            )
+            # resync: step to the next real marker (skip pad bytes and
+            # any stray FF00 stuffing the reader left behind)
+            while pos + 1 < n and not (
+                payload[pos] == 0xFF
+                and payload[pos + 1] != 0x00
+                and not 0xD0 <= payload[pos + 1] <= 0xD7
+            ):
+                pos += 1
+            continue
+        elif marker == 0xD9:  # EOI
             break
         pos += seglen
+    if coefs is not None:
+        return _reconstruct_progressive(frame, coefs, qt)
     raise ValueError("JPEG has no scan data")
 
 
@@ -259,7 +294,183 @@ def _decode_scan(payload, pos, frame, scan, qt, huff_dc, huff_ac,
                         planes[ci][y0: y0 + 8, x0: x0 + 8] = px
             mcu_count += 1
 
-    # upsample to full resolution, crop, color-convert
+    return _finish(frame, planes)
+
+
+def _scan_blocks(frame, in_scan):
+    """Block-coordinate iteration order for one progressive scan ->
+    (units, mcus) where ``units`` is a list of MCUs, each a list of
+    (component-index, block-row, block-col).  Interleaved (multi-
+    component) scans walk the full MCU grid including edge padding
+    blocks; single-component scans walk only the component's own
+    ceil(comp_dim/8) grid (T.81 §A.2.2-A.2.3)."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * hmax))
+    mcus_y = -(-frame["h"] // (8 * vmax))
+    units = []
+    if len(in_scan) == 1:
+        ci, c = in_scan[0]
+        comp_w = -(-frame["w"] * c["h"] // hmax)  # ceil(w * h_c / hmax)
+        comp_h = -(-frame["h"] * c["v"] // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                units.append([(ci, by, bx)])
+    else:
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                mcu = []
+                for ci, c in in_scan:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            mcu.append((ci, my * c["v"] + by, mx * c["h"] + bx))
+                units.append(mcu)
+    return units
+
+
+def _decode_scan_progressive(payload, pos, frame, scan, ss, se, ah, al,
+                             huff_dc, huff_ac, restart_interval, coefs) -> int:
+    """Decode ONE progressive scan into the accumulated coefficient
+    arrays and return the stream position after its entropy data.
+
+    Follows T.81 §G.2 (and the public libjpeg jdphuff.c structure): DC
+    first scans huffman-code the point-transformed diffs, DC refinement
+    scans send one raw bit per block, AC first scans code (run, size)
+    with EOB-run escapes, AC refinement scans interleave newly-significant
+    coefficients with correction bits for already-significant ones."""
+    comps = frame["comps"]
+    in_scan = [(ci, c) for ci, c in enumerate(comps) if c["id"] in scan]
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("progressive DC scan must have Se=0")
+    if not is_dc and len(in_scan) != 1:
+        raise ValueError("progressive AC scan must be single-component")
+    if not is_dc and ss > se or se > 63:
+        raise ValueError("bad progressive spectral selection range")
+    if ah != 0 and ah != al + 1:
+        raise ValueError("successive approximation must refine one bit")
+
+    reader = _BitReader(payload, pos)
+    units = _scan_blocks(frame, in_scan)
+    pred = {ci: 0 for ci, _ in in_scan}
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    for ui, mcu in enumerate(units):
+        if restart_interval and ui and ui % restart_interval == 0:
+            reader.align_to_marker()
+            pred = {ci: 0 for ci, _ in in_scan}
+            eobrun = 0
+        for ci, by, bx in mcu:
+            blk = coefs[ci][by, bx]
+            if is_dc:
+                if ah == 0:  # DC first
+                    dc_t = huff_dc.get(scan[comps[ci]["id"]][0])
+                    if dc_t is None:
+                        raise ValueError("missing DC huffman table")
+                    size = reader.decode(dc_t)
+                    pred[ci] += _extend(reader.read(size), size)
+                    blk[0] = pred[ci] << al
+                else:  # DC refinement: one raw bit per block
+                    if reader.read(1):
+                        blk[0] = int(blk[0]) | p1
+                continue
+            ac_t = huff_ac.get(scan[comps[ci]["id"]][1])
+            if ac_t is None:
+                raise ValueError("missing AC huffman table")
+            if ah == 0:  # AC first scan
+                if eobrun:
+                    eobrun -= 1
+                    continue
+                k = ss
+                while k <= se:
+                    rs = reader.decode(ac_t)
+                    run, size = rs >> 4, rs & 0xF
+                    if size == 0:
+                        if run == 15:  # ZRL
+                            k += 16
+                            continue
+                        eobrun = (1 << run) - 1
+                        if run:
+                            eobrun += reader.read(run)
+                        break
+                    k += run
+                    if k > se:
+                        raise ValueError("JPEG AC index overflow")
+                    blk[k] = _extend(reader.read(size), size) << al
+                    k += 1
+                continue
+            # AC refinement scan (T.81 §G.2.2 / jdphuff decode_mcu_AC_refine)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.decode(ac_t)
+                    run, size = rs >> 4, rs & 0xF
+                    val = 0
+                    if size == 0:
+                        if run != 15:
+                            eobrun = 1 << run
+                            if run:
+                                eobrun += reader.read(run)
+                            break
+                        # ZRL: advance over 16 zero-history coefficients
+                    else:
+                        if size != 1:
+                            raise ValueError("bad AC refinement magnitude")
+                        val = p1 if reader.read(1) else m1
+                    while k <= se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if reader.read(1) and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else m1)
+                        else:
+                            if run == 0:
+                                break
+                            run -= 1
+                        k += 1
+                    if val and k <= se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                # EOB band: correction bits only for the rest of the band
+                while k <= se:
+                    cur = int(blk[k])
+                    if cur != 0:
+                        if reader.read(1) and (cur & p1) == 0:
+                            blk[k] = cur + (p1 if cur >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return reader.pos
+
+
+def _reconstruct_progressive(frame, coefs, qt) -> np.ndarray:
+    """Dequantize + inverse-DCT the accumulated coefficient planes
+    (vectorized einsum over all blocks) and finish like baseline."""
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        q = qt.get(c["tq"])
+        if q is None:
+            raise ValueError("JPEG quant table missing")
+        deq = coefs[ci].astype(np.float64) * q[np.newaxis, np.newaxis, :]
+        nat = np.zeros_like(deq)
+        nat[..., ZIGZAG] = deq  # zigzag -> natural order
+        by, bx = nat.shape[:2]
+        blocks = nat.reshape(by, bx, 8, 8)
+        px = np.einsum("ij,abjk,kl->abil", _C.T, blocks, _C)
+        planes.append(px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8))
+    return _finish(frame, planes)
+
+
+def _finish(frame, planes) -> np.ndarray:
+    """Shared tail: upsample planes to full resolution, crop to the
+    frame dimensions, color-convert (grayscale or YCbCr -> RGB)."""
+    comps = frame["comps"]
+    height, width = frame["h"], frame["w"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     out_planes = []
     for ci, c in enumerate(comps):
         p = planes[ci] + 128.0

@@ -9,11 +9,11 @@ Two decode paths:
   replicate the values bit-for-bit (``sql_parity``).
 - ``fake=False`` — REAL decode for stdlib-decodable formats via
   ``stages/imagecodec.py`` / ``jpegcodec.py``: PNG/BMP/PPM/GIF and
-  baseline JPEG images, PCM WAV audio, MJPEG-in-AVI video
-  keyframes.  WebP/inter-frame video codecs (and
-  progressive JPEG) remain honestly stubbed — those genuinely need
-  libwebp/ffmpeg; their ``ValueError`` is where such a decoder plugs
-  in (``on_error="skip"`` drops undecodable rows instead of failing).
+  JPEG (baseline + progressive) images, PCM WAV audio, MJPEG-in-AVI
+  video keyframes.  WebP and inter-frame video codecs remain honestly
+  stubbed — those genuinely need libwebp/ffmpeg; their ``ValueError``
+  is where such a decoder plugs in (``on_error="skip"`` drops
+  undecodable rows instead of failing).
 
 Batch-size guidance: binary payloads are wide — size ``batch_size`` so
 ``batch_size × mean_payload × concurrency`` fits the worker heap (see

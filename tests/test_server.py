@@ -205,9 +205,13 @@ def test_run_cancel_mid_execution(client):
     """Cancel must land while the pipeline is EXECUTING (inside the
     streaming sink), not just between ops during lazy graph build: the
     runner injects a _CancelProbe stage ahead of the sink."""
+    # 512 docs x 0.25 s = 128 CPU-seconds of sleep: even at 64-way task
+    # parallelism the run cannot finish inside the ~0.5 s cancel window
+    # below (a 64-doc variant was observed completing in 0.62 s under
+    # full-suite load, racing past the cancel)
     cfg = {
         "datasets": {"rows": {"type": "memory",
-                              "data": [{"i": i} for i in range(64)]}},
+                              "data": [{"i": i} for i in range(512)]}},
         "operations": [{
             "name": "slow",
             "type": "code_map",
@@ -226,12 +230,15 @@ def test_run_cancel_mid_execution(client):
         if client.get(f"/api/runs/{run['id']}").get_json()["status"] == "running":
             break
         time.sleep(0.05)
-    time.sleep(1.0)  # let the streaming sink start pulling batches
+    time.sleep(0.4)  # let the streaming sink start pulling batches
+    import ray
+
+    diag = {"cluster": ray.cluster_resources()}
     r = client.post(f"/api/runs/{run['id']}/cancel")
     assert r.status_code == 202, (
-        r.status_code, client.get(f"/api/runs/{run['id']}").get_json())
-    rec = _wait_run(client, run["id"], timeout=60)
-    assert rec["status"] == "cancelled", rec
+        r.status_code, client.get(f"/api/runs/{run['id']}").get_json(), diag)
+    rec = _wait_run(client, run["id"], timeout=120)
+    assert rec["status"] == "cancelled", (rec, diag)
 
 
 def test_restart_sweep_fails_stuck_runs(tmp_path):
