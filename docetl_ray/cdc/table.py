@@ -153,13 +153,19 @@ class LakeTable:
             if rec.get("append"):
                 paths = self._rec_paths(prev) + [rec["path"]]
                 rows = prev.get("rows", 0) + rec["rows"]
+                # the delta's live count alone would UNDER-count the
+                # partition (the base's live rows are still live); sum
+                # across levels for the documented physical upper bound
+                live = prev.get("live_rows", 0) + rec.get("live_rows",
+                                                          rec["rows"])
             else:
                 paths = [rec["path"]]
                 rows = rec["rows"]
+                live = rec.get("live_rows", rec["rows"])
             parts[pid] = {
                 "paths": paths,
                 "rows": rows,
-                "live_rows": rec.get("live_rows", rec["rows"]),
+                "live_rows": live,
                 "checksum": rec.get("checksum"),
                 "applied_lsn_ranges": ranges,
             }

@@ -183,7 +183,18 @@ def simulate_plan(ops: list[dict], rows: list[dict], *,
     for op in ops:
         t = op["type"]
         if not rows:
-            break
+            # engine parity on empty input: every op yields empty EXCEPT
+            # an ``_all`` code reduce, which the runner always runs and
+            # which emits exactly one row ({"_counts_prereduce": 0,
+            # **fn([])}, runner.py _all branch) — a prefilter that drops
+            # the whole sample must not silence downstream ops' output
+            emits_on_empty = (
+                t in ("reduce", "llm_reduce", "code_reduce")
+                and "code" in op
+                and op.get("reduce_key", "_all") in ("_all", ["_all"])
+            )
+            if not emits_on_empty:
+                continue
         if t in ("map", "llm_map", "code_map") and "code" in op:
             fn = _exec_code(op["code"])
             rows = [dict(r, **(fn(dict(r)) or {})) for r in rows]
@@ -298,7 +309,7 @@ def _sim_groups(rows, op, reduce_fn):
         row = {k: v for k, v in zip(keys, gk)}
         ctx = dict(row)
         res = reduce_fn(g, ctx)
-        if op.get("pass_through"):
+        if op.get("pass_through") and g:
             for c, v in g[0].items():
                 row.setdefault(c, v)
         row.update(res)
@@ -1592,8 +1603,12 @@ class MoarSearch:
             return -1, float("-inf")
         node.cost = res.cost_micro
         node.result_rows = res.rows
-        qp, qmodel = plan_quality_permille(node.ops, node.default_model)
         try:
+            # inside the failure guard: a non-catalog model on an op (or
+            # as the plan default) raises KeyError here when no prompt op
+            # ever instantiated a client during simulation — that fails
+            # THIS plan, not the whole search
+            qp, qmodel = plan_quality_permille(node.ops, node.default_model)
             if self.evaluate_func is not None:
                 node.accuracy = float(self.evaluate_func(res.rows, qp, qmodel))
             else:

@@ -96,7 +96,7 @@ def _cell_value(c, sst: list[str]):
         return sst[int(v)]
     if t == "b":
         return v.strip() == "1"
-    if t in ("str", "e"):  # formula-cached string / error literal
+    if t in ("str", "e", "d"):  # formula string / error / ISO-8601 date
         return v
     try:
         return int(v)
@@ -197,6 +197,10 @@ def xlsx_to_string(
                         f"{h}: {v}" for h, v in row_dict.items()))
             return "\n".join(result)
 
+        if not doc_per_sheet:
+            # only the first sheet's result is used: don't XML-parse and
+            # grid-build every tab of a many-sheet workbook
+            sheets = sheets[:1]
         grids = [process(_sheet_grid(zf, path, sst)) for _, path in sheets]
         if doc_per_sheet:
             return grids

@@ -226,12 +226,17 @@ def build_chunk_plan(op: dict, split_key: str, chunk_tokens: int,
     rendered = f"{content}_rendered"
     sub_prompt = _sub_field_refs(prompt, split_key, rendered, var="input")
     schema = op["output"]["schema"]
+    # render ONLY the submap's output fields per chunk: a chunk row still
+    # carries the full original document (split keeps every input column),
+    # so "{{ item }}" would re-embed the whole doc once per chunk and blow
+    # the very token budget this rewrite enforces
+    item_fields = " ".join("{{ item.%s }}" % k for k in schema)
     combine_prompt = (
         "The original task, applied per chunk of a long document, "
         "was:\n\"{% raw %}" + prompt + "{% endraw %}\"\n\n"
         "Combine the per-chunk outputs below into one output for the "
         "whole document, following the original instruction:\n"
-        "{% for item in inputs %}{{ item }}\n{% endfor %}"
+        "{% for item in inputs %}" + item_fields + "\n{% endfor %}"
     )
     split_op = {"name": split_name, "type": "split", "split_key": split_key,
                 "method": "token_count",
@@ -244,10 +249,23 @@ def build_chunk_plan(op: dict, split_key: str, chunk_tokens: int,
          "content_key": content, "doc_id_key": doc_id,
          "order_key": order,
          "peripheral_chunks": {"previous": 1, "next": 1}},
+        # the submap drops the chunk-internal columns once the prompt has
+        # rendered them (the gathered context column is chunk-sized —
+        # passing it through the combine would bloat every output row)
         dict(op, name=f"{name}_submap", prompt=sub_prompt,
-             optimize=False),
+             optimize=False,
+             drop_keys=sorted(set(op.get("drop_keys") or [])
+                              | {content, order, rendered})),
+        # pass_through: the original map PRESERVES its input columns, so
+        # the rewrite must too — downstream ops (e.g. a reduce grouping
+        # on another column) break if the combine strips them.  The
+        # combine also inherits the op's pinned model: a newly-created
+        # prompt op without one would silently run on the ENGINE default
+        # while a simulator/search uses its own default-model state
         {"name": f"{name}_combine", "type": "reduce",
          "reduce_key": doc_id, "prompt": combine_prompt,
+         "pass_through": True,
+         **({"model": op["model"]} if op.get("model") else {}),
          "output": {"schema": schema}},
     ]
 
@@ -539,11 +557,20 @@ class Optimizer:
             return [op]
         texts_a = [str(a.get(text, "")) for a, _ in pairs]
         texts_b = [str(b.get(text, "")) for _, b in pairs]
-        if emb and emb in sample[0]:
+        # sweep the threshold in the metric the op EXECUTES: cosine for
+        # embedding blocking (resolve_embedding_blocked), token Jaccard
+        # for resolve_fuzzy (resolve.py token_jaccard) — labeling may use
+        # a different metric (char-3-gram / LLM), but a threshold tuned
+        # in char-3-gram space and executed in token space silently
+        # breaks the target_recall guarantee
+        have_emb = bool(emb) and emb in sample[0]
+        if have_emb:
             sims = [_cosine(a[emb], b[emb]) for a, b in pairs]
         else:
+            from .stages.resolve import token_jaccard
+
             sims = [
-                _pair_similarity(ta, tb)
+                token_jaccard(ta, tb)
                 for ta, tb in zip(texts_a, texts_b)
             ]
         labels = self._label_pairs(op, pairs, texts_a, texts_b)
@@ -551,7 +578,7 @@ class Optimizer:
             labels, sims, target_recall=self.target_recall
         )
         out = dict(op)
-        if emb:
+        if have_emb:
             out["blocking_threshold"] = thr
         elif "threshold" not in out:
             out["threshold"] = thr
@@ -603,10 +630,14 @@ class Optimizer:
         emitted: set[str] = set()
         consumed: set[str] = set()  # originals replaced by a rewrite
 
+        last_rows: list[dict] = []
         for step in cfg.get("pipeline", {}).get("steps", []):
+            # runner semantics: a step without an explicit "input"
+            # consumes the PREVIOUS step's output (runner.py run()), so
+            # its sample is the previous step's advanced sample — not []
             rows = (
                 list(self._dataset_rows(step["input"]))
-                if step.get("input") else []
+                if step.get("input") else list(last_rows)
             )
             new_chain: list[str] = []
             for op_name in step.get("operations", []):
@@ -634,6 +665,7 @@ class Optimizer:
                     rows = self._advance_sample(rows, new_op)
             step["operations"] = new_chain
             self._ds_rows[step["name"]] = rows
+            last_rows = rows
         # ops not referenced by any step (kept verbatim)
         for o in cfg.get("operations", []):
             if o["name"] not in emitted and o["name"] not in consumed:

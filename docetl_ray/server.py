@@ -128,15 +128,21 @@ class _Store:
             if (expected_updated_at is not None
                     and rec["updated_at"] != expected_updated_at):
                 raise ConflictError("pipeline was modified concurrently")
+            # build the new record and swap it in with ONE assignment:
+            # GET handlers read self.pipelines without the lock, so a
+            # field-by-field in-place update could serve a torn snapshot
+            # (new name with the old config) to a concurrent reader
+            new = dict(rec)
             if name is not None:
-                rec["name"] = name
+                new["name"] = name
             if config is not None:
-                rec["config"] = config
+                new["config"] = config
             if description is not None:
-                rec["description"] = description
-            rec["updated_at"] = time.time()
+                new["description"] = description
+            new["updated_at"] = time.time()
+            self.pipelines[pid] = new
             self._flush()
-            return rec
+            return new
 
     def delete_pipeline(self, pid: str):
         with self.lock:
@@ -171,8 +177,12 @@ class _Store:
 
     def update_run(self, rid: str, **fields) -> dict:
         with self.lock:
-            rec = self.runs[rid]
+            # new-dict swap for the same reason as update_pipeline:
+            # lockless GET readers must never see a torn record (e.g.
+            # status "completed" with output_rows still None)
+            rec = dict(self.runs[rid])
             rec.update(fields)
+            self.runs[rid] = rec
             if rec["status"] in _FINISHED:
                 self._cancel_events.pop(rid, None)
             self._flush()

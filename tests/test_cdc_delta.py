@@ -106,3 +106,25 @@ def test_delta_tombstone_suppresses_in_read_merge(tmp_path):
     assert _state(table).num_rows == 0
     dead = _state(table, include_tombstones=True)
     assert dead.num_rows == 1 and dead["_deleted"].to_pylist() == [True]
+
+
+def test_delta_manifest_live_rows_upper_bounds_state(tmp_path):
+    """Append (delta) commits must ACCUMULATE live_rows across levels:
+    the delta's own live count alone under-reports a partition whose
+    base still holds live rows, breaking the documented upper-bound
+    lineage contract."""
+    import ray.data as rd
+
+    table = LakeTable(str(tmp_path / "lake"), num_partitions=4)
+    segs = [synth.events_table(i * 1500, 1500) for i in range(3)]
+    apply_events(table, rd.from_arrow(segs[0]), epoch=0)  # merge base
+    for i in (1, 2):
+        apply_events(table, rd.from_arrow(segs[i]), epoch=i, mode="delta")
+    manifest_live = sum(
+        p["live_rows"] for p in table.manifest()["partitions"].values()
+    )
+    state_live = _state(table).num_rows
+    assert manifest_live >= state_live, (manifest_live, state_live)
+    # per-partition physical sanity: rows >= live_rows >= 0
+    for rec in table.manifest()["partitions"].values():
+        assert rec["rows"] >= rec["live_rows"] >= 0

@@ -1070,3 +1070,44 @@ def test_sim_groups_counts_column_matches_runner(ray_session):
     real = sorted(PipelineRunner(cfg).run().take_all(),
                   key=lambda r: r["lang"])
     assert sorted(sim.rows, key=lambda r: r["lang"]) == real
+
+
+def test_non_catalog_model_fails_plan_not_search():
+    """A plan whose ops carry a model outside MODEL_CATALOG must fail
+    THAT plan (cost -1 / accuracy -inf), not crash the whole search —
+    reachable when no prompt op instantiates a client during simulation
+    (pure code ops, or an emptied sample)."""
+    rows = [{"doc_id": 0, "text": "alpha"}]
+    ops = [{"name": "t", "type": "code_map",
+            "code": "def transform(doc):\n    return {'n': 1}\n"}]
+    s = MoarSearch(ops, rows, max_iterations=1, seed=0)
+    node = moar.PlanNode(
+        [dict(o) for o in ops], "det-large", node_id=999)
+    node.ops.append({"name": "p", "type": "map", "model": "gpt-nope",
+                     "prompt": "x", "output": {"schema": {"a": "str"}}})
+    # prefilter empties the sample BEFORE the unknown-model op runs, so
+    # simulate_plan never instantiates its client
+    node.ops.insert(1, {"name": "kill", "type": "code_filter",
+                        "code": "def transform(doc):\n    return False\n"})
+    cost, acc = s.simulate(node)
+    assert cost == -1 and acc == float("-inf")
+
+
+def test_simulate_empty_sample_runs_global_code_reduce():
+    """Engine parity: runner's ``_all`` code reduce emits exactly one
+    row even on empty input — a prefilter that drops the whole sample
+    must not silence it in simulation."""
+    rows = [{"doc_id": i, "text": "x"} for i in range(3)]
+    ops = [
+        {"name": "kill", "type": "code_filter",
+         "code": "def transform(doc):\n    return False\n"},
+        {"name": "tally", "type": "code_reduce", "reduce_key": "_all",
+         "code": "def transform(rows):\n    return {'n': len(rows)}\n"},
+    ]
+    res = simulate_plan(ops, rows)
+    assert len(res.rows) == 1
+    assert res.rows[0]["n"] == 0
+    assert res.rows[0]["_counts_prereduce"] == 0
+    # keyed reduce on empty input stays empty (groupby semantics)
+    ops_keyed = [ops[0], dict(ops[1], reduce_key="doc_id")]
+    assert simulate_plan(ops_keyed, rows).rows == []

@@ -202,3 +202,49 @@ def test_stubbed_parsers_still_raise():
 
     with pytest.raises(NotImplementedError):
         get_parser("whisper_speech_to_text")("/tmp/nope.wav")
+
+
+def test_xlsx_iso_date_cells(tmp_path):
+    """t="d" ISO-8601 date cells are valid ECMA-376 — they must parse as
+    their literal string, not crash the numeric fallthrough."""
+    sheet = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+<sheetData>
+<row r="1"><c r="A1" t="inlineStr"><is><t>when</t></is></c></row>
+<row r="2"><c r="A2" t="d"><v>2024-01-15T00:00:00</v></c></row>
+</sheetData></worksheet>"""
+    workbook = f"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+ xmlns:r="{NS_R}"><sheets><sheet name="D" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+    wb_rels = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="x" Target="worksheets/sheet1.xml"/></Relationships>"""
+    p = tmp_path / "dates.xlsx"
+    with zipfile.ZipFile(p, "w") as zf:
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    (doc,) = xlsx_to_string(str(p))
+    assert "2024-01-15T00:00:00" in doc
+
+
+def test_xlsx_first_sheet_only_parsed_when_single_doc(tmp_path, monkeypatch):
+    """doc_per_sheet=False must not XML-parse every tab of a many-sheet
+    workbook when only the first sheet's text is returned."""
+    import docetl_ray.ooxml as ox
+
+    p = _write_xlsx(tmp_path / "two.xlsx", second_sheet=True)
+    seen = []
+    orig = ox._sheet_grid
+
+    def spy(zf, path, sst):
+        seen.append(path)
+        return orig(zf, path, sst)
+
+    monkeypatch.setattr(ox, "_sheet_grid", spy)
+    (doc,) = xlsx_to_string(p)
+    assert "name" in doc
+    assert seen == ["xl/worksheets/sheet1.xml"]
+    seen.clear()
+    docs = xlsx_to_string(p, doc_per_sheet=True)
+    assert len(docs) == 2 and len(seen) == 2

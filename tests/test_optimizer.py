@@ -298,3 +298,97 @@ def test_tok_str_null_vs_falsy():
     assert _ntokens(_tok_str(0)) == 1
     assert _ntokens(_tok_str(False)) == 1
     assert _ntokens(_tok_str("a b")) == 2
+
+
+def test_implicit_input_step_still_optimized(ray_session):
+    """A step without an explicit 'input' consumes the previous step's
+    output (runner semantics) — the optimizer must sample it the same
+    way instead of silently disabling every rewrite with an empty
+    sample."""
+    docs = [{"doc_id": i, "text": _long_doc(i)} for i in range(4)]
+    cfg = _map_config(docs)
+    op = cfg["operations"][0]
+    cfg["operations"] = [
+        {"name": "noop", "type": "code_map",
+         "code": "def transform(doc):\n    return {}\n"},
+        op,
+    ]
+    cfg["pipeline"]["steps"] = [
+        {"name": "s1", "input": "docs", "operations": ["noop"]},
+        {"name": "s2", "operations": [op["name"]]},  # implicit input
+    ]
+    out_cfg = optimize_config(cfg, token_limit=400, sample_limit=10)
+    names = [o["name"] for o in out_cfg["operations"]]
+    assert "summarize_split" in names, names  # rewrite DID trigger
+    rows = PipelineRunner(out_cfg).run().take_all()
+    assert len(rows) == 4 and all("summary" in r for r in rows)
+
+
+def test_chunk_plan_combine_preserves_columns_and_budget(ray_session):
+    """The combine reduce passes the original columns through and its
+    prompt renders only the submap's OUTPUT fields — never the whole
+    chunk row (which still carries the full original document)."""
+    from docetl_ray.optimizer import build_chunk_plan
+
+    op = {"name": "m", "type": "map", "prompt": "Do:\n{{ input.text }}",
+          "model": "det-mini", "output": {"schema": {"summary": "str"}}}
+    plan = build_chunk_plan(op, "text", 100)
+    combine = plan[3]
+    assert combine["pass_through"] is True
+    assert combine["model"] == "det-mini"  # inherits the pinned model
+    assert "{{ item.summary }}" in combine["prompt"]
+    assert "{{ item }}" not in combine["prompt"]
+    # the submap drops the chunk-internal columns after rendering
+    assert set(plan[2]["drop_keys"]) == {
+        "text_chunk", "m_split_chunk_num", "text_chunk_rendered"}
+    # end-to-end: downstream columns survive the rewritten plan
+    docs = [{"doc_id": i, "lang": ["en", "fr"][i % 2],
+             "text": _long_doc(i)} for i in range(4)]
+    rows = PipelineRunner({
+        "datasets": {"docs": {"type": "memory", "data": docs}},
+        "operations": plan,
+        "pipeline": {"steps": [
+            {"name": "s1", "input": "docs",
+             "operations": [o["name"] for o in plan]},
+        ]},
+    }).run().take_all()
+    assert len(rows) == 4
+    assert {r["lang"] for r in rows} == {"en", "fr"}
+    assert all("text_chunk_rendered" not in r for r in rows)
+
+
+def test_resolve_threshold_swept_in_execution_metric(ray_session):
+    """Without a usable embedding column the resolve threshold must be
+    tuned in TOKEN-Jaccard space (what resolve_fuzzy executes), and a
+    declared-but-missing embedding_key must NOT write a char-gram-tuned
+    value into the cosine blocking_threshold."""
+    rows = []
+    for i in range(10):
+        c = i % 2
+        name = f"Acme Corporation unit {i}" if c == 0 \
+            else f"Zenith Widget Works {i}"
+        rows.append({"rid": i, "name": name})
+    cfg = {
+        "datasets": {"d": {"type": "memory", "data": rows}},
+        "operations": [
+            {"name": "res", "type": "resolve", "optimize": True,
+             "blocking_key": "name", "comparison_key": "name",
+             "id_key": "rid", "embedding_key": "emb_missing"},
+        ],
+        "pipeline": {"steps": [
+            {"name": "s1", "input": "d", "operations": ["res"]},
+        ]},
+    }
+    out_cfg = optimize_config(cfg, sample_limit=100)
+    res = out_cfg["operations"][0]
+    assert "blocking_threshold" not in res  # no cosine value from text sims
+    thr = res["threshold"]
+    from docetl_ray.stages.resolve import token_jaccard
+
+    # the swept threshold must be attainable in token-Jaccard space:
+    # some within-cluster pair reaches it, no cross-cluster pair does
+    within = token_jaccard("Acme Corporation unit 0",
+                           "Acme Corporation unit 2")
+    cross = token_jaccard("Acme Corporation unit 0",
+                          "Zenith Widget Works 1")
+    assert cross < thr <= within
