@@ -75,17 +75,11 @@ def url_partition(
 
 
 def lww_last_per_url(t: pa.Table) -> pa.Table:
-    """Keep the last writer per url: max (warc_ts, lsn). Vectorized."""
-    n = t.num_rows
-    if n <= 1:
-        return t
-    idx = pc.sort_indices(t, sort_keys=_LWW_KEYS)
-    t = t.take(idx)
-    u = t["url"].to_numpy(zero_copy_only=False)
-    mask = np.empty(n, dtype=bool)
-    mask[:-1] = u[1:] != u[:-1]
-    mask[-1] = True
-    return t.filter(pa.array(mask))
+    """Keep the last writer per url: max (warc_ts, lsn).
+
+    Exactly ``last_per_key(t, "url", ["warc_ts", "lsn"])`` — delegated so
+    the run-boundary-mask algorithm lives in one place."""
+    return last_per_key(t, "url", ["warc_ts", "lsn"])
 
 
 def events_to_state(batch: pa.Table, *, extract: bool = True) -> pa.Table:
@@ -341,6 +335,12 @@ def _split_block(nparts: int, *blocks):
         pa.Table.from_pandas(b, preserve_index=False) if isinstance(b, pd.DataFrame) else b
         for b in blocks
     ]
+    # Ray emits ZERO-COLUMN blocks for fully-filtered upstreams; mixing
+    # one into the unify would strip the bundle's schema (same defense
+    # as util_ray._split_by_part)
+    nonzero = [b for b in blocks if b.num_columns > 0]
+    if nonzero:
+        blocks = nonzero
     block = unify_tables(blocks) if len(blocks) > 1 else blocks[0]
     n = block.num_rows
     empty = block.slice(0, 0).combine_chunks()

@@ -126,6 +126,11 @@ def _apply_op(ds, op: dict):
                 rows = batch.to_pylist()
                 for r in rows:
                     r.update(fn(r) or {})
+                if not rows:
+                    # from_pylist([]) is a ZERO-COLUMN table that strips
+                    # the batch schema from the stream; keep at least the
+                    # input columns on empty blocks
+                    return batch.slice(0, 0)
                 return pa.Table.from_pylist(rows)
 
             out = ds.map_batches(code_fn, batch_format="pyarrow")
@@ -156,6 +161,10 @@ def _apply_op(ds, op: dict):
                 except Exception:
                     if not skip:
                         raise
+            if not out_rows:
+                # an all-skipped (or empty) batch must not become a
+                # zero-column table — keep the input schema on the block
+                return batch.slice(0, 0)
             return pa.Table.from_pylist(out_rows)
 
         out = ds.map_batches(code_fn, batch_format="pyarrow")
@@ -487,6 +496,17 @@ def _op_chain_hash(ops: list[dict]) -> str:
     return hashlib.sha256(json.dumps(ops, sort_keys=True).encode()).hexdigest()[:16]
 
 
+def _lineage_hash(prev: str, op: dict, extra: str = "") -> str:
+    """Checkpoint lineage token: folds the upstream token, this op's
+    config, and any side-input lineage (equijoin right) into one hash —
+    a checkpoint keyed on it invalidates when ANYTHING upstream changes
+    (source dataset config, a prior step's ops), not just when this
+    step's own chain does."""
+    return hashlib.sha256(
+        (prev + "|" + json.dumps(op, sort_keys=True) + "|" + extra).encode()
+    ).hexdigest()[:16]
+
+
 class RunCancelled(Exception):
     """Raised when a cooperative cancel is requested (the reference
     cancels runs through handlers registered with
@@ -536,18 +556,22 @@ class _CancelProbe:
     it as they are produced, so an executing pipeline stops within one
     batch + poll interval."""
 
-    _last_check = 0.0
-
     def __init__(self, event: "RayCancelEvent", interval: float = 0.5):
         self.event = event
         self.interval = interval
+        # per-INSTANCE throttle state (re-zeroed on each task's
+        # deserialization, so every task polls at least once): class-level
+        # state would be shared by CONCURRENT runs' probes in a reused
+        # worker process, letting one run's batches starve another run's
+        # cancel polls
+        self._last_check = 0.0
 
     def __call__(self, batch):
         import time
 
         now = time.monotonic()
-        if now - _CancelProbe._last_check >= self.interval:
-            _CancelProbe._last_check = now
+        if now - self._last_check >= self.interval:
+            self._last_check = now
             if self.event.is_set():
                 raise RunCancelled("run cancelled")
         return batch
@@ -599,11 +623,17 @@ class PipelineRunner:
             return cls(yaml.safe_load(f))
 
     def run(self):
+        # per-dataset lineage tokens seed checkpoint keys: a changed
+        # source config (path, inline data) invalidates every downstream
+        # checkpoint, not just the step whose own ops changed
+        lineage: dict[str, str] = {}
         for name, cfg in self.config.get("datasets", {}).items():
             self.datasets[name] = _load_dataset(cfg)
+            lineage[name] = _op_chain_hash([cfg])
 
         ckpt_dir = self.config.get("checkpoint_dir")
         last = None
+        last_lin = ""
         for step in self.config["pipeline"]["steps"]:
             if "input" in step and step["input"] not in self.datasets:
                 raise ValueError(
@@ -611,7 +641,8 @@ class PipelineRunner:
                     f"(datasets: {sorted(self.datasets)})"
                 )
             ds = self.datasets[step["input"]] if "input" in step else last
-            chain: list[dict] = []
+            lin = lineage.get(step["input"], last_lin) if "input" in step \
+                else last_lin
             for op_name in step.get("operations", []):
                 self._check_cancel()
                 if op_name not in self.ops:
@@ -620,7 +651,11 @@ class PipelineRunner:
                         f"(operations: {sorted(self.ops)})"
                     )
                 op = self.ops[op_name]
-                chain.append(op)
+                lin = _lineage_hash(
+                    lin, op,
+                    extra=lineage.get(op.get("right", ""), "")
+                    if op["type"] in ("equijoin", "asof_join") else "",
+                )
                 if op["type"] == "equijoin":
                     # two-input op: the right side is another dataset/step
                     # result by name (reference equijoin configs name both
@@ -700,9 +735,11 @@ class PipelineRunner:
                 else:
                     ds = _apply_op(ds, op)
                 if ckpt_dir:
-                    ds = self._checkpoint(ds, step["name"], op_name, chain)
+                    ds = self._checkpoint(ds, step["name"], op_name, lin)
             self.datasets[step["name"]] = ds
+            lineage[step["name"]] = lin
             last = ds
+            last_lin = lin
 
         out_cfg = self.config["pipeline"].get("output")
         self._check_cancel()
@@ -730,15 +767,17 @@ class PipelineRunner:
                 raise ValueError(f"unknown output format {fmt}")
         return last
 
-    def _checkpoint(self, ds, step: str, op_name: str, chain: list[dict]):
-        """Parquet checkpoint keyed by the op-chain hash (valid only while
-        the upstream chain is unchanged — reference runner.py:546-601)."""
+    def _checkpoint(self, ds, step: str, op_name: str, lineage: str):
+        """Parquet checkpoint keyed by the LINEAGE hash — source dataset
+        config + every upstream op across steps (+ join right sides) —
+        so editing anything upstream invalidates it, not just this
+        step's own chain (reference runner.py:546-601)."""
         import ray.data as rd
 
         import shutil
 
-        h = _op_chain_hash(chain)
-        d = os.path.join(self.config["checkpoint_dir"], step, f"{op_name}-{h}")
+        d = os.path.join(self.config["checkpoint_dir"], step,
+                         f"{op_name}-{lineage}")
         marker = os.path.join(d, "_SUCCESS")
         if os.path.exists(marker):
             return rd.read_parquet(d)
@@ -747,6 +786,12 @@ class PipelineRunner:
         staging = d + ".staging"
         shutil.rmtree(staging, ignore_errors=True)
         shutil.rmtree(d, ignore_errors=True)
+        if isinstance(self.cancel_event, RayCancelEvent):
+            # each checkpoint write eagerly executes the chain so far —
+            # without a probe here, a cancel could not land until the
+            # heaviest op's full checkpoint completed
+            ds = ds.map_batches(_CancelProbe(self.cancel_event),
+                                batch_format="pyarrow")
         ds.write_parquet(staging)
         open(os.path.join(staging, "_SUCCESS"), "w").close()
         os.rename(staging, d)

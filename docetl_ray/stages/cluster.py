@@ -264,11 +264,12 @@ def cluster_dendrogram(
         # blocks, so payload columns ride only the one final assign.
         ds = ds.materialize()
         slim = ds.select_columns([id_col, emb_col])
-        if slim.count() > max_driver_rows:
+        cnt = slim.count()
+        if cnt > max_driver_rows:
             return cluster_dendrogram_coarse(
                 ds, emb_col, id_col, collapse=collapse,
                 output_key=output_key, max_driver_rows=max_driver_rows,
-                _slim=slim,
+                _slim=slim, _n=cnt,
             )
         small = collect_small(slim)
     else:
@@ -278,6 +279,11 @@ def cluster_dendrogram(
             f"cluster_dendrogram: {small.num_rows} rows > max_driver_rows="
             f"{max_driver_rows}; sample or pre-bucket first"
         )
+    if small.num_rows == 0:
+        # empty upstream (e.g. a filter dropped every row) is a routine
+        # pipeline state: return the (empty) input instead of crashing
+        # in Arrow sort / dendrogram internals
+        return ds
     small = small.sort_by([(id_col, "ascending")])
     ids = small[id_col].to_pylist()
     m = np.asarray(small[emb_col].to_pylist(), dtype=np.float64)
@@ -331,6 +337,11 @@ def cluster_embeddings(
             f"cluster_embeddings: {small.num_rows} rows > max_driver_rows="
             f"{max_driver_rows}; sample or pre-bucket first"
         )
+    if small.num_rows == 0:
+        # empty upstream (e.g. a filter dropped every row) is a routine
+        # pipeline state: return the (empty) input instead of crashing
+        # in Arrow sort / dendrogram internals
+        return ds
     small = small.sort_by([(id_col, "ascending")])
     ids = small[id_col].to_pylist()
     m = np.asarray(small[emb_col].to_pylist(), dtype=np.float64)
@@ -384,6 +395,11 @@ def cluster_threshold(
             f"cluster_threshold: {small.num_rows} rows > max_driver_rows="
             f"{max_driver_rows}; sample or pre-bucket first"
         )
+    if small.num_rows == 0:
+        # empty upstream (e.g. a filter dropped every row) is a routine
+        # pipeline state: return the (empty) input instead of crashing
+        # in Arrow sort / dendrogram internals
+        return ds
     small = small.sort_by([(id_col, "ascending")])
     ids = np.asarray(small[id_col].to_pylist())
     m = np.asarray(small[emb_col].to_pylist(), dtype=np.float64)
@@ -437,6 +453,7 @@ def kmeans_cells(
     sample_rows: int = 4096,
     cell_col: str = "_cell",
     _slim=None,
+    _n: int | None = None,
 ):
     """Distributed Lloyd k-means into ``num_cells`` coarse cells.
 
@@ -462,7 +479,7 @@ def kmeans_cells(
     else:
         slim = _slim
     want = max(sample_rows, num_cells)
-    n = slim.count()
+    n = slim.count() if _n is None else _n
     frac = 1.0 if n <= want else min(1.0, 4.0 * want / n)
     while True:
         thr = (np.uint64(0xFFFFFFFFFFFFFFFF) if frac >= 1.0
@@ -494,6 +511,10 @@ def kmeans_cells(
     S = _emb_matrix(cand["_semb"].slice(0, want))
     if len(S) == 0:
         raise ValueError("kmeans_cells: empty input")
+    # a NaN/inf in the seed sample would poison farthest-point seeding
+    # AND make the fixed-point scale below NaN (quantizing EVERY row to
+    # INT64_MIN) — sanitize before any use
+    S = np.nan_to_num(S, nan=0.0, posinf=0.0, neginf=0.0)
     k = min(num_cells, len(S))
     # greedy farthest-point seeding (k-means++ without the RNG)
     chosen = [0]
@@ -538,7 +559,11 @@ def kmeans_cells(
             # small enough that summing them cannot wrap the int64
             # accumulator — 2^40 keeps ~2^23 such rows per cell safe,
             # where a 2^62 clip wrapped at the SECOND one
-            Xq = np.rint(np.clip(X * fxp, -(2.0**40), 2.0**40)).astype(np.int64)
+            # NaN passes straight through np.clip and casts to INT64_MIN,
+            # corrupting (and with 2+ such rows, wrapping) the int64
+            # accumulator — zero it out first; inf saturates via the clip
+            Xq = np.rint(np.clip(np.nan_to_num(X * fxp, nan=0.0),
+                                 -(2.0**40), 2.0**40)).astype(np.int64)
             sums = np.zeros((len(Cc), Xq.shape[1]), dtype=np.int64)
             np.add.at(sums, a, Xq)
             cnt = np.bincount(a, minlength=len(Cc))
@@ -604,6 +629,7 @@ def cluster_dendrogram_coarse(
     num_cells: int | None = None,
     kmeans_iters: int = 8,
     _slim=None,
+    _n: int | None = None,
 ):
     """Dendrogram past the driver cap: distributed k-means into ~sqrt(n)
     coarse cells, an EXACT per-cell dendrogram inside each cell (one
@@ -632,7 +658,9 @@ def cluster_dendrogram_coarse(
         slim = ds.select_columns([id_col, emb_col])
     else:
         slim = _slim
-    n = slim.count()
+    # each count() over the non-materialized projection re-runs it on
+    # the full corpus — callers that already counted pass _n through
+    n = slim.count() if _n is None else _n
     if n <= max_driver_rows:
         # under the cap after all: run the exact driver path over the
         # already-cached blocks (coarse=False — one projection pass;
@@ -660,7 +688,7 @@ def cluster_dendrogram_coarse(
 
     centroids, assigned = kmeans_cells(
         ds, emb_col, id_col, num_cells=num_cells, iters=kmeans_iters,
-        _slim=slim,
+        _slim=slim, _n=n,
     )
     # top-of-hierarchy tree over the cell centroids (driver, k rows)
     cell_ids = [f"cell{i}" for i in range(len(centroids))]

@@ -294,13 +294,19 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 deinter = np.empty_like(idx)
                 deinter[rows] = idx
                 idx = deinter
-            # first frame only; compose onto the logical screen if smaller,
-            # filling with the header's declared background color index
+            # first frame only; compose onto the logical screen if
+            # smaller.  The background color index refers to the GLOBAL
+            # color table (GIF89a spec §18) — the frame may use a LOCAL
+            # palette, so compose in RGB space, not index space
             if (left, top, w, h) != (0, 0, sw, sh):
-                fill = bg if bg < len(pal) else 0
-                full = np.full((sh, sw), fill, dtype=np.uint8)
-                full[top: top + h, left: left + w] = idx
-                idx = full
+                if global_pal is not None and bg < len(global_pal):
+                    bg_rgb = global_pal[bg]
+                else:
+                    bg_rgb = np.zeros(3, dtype=np.uint8)
+                full = np.empty((sh, sw, 3), dtype=np.uint8)
+                full[:] = bg_rgb
+                full[top: top + h, left: left + w] = pal[idx]
+                return full
             return pal[idx]
         elif block == 0x3B:  # trailer
             break

@@ -164,3 +164,27 @@ def test_gif_background_color_index_used():
     out = _dg(bytes(payload))
     assert (out[0, 0] == [7, 8, 9]).all()   # bg index honored
     assert (out[5:7, 4:7] == 0).all()       # frame untouched
+
+
+def test_gif_subframe_local_palette_background_from_global():
+    """The background color index refers to the GLOBAL color table even
+    when the frame carries a LOCAL palette (GIF89a spec §18)."""
+    global_pal = np.array([[255, 255, 255], [0, 0, 0], [10, 20, 30]],
+                          np.uint8)
+    local_pal = np.array([[200, 0, 0], [0, 200, 0], [99, 99, 99]], np.uint8)
+    idx = np.ones((2, 3), np.uint8)  # frame pixels = local color #1 green
+    payload = bytearray(encode_gif(idx, global_pal, frame_box=(4, 5),
+                                   screen=(10, 9)))
+    payload[11] = 2  # background = GLOBAL #2 = [10, 20, 30]
+    # graft a local color table onto the image descriptor: set the
+    # local-table flag (bit 7) + size, then insert the palette bytes
+    desc = payload.index(b"\x2c")
+    packed = desc + 9  # descriptor packed byte
+    size_field = 1  # 2 << 1 = 4 entries
+    payload[packed] = 0x80 | size_field
+    lp = np.zeros((2 << size_field, 3), np.uint8)
+    lp[:3] = local_pal
+    payload[packed + 1: packed + 1] = lp.tobytes()
+    out = decode_gif(bytes(payload))
+    assert (out[5:7, 4:7] == [0, 200, 0]).all()  # frame uses LOCAL palette
+    assert (out[0, 0] == [10, 20, 30]).all()     # bg from GLOBAL palette

@@ -741,3 +741,49 @@ def test_correctness_window_rotation_policy():
     assert uncovered == [], (
         f"queries outside the 50-row driver window with no green row in "
         f"{arts[-1]}: {uncovered} — rotate them to the front of queries()")
+
+
+def test_cluster_ops_tolerate_empty_input(ray_session):
+    """An upstream filter that drops every row is routine — the cluster
+    entry points must return the empty input, not crash in Arrow sort
+    or dendrogram internals."""
+    import ray.data as rd
+
+    from docetl_ray.stages.cluster import (cluster_dendrogram,
+                                           cluster_embeddings,
+                                           cluster_threshold)
+
+    empty = rd.from_items([{"id": 1, "emb": [0.0, 1.0]}]).filter(
+        lambda r: False)
+    assert cluster_dendrogram(empty, "emb", "id").count() == 0
+    assert cluster_embeddings(empty, "emb", "id", num_clusters=2).count() == 0
+    assert cluster_threshold(empty, "emb", "id",
+                             distance_threshold=0.5).count() == 0
+
+
+def test_kmeans_cells_tolerates_nan_embeddings(ray_session):
+    """A NaN embedding cell must not corrupt the fixed-point centroid
+    accumulators (NaN bypasses np.clip and casts to INT64_MIN)."""
+    import numpy as np
+    import ray.data as rd
+
+    from docetl_ray.stages.cluster import kmeans_cells
+
+    rows = [{"id": i, "emb": [float(i % 2) * 10, 1.0]} for i in range(40)]
+    rows[7]["emb"] = [float("nan"), 1.0]
+    cents, assigned = kmeans_cells(rd.from_items(rows), "emb", "id",
+                                   num_cells=2, iters=4)
+    assert np.isfinite(cents).all(), cents
+    # NaN quantizes to 0 (not INT64_MIN, which put centroids at ~1e18/n
+    # or wrapped the accumulator): the two blobs still separate cleanly
+    xs = sorted(c[0] for c in cents)
+    assert xs[0] < 2.0 and xs[-1] > 8.0, cents
+    assert assigned.count() == 40
+    # an inf cell saturates at the documented clip (bounded skew, no
+    # wrap): centroids stay finite and physically bounded
+    rows[23]["emb"] = [float("nan"), float("inf")]
+    cents2, assigned2 = kmeans_cells(rd.from_items(rows), "emb", "id",
+                                     num_cells=2, iters=4)
+    assert np.isfinite(cents2).all(), cents2
+    assert np.abs(cents2).max() < 1e7, cents2
+    assert assigned2.count() == 40

@@ -470,3 +470,66 @@ def test_runner_window_and_asof_ops(tmp_path):
     aj = _collect(r.datasets["enriched"]).sort_by(
         [("uid", "ascending"), ("ts", "ascending")])
     assert aj["state"].to_pylist() == ["a", "a", "b", "c"]
+
+
+def test_checkpoint_invalidated_by_upstream_edit(tmp_path, ray_session):
+    """Checkpoint keys are LINEAGE hashes: editing an op in an earlier
+    step (or the source dataset) must invalidate downstream checkpoints,
+    not just the step whose own chain changed."""
+    from docetl_ray.runner import PipelineRunner
+
+    def cfg(bump: int):
+        return {
+            "datasets": {"docs": {"type": "memory",
+                                  "data": [{"doc_id": i} for i in range(4)]}},
+            "operations": [
+                {"name": "a", "type": "code_map",
+                 "code": f"def transform(doc):\n    return {{'x': doc['doc_id'] + {bump}}}\n"},
+                {"name": "b", "type": "code_map",
+                 "code": "def transform(doc):\n    return {'y': doc['x'] * 10}\n"},
+            ],
+            "pipeline": {"steps": [
+                {"name": "s1", "input": "docs", "operations": ["a"]},
+                {"name": "s2", "operations": ["b"]},
+            ]},
+            "checkpoint_dir": str(tmp_path / "ckpt"),
+        }
+
+    out1 = sorted(PipelineRunner(cfg(0)).run().take_all(),
+                  key=lambda r: r["doc_id"])
+    assert [r["y"] for r in out1] == [0, 10, 20, 30]
+    # edit ONLY step 1's op: step 2's checkpoint must not be reused
+    out2 = sorted(PipelineRunner(cfg(100)).run().take_all(),
+                  key=lambda r: r["doc_id"])
+    assert [r["y"] for r in out2] == [1000, 1010, 1020, 1030]
+    # unchanged re-run still reuses both checkpoints (same lineage)
+    dirs_before = sorted(p.name for p in (tmp_path / "ckpt" / "s2").iterdir())
+    out3 = sorted(PipelineRunner(cfg(100)).run().take_all(),
+                  key=lambda r: r["doc_id"])
+    assert out3 == out2
+    assert sorted(p.name for p in (tmp_path / "ckpt" / "s2").iterdir()) == dirs_before
+
+
+def test_code_map_skip_all_batch_keeps_schema(ray_session):
+    """An all-skipped (or empty) code_map batch must keep the input
+    schema on its block instead of emitting a zero-column table."""
+    import ray.data as rd
+
+    from docetl_ray.runner import _apply_op
+
+    ds = rd.from_items([{"doc_id": i, "v": i} for i in range(6)])
+    out = _apply_op(ds, {
+        "name": "boom", "type": "code_map", "on_error": "skip",
+        "code": "def transform(doc):\n    raise ValueError('nope')\n",
+    })
+    # downstream op over the empty stream still sees the input columns
+    out2 = _apply_op(out, {
+        "name": "sel", "type": "code_map",
+        "code": "def transform(doc):\n    return {'w': doc['v']}\n",
+    })
+    tbl = out2.take_all()
+    assert tbl == []
+    import pyarrow as pa
+
+    sch = out.schema()
+    assert set(sch.names) >= {"doc_id", "v"}
