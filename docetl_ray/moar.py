@@ -207,6 +207,10 @@ def simulate_plan(ops: list[dict], rows: list[dict], *,
                 op["prompt"], op["output"]["schema"],
                 client_factory=lambda c=client: c,
                 validate=op.get("validate"),
+                num_retries_on_validate_failure=op.get(
+                    "num_retries_on_validate_failure", 2),
+                drop_on_validation_failure=op.get(
+                    "drop_on_validation_failure", False),
                 gleaning=op.get("gleaning"),
                 batch_prompt=op.get("batch_prompt"),
                 op_name=op.get("name", "map"),

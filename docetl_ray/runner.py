@@ -143,6 +143,10 @@ def _apply_op(ds, op: dict):
                        drop_keys=op.get("drop_keys"),
                        client_factory=_model_client_factory(op),
                        validate=op.get("validate"),
+                       num_retries_on_validate_failure=op.get(
+                           "num_retries_on_validate_failure", 2),
+                       drop_on_validation_failure=op.get(
+                           "drop_on_validation_failure", False),
                        gleaning=op.get("gleaning"),
                        batch_prompt=op.get("batch_prompt"),
                        calibrate=op.get("calibrate", False),
@@ -184,6 +188,7 @@ def _apply_op(ds, op: dict):
         from .stages.llm import llm_filter
 
         return llm_filter(ds, op["prompt"],
+                          filter_key=op.get("filter_key", "keep"),
                           client_factory=_model_client_factory(op))
     if t in ("reduce", "code_reduce", "llm_reduce"):
         key = op.get("reduce_key", "_all")
@@ -234,6 +239,7 @@ def _apply_op(ds, op: dict):
                 comparison_prompt=op["comparison_prompt"],
                 resolution_prompt=op.get("resolution_prompt"),
                 output_schema=(op.get("output") or {}).get("schema"),
+                client_factory=_model_client_factory(op),
                 limit_comparisons=op.get("limit_comparisons"),
                 blocking_conditions=op.get("blocking_conditions"),
                 observability=op.get("enable_observability", False),

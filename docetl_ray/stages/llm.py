@@ -24,6 +24,8 @@ from __future__ import annotations
 import hashlib
 import json
 
+import numpy as np
+
 import pyarrow as pa
 
 from ..schemas import dsl_schema, enum_values
@@ -155,15 +157,17 @@ class LLMMapStage:
     def __init__(self, prompt: str, output_schema: dict, client_factory=None,
                  validate: list[str] | None = None,
                  num_retries_on_validate_failure: int = 2,
+                 drop_on_validation_failure: bool = False,
                  observability: bool = False, op_name: str = "map",
                  gleaning: dict | None = None,
                  batch_prompt: str | None = None):
         self.prompt = prompt
         self.schema = output_schema
         self.client = (client_factory or FakeDeterministicClient)()
-        self.cache: dict[str, dict] = {}  # per-actor response cache
+        self.cache: dict[str, tuple[dict, bool]] = {}  # per-actor cache
         self.validate = validate or []
         self.retries = num_retries_on_validate_failure
+        self.drop_failed = drop_on_validation_failure
         self.observability = observability  # _observability_{op} column
         self.op_name = op_name              # (reference map.py:415-419)
         # gleaning: {"validation_prompt": str, "num_rounds": int,
@@ -187,12 +191,15 @@ class LLMMapStage:
         return glean_loop(self.client, rendered, out, self.schema,
                           self.gleaning)
 
-    def _complete_cached(self, rendered: str) -> dict:
+    def _complete_cached(self, rendered: str) -> tuple[dict, bool]:
+        """-> (output, passed_validation) — the bool drives the
+        ``drop_on_validation_failure`` row-drop path."""
         key = hashlib.md5(
             f"{self.client.model}|{rendered}|{json.dumps(self.schema, sort_keys=True)}".encode()
         ).hexdigest()
         if key not in self.cache:
             out = self.client.complete(rendered, self.schema)
+            ok = True
             if self.gleaning:
                 out = self._glean(rendered, out)
             elif self.validate:
@@ -202,7 +209,8 @@ class LLMMapStage:
                     out = self.client.complete(
                         f"{rendered}\n[validation retry {attempt}]", self.schema
                     )
-            self.cache[key] = out
+                ok = self._valid(out)
+            self.cache[key] = (out, ok)
         return self.cache[key]
 
     def _batch_outputs(self, rows: list[dict]) -> list[dict | None]:
@@ -226,6 +234,7 @@ class LLMMapStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         rows = batch.to_pylist()
         outputs = []
+        keep: list[bool] = []
         batched = self._batch_outputs(rows)
         for r, pre in zip(rows, batched):
             rendered = render_prompt(self.prompt, {"input": r})
@@ -234,6 +243,7 @@ class LLMMapStage:
             # parsed batch outputs); a validation failure falls back to
             # the per-item prompt, whose path retries internally
             out = None
+            ok = True
             if pre is not None:
                 if self.gleaning:
                     out = self._glean(rendered, pre)
@@ -242,13 +252,19 @@ class LLMMapStage:
                 else:
                     out = pre
             if out is None:
-                out = self._complete_cached(rendered)
+                out, ok = self._complete_cached(rendered)
             if self.observability:
                 out = dict(out)
                 out[f"_observability_{self.op_name}"] = json.dumps(
                     {"prompt": rendered, "model": self.client.model}
                 )
             outputs.append(out)
+            keep.append(ok)
+        if self.drop_failed and not all(keep):
+            # drop_on_validation_failure: rows still failing every
+            # validate expression after the retries are removed
+            batch = batch.filter(pa.array(keep))
+            outputs = [o for o, k in zip(outputs, keep) if k]
         schema_cols = dict(self.schema)
         if self.observability:
             schema_cols[f"_observability_{self.op_name}"] = "str"
@@ -288,6 +304,7 @@ def llm_map(ds, prompt: str, output_schema: dict, *, drop_keys=None,
             client_factory=None, concurrency=(1, 8), batch_size: int = 256,
             validate: list[str] | None = None,
             num_retries_on_validate_failure: int = 2,
+            drop_on_validation_failure: bool = False,
             observability: bool = False, op_name: str = "map",
             gleaning: dict | None = None,
             batch_prompt: str | None = None,
@@ -312,9 +329,14 @@ def llm_map(ds, prompt: str, output_schema: dict, *, drop_keys=None,
 
     out = ds.map_batches(
         LLMMapStage,
-        fn_constructor_args=(prompt, output_schema, client_factory,
-                             validate, num_retries_on_validate_failure,
-                             observability, op_name, gleaning, batch_prompt),
+        fn_constructor_kwargs=dict(
+            prompt=prompt, output_schema=output_schema,
+            client_factory=client_factory, validate=validate,
+            num_retries_on_validate_failure=num_retries_on_validate_failure,
+            drop_on_validation_failure=drop_on_validation_failure,
+            observability=observability, op_name=op_name,
+            gleaning=gleaning, batch_prompt=batch_prompt,
+        ),
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
@@ -487,7 +509,9 @@ def make_reduce_group(complete, prompt: str, output_schema: dict,
                 _batch_reduce(sampled[i : i + fold_batch_size], key_ctx)
                 for i in range(0, len(sampled), fold_batch_size)
             ]
-            mb = merge_batch_size or 2
+            # mb=1 would re-merge singletons without shrinking the list
+            # (infinite loop + unbounded API spend on a real client)
+            mb = max(2, merge_batch_size or 2)
             while len(folds) > 1:
                 folds = [
                     _merge(folds[i : i + mb], key_ctx)
@@ -541,6 +565,16 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
     FULL group (pre-sampling), matching reduce.py:343.
     """
     keys = [reduce_key] if isinstance(reduce_key, str) else list(reduce_key)
+    # "_all": whole-dataset reduce (reference reduce_key "_all" form) —
+    # group on an appended constant so ONE group sees every row; the
+    # helper column never reaches prompts or the output row
+    global_all = keys == ["_all"]
+    if global_all:
+        def _add_all(b: pa.Table) -> pa.Table:
+            return b.append_column(
+                "_all", pa.array(np.zeros(b.num_rows, dtype=np.int64)))
+
+        ds = ds.map_batches(_add_all, batch_format="pyarrow")
 
     stage = {"client": None, "last_prompt": ""}
 
@@ -570,9 +604,13 @@ def llm_reduce(ds, reduce_key, prompt: str, output_schema: dict, *,
 
     def fn(group: pa.Table) -> pa.Table:
         rows = group.to_pylist()
-        key_ctx = {k: rows[0][k] for k in keys}
+        if global_all:
+            rows = [{k: v for k, v in r.items() if k != "_all"} for r in rows]
+            key_ctx: dict = {}
+        else:
+            key_ctx = {k: rows[0][k] for k in keys}
         out = _reduce_group(rows, key_ctx)
-        row = {k: rows[0][k] for k in keys}
+        row = {} if global_all else {k: rows[0][k] for k in keys}
         if pass_through:
             for c, v in rows[0].items():
                 row.setdefault(c, v)

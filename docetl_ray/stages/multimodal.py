@@ -255,14 +255,19 @@ class VideoKeyframeStage:
                 continue
             if not self.fake:
                 try:
-                    for ts, v in self._real_frames(b):
-                        idx.append(i)
-                        frame_ts.append(ts)
-                        feats.append(v)
+                    # materialize BEFORE appending: _real_frames is a
+                    # generator, so a mid-stream decode failure after
+                    # direct appends would leave partial keyframe rows
+                    # for a video the skip contract says was dropped
+                    row_entries = list(self._real_frames(b))
                 except ValueError:
                     if self.on_error == "skip":
                         continue
                     raise
+                for ts, v in row_entries:
+                    idx.append(i)
+                    frame_ts.append(ts)
+                    feats.append(v)
                 continue
             for f in range(self.num_keyframes):
                 ts, v = self._fake_frame(b, f)

@@ -51,12 +51,13 @@ def dedup_exact(ds, key_cols, *, tiebreak_col: str, keep: str = "min"):
 
 
 def auto_compare_batch_size(n_items: int, n_pairs: int, *, cap: int = 500) -> int:
-    """The reference's adaptive comparison batch size
-    (``resolve.py:491-516``): solve ``k(k-1)/2 + (n-k)(k-1) = m`` for k
-    (the largest prefix of items whose pairwise comparisons fill one
-    batch) and cap at 500.  Used here to size the ``map_batches``
-    batch for pair-confirmation stages; the reference uses it to bound
-    LLM comparison batches."""
+    """The reference's adaptive comparison batch size, mirrored VERBATIM
+    from ``resolve.py:491-516`` (``auto_batch``): solve
+    ``k(k-1)/2 + (n-k)(k-1) = m`` for k, take ``max`` of the two roots
+    (the reference's own choice — the LARGER root, ~2n, not the
+    prefix-filling smaller one), cap at 500.  Exposed for parity with
+    the reference's LLM comparison batching; the Ray resolve stages
+    batch by pair count directly and do not call it."""
     discriminant = (1 - 2 * n_items) ** 2 - 8 * n_pairs
     if discriminant < 0:
         return cap

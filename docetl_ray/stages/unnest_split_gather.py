@@ -18,6 +18,7 @@ from __future__ import annotations
 import hashlib
 import re
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -401,8 +402,18 @@ def gather_render_group(
     rendered = []
     for i in range(n):
         parts = []
-        if doc_header_key and pd.notna(group.at[i, doc_header_key]):
-            parts.append(str(group.at[i, doc_header_key]))
+        if doc_header_key is not None:
+            hv = group.at[i, doc_header_key]
+            # list-valued header cells (the docetl headers shape —
+            # list<struct{header,level}>) arrive as lists/ndarrays, where
+            # pd.notna returns an ARRAY and crashes the if; present =
+            # non-empty for those, notna for scalars
+            if isinstance(hv, (list, tuple, np.ndarray)):
+                present = len(hv) > 0
+            else:
+                present = bool(pd.notna(hv))
+            if present:
+                parts.append(str(hv))
         lo = max(0, i - previous_count)
         if lo > 0:
             skipped = sum(len(str(group.at[j, content_key])) for j in range(0, lo))

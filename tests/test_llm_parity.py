@@ -541,3 +541,106 @@ def test_map_calibration_appends_context():
     )
     # the main pass sees the anchors; the sample pass (raw) is discarded
     assert set(out["label"].to_pylist()) == {"calibrated"}
+
+
+def test_llm_reduce_all_global(ray_session):
+    """reduce_key "_all" = whole-dataset reduce: one output row, no
+    helper column, counts over every row (runner.py passes '_all' by
+    default for LLM reduce ops without a reduce_key)."""
+    import ray.data as rd
+
+    from docetl_ray.stages.llm import llm_reduce
+
+    ds = rd.from_items([{"doc_id": i, "text": f"t{i}"} for i in range(7)])
+    out = llm_reduce(ds, "_all", "Digest all:\n{% for i in inputs %}"
+                     "{{ i.text }} {% endfor %}",
+                     {"digest": "str"}).take_all()
+    assert len(out) == 1
+    row = out[0]
+    assert row["_counts_prereduce"] == 7
+    assert "digest" in row and "_all" not in row
+    # runner path: an LLM reduce op with no reduce_key
+    from docetl_ray.runner import _apply_op
+
+    out2 = _apply_op(ds, {"name": "d", "type": "llm_reduce",
+                          "prompt": "Digest:\n{% for i in inputs %}"
+                                    "{{ i.text }} {% endfor %}",
+                          "output": {"schema": {"digest": "str"}}}).take_all()
+    assert len(out2) == 1 and out2[0]["_counts_prereduce"] == 7
+
+
+def test_merge_batch_size_one_terminates():
+    """merge_batch_size=1 must not loop forever re-merging singletons."""
+    from docetl_ray.stages.llm import FakeDeterministicClient, make_reduce_group
+
+    client = FakeDeterministicClient()
+    rg = make_reduce_group(
+        lambda rendered, schema: client.complete(rendered, schema),
+        "Reduce:\n{% for i in inputs %}{{ i.x }} {% endfor %}",
+        {"out": "str"},
+        fold_prompt="Fold {{ output.out }}:\n{% for i in inputs %}{{ i.x }} {% endfor %}",
+        fold_batch_size=2,
+        merge_prompt="Merge:\n{% for o in outputs %}{{ o.out }} {% endfor %}",
+        merge_batch_size=1,
+    )
+    out = rg([{"x": i} for i in range(9)], {})
+    assert "out" in out  # terminated and produced a merged output
+
+
+def test_map_drop_on_validation_failure(ray_session):
+    """Rows that still fail every validate expression after retries are
+    dropped when drop_on_validation_failure is set (reference map
+    validation semantics) and kept otherwise."""
+    import ray.data as rd
+
+    from docetl_ray.stages.llm import llm_map
+
+    ds = rd.from_items([{"doc_id": i} for i in range(5)])
+    common = dict(
+        validate=["len(output['val']) > 99"],  # unsatisfiable
+        num_retries_on_validate_failure=1,
+    )
+    kept = llm_map(ds, "V:{{ input.doc_id }}", {"val": "str"},
+                   **common).take_all()
+    assert len(kept) == 5  # kept by default
+    dropped = llm_map(ds, "V:{{ input.doc_id }}", {"val": "str"},
+                      drop_on_validation_failure=True, **common).take_all()
+    assert dropped == []
+
+
+def test_llm_filter_custom_filter_key(ray_session):
+    """The runner forwards filter_key so a real data column named 'keep'
+    is not clobbered, and MOAR's simulation matches the engine."""
+    import ray.data as rd
+
+    from docetl_ray.moar import simulate_plan
+    from docetl_ray.runner import _apply_op
+
+    rows = [{"doc_id": i, "keep": f"user-data-{i}"} for i in range(6)]
+    # model pinned: engine==sim requires the same seeded client (the
+    # MOAR-emitted-YAML contract — unpinned ops use different defaults)
+    op = {"name": "f", "type": "llm_filter", "filter_key": "relevant",
+          "model": "det-mini", "prompt": "Keep?\n{{ input.doc_id }}"}
+    got = sorted(_apply_op(rd.from_items(rows), op).take_all(),
+                 key=lambda r: r["doc_id"])
+    want = sorted(simulate_plan([op], rows).rows, key=lambda r: r["doc_id"])
+    assert got == want
+    assert all(r["keep"].startswith("user-data-") for r in got)
+    assert all("relevant" not in r for r in got)
+
+
+def test_gather_list_valued_doc_header(ray_session):
+    """doc_header_key pointing at a LIST-valued column (the docetl
+    headers shape) must render, not crash on an ambiguous-array if."""
+    import pandas as pd
+
+    from docetl_ray.stages.unnest_split_gather import gather_render_group
+
+    g = pd.DataFrame({
+        "doc": ["d", "d"], "num": [1, 2], "chunk": ["aaa", "bbb"],
+        "headers": [[{"header": "H1", "level": 1}], []],
+    })
+    out = gather_render_group(g, "chunk", "num", doc_header_key="headers")
+    rendered = out["chunk_rendered"].tolist()
+    assert "H1" in rendered[0]
+    assert "--- Begin Main Chunk ---" in rendered[1]

@@ -435,3 +435,31 @@ def test_png_rgb_adam7_interlaced():
                _png_chunk(b"IDAT", zlib.compress(bytes(raw))) +
                _png_chunk(b"IEND", b""))
     np.testing.assert_array_equal(decode_png(payload), img)
+
+
+def test_video_skip_drops_whole_row_on_midstream_frame_failure(ray_session):
+    """on_error='skip' must drop the ENTIRE video row when any sampled
+    frame fails to decode — no partial keyframe rows."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+    from test_jpegcodec import encode_jpeg
+
+    from docetl_ray.stages.multimodal import VideoKeyframeStage
+
+    rng = np.random.default_rng(9)
+    good = [encode_jpeg(rng.integers(0, 256, size=(8, 8, 1), dtype=np.uint8))
+            for _ in range(3)]
+    bad = [good[0], b"\xff\xd8\xff\xe0corrupt", good[2]]
+    ds = rd.from_items([
+        {"vid": 1, "video": encode_avi_mjpeg(good)},
+        {"vid": 2, "video": encode_avi_mjpeg(bad)},
+    ])
+    out = ds.map_batches(
+        VideoKeyframeStage,
+        fn_constructor_kwargs=dict(bytes_col="video", num_keyframes=3,
+                                   fake=False, on_error="skip"),
+        batch_size=4, concurrency=1, batch_format="pyarrow",
+    ).to_pandas()
+    assert set(out["vid"]) == {1}          # corrupt video fully dropped
+    assert len(out) == 3                   # 3 keyframes for the good one
